@@ -1,38 +1,373 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship validation on sf0.001 documents (violation rows)
+queries()     -> named operators from SURVEY.md §2 / §2.5, one callable each
+oracle_sql()  -> DuckDB-equivalent ANSI SQL per query (the correctness gate)
+
+Column names are aliased identically on both sides; rates/statistics are
+computed as single final divisions of exact longs (and rounded) so
+cross-engine float-summation order cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from schema_fantasy_spark import table_checks as tc
+from schema_fantasy_spark.engine import ValidationEngine
+from schema_fantasy_spark.sources import tables
+
+# ---------------------------------------------------------------- schemas
+
+#: flagship constraint suite over the ``documents`` table (leaf keywords)
+DOCUMENTS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "text": {"type": "string", "minLength": 60},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "n_chars": {"minimum": 50, "maximum": 500},
+        "source": {"pattern": "^src[0-9]+$"},
+    },
+}
+
+#: combinator suite (allOf/anyOf/oneOf/not/dependencies) over documents
+DOCUMENTS_COMBINATOR_SCHEMA = {
+    "allOf": [{"properties": {"n_chars": {"minimum": 30}}}],
+    "anyOf": [
+        {"properties": {"lang": {"enum": ["en"]}}},
+        {"properties": {"n_chars": {"maximum": 400}}},
+    ],
+    "oneOf": [
+        {"properties": {"n_chars": {"maximum": 100}}},
+        {"properties": {"n_chars": {"minimum": 90}}},
+    ],
+    "not": {"properties": {"source": {"enum": ["srcX"]}}},
+}
+
+#: dynamic-mode JSON validation of the events.props column
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "maximum": 50}},
+}
+
+_ENUM_EXPECTED = "en, de, fr or es"
+
+
+def _violations(spark: SparkSession, sf_dir: str, schema: dict) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    eng = ValidationEngine(schema)
+    v = eng.apply(docs)
+    out = ValidationEngine.violations(v, ["doc_id"])
+    return out.select(
+        "doc_id",
+        F.array_join("path", "/").alias("path"),
+        "keyword",
+        "message",
+        "expected",
+        "actual",
+        "depth",
+    )
+
+
+# ------------------------------------------------------------------ entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full keyword-constraint
+    suite over documents -> violation rows."""
+    return _violations(spark, "/root/testdata/sf0.001", DOCUMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def flagship_validation(spark, sf):
+        return _violations(spark, sf, DOCUMENTS_SCHEMA)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def combinator_validation(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        v = ValidationEngine(DOCUMENTS_COMBINATOR_SCHEMA).apply(docs)
+        out = ValidationEngine.violations(v, ["doc_id"])
+        # depth-0 entries only: the combinator verdict layer (children are
+        # the per-branch causes, asserted structurally in pytest)
+        return (
+            out.filter(F.col("depth") == 0)
+            .select("doc_id", "keyword", "message")
+        )
+
+    def json_props_validation(spark, sf):
+        from schema_fantasy_spark.dynamic import validate_json
+
+        ev = tables.load(spark, sf, "events")
+        v = validate_json(ev, "props", PROPS_SCHEMA)
+        out = ValidationEngine.violations(v, ["event_id"])
+        return out.select("event_id", "keyword", "message")
+
+    def null_rates_documents(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        return tc.null_rates(docs, ["doc_id", "lang", "n_chars", "source", "text"])
+
+    def column_stats_lineitem(spark, sf):
+        li = tables.load(spark, sf, "lineitem")
+        return tc.column_stats(li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
+
+    def duplicate_keys_lineitem(spark, sf):
+        li = tables.load(spark, sf, "lineitem")
+        return tc.duplicate_keys(li, ["l_orderkey"])
+
+    def uniqueness_orders(spark, sf):
+        o = tables.load(spark, sf, "orders")
+        return tc.uniqueness_summary(o, ["o_orderkey"])
+
+    def orphans_orders_customer(spark, sf):
+        o = tables.load(spark, sf, "orders")
+        c = tables.load(spark, sf, "customer")
+        return tc.referential_summary(o, c, "o_custkey", "c_custkey", broadcast_parent=True)
+
+    def lang_histogram_documents(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        return tc.group_histogram(docs, "lang")
+
+    def chi_square_lang_drift(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        cur = tc.group_histogram(docs.filter(F.length("source") == 5), "lang")
+        base = tc.group_histogram(docs.filter(F.length("source") == 4), "lang")
+        return tc.chi_square_stat(cur, base)
+
+    def ks_n_chars_drift(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        cur = tc.numeric_histogram(docs.filter(F.length("source") == 5), "n_chars", 0.0, 600.0, 20)
+        base = tc.numeric_histogram(docs.filter(F.length("source") == 4), "n_chars", 0.0, 600.0, 20)
+        return tc.ks_stat(cur, base)
+
+    def agg_pricing_summary(spark, sf):
+        li = tables.load(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def topk_events_per_type(spark, sf):
+        from pyspark.sql import Window
+
+        ev = tables.load(spark, sf, "events")
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id").asc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_type", "event_id", "value", "rn")
+        )
+
+    return {
+        "flagship_validation": flagship_validation,
+        "combinator_validation": combinator_validation,
+        "json_props_validation": json_props_validation,
+        "null_rates_documents": null_rates_documents,
+        "column_stats_lineitem": column_stats_lineitem,
+        "duplicate_keys_lineitem": duplicate_keys_lineitem,
+        "uniqueness_orders": uniqueness_orders,
+        "orphans_orders_customer": orphans_orders_customer,
+        "lang_histogram_documents": lang_histogram_documents,
+        "chi_square_lang_drift": chi_square_lang_drift,
+        "ks_n_chars_drift": ks_n_chars_drift,
+        "agg_pricing_summary": agg_pricing_summary,
+        "topk_events_per_type": topk_events_per_type,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    flagship = f"""
+    SELECT doc_id, 'text' AS path, 'minLength' AS keyword,
+           'shorter than 60 characters' AS message,
+           CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS VARCHAR) AS actual,
+           0 AS depth
+      FROM documents WHERE text IS NOT NULL AND length(text) < 60
+    UNION ALL
+    SELECT doc_id, 'lang', 'enum', '', '{_ENUM_EXPECTED}', lang, 0
+      FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+    UNION ALL
+    SELECT doc_id, 'n_chars', 'minimum', 'less than 50', NULL, NULL, 0
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars < 50
+    UNION ALL
+    SELECT doc_id, 'n_chars', 'maximum', 'greater than 500', NULL, NULL, 0
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 500
+    UNION ALL
+    SELECT doc_id, 'source', 'pattern', 'does not match /^src[0-9]+$/', NULL, NULL, 0
+      FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+    UNION ALL
+    SELECT doc_id, '', 'required', 'missing doc_id', NULL, NULL, 0
+      FROM documents WHERE doc_id IS NULL
+    UNION ALL
+    SELECT doc_id, '', 'required', 'missing text', NULL, NULL, 0
+      FROM documents WHERE text IS NULL
+    UNION ALL
+    SELECT doc_id, '', 'required', 'missing lang', NULL, NULL, 0
+      FROM documents WHERE lang IS NULL
     """
-    return {}
+
+    combinator = """
+    WITH flags AS (
+      SELECT doc_id,
+             (n_chars >= 30) AS all_ok,
+             (lang = 'en' OR n_chars <= 400) AS any_ok,
+             (CAST(n_chars <= 100 AS INT) + CAST(n_chars >= 90 AS INT)) AS one_n,
+             (source = 'srcX') AS not_bad
+        FROM documents)
+    SELECT doc_id, 'allOf' AS keyword, 'Not all conditions valid' AS message
+      FROM flags WHERE NOT all_ok
+    UNION ALL
+    SELECT doc_id, 'anyOf', 'No conditions valid' FROM flags WHERE NOT any_ok
+    UNION ALL
+    SELECT doc_id, 'oneOf', 'No conditions valid' FROM flags WHERE one_n = 0
+    UNION ALL
+    SELECT doc_id, 'oneOf', 'More than one condition valid' FROM flags WHERE one_n > 1
+    UNION ALL
+    SELECT doc_id, 'not', 'condition valid' FROM flags WHERE not_bad
+    """
+
+    json_props = """
+    SELECT event_id, 'maximum' AS keyword, 'greater than 50' AS message
+      FROM events
+     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    UNION ALL
+    SELECT event_id, 'required', 'missing k'
+      FROM events WHERE json_extract_string(props, '$.k') IS NULL
+    """
+
+    null_rates = """
+    WITH t AS (
+      SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             sum(CAST(doc_id IS NULL AS BIGINT)) AS n_null FROM documents
+      UNION ALL SELECT 'lang', count(*), sum(CAST(lang IS NULL AS BIGINT)) FROM documents
+      UNION ALL SELECT 'n_chars', count(*), sum(CAST(n_chars IS NULL AS BIGINT)) FROM documents
+      UNION ALL SELECT 'source', count(*), sum(CAST(source IS NULL AS BIGINT)) FROM documents
+      UNION ALL SELECT 'text', count(*), sum(CAST(text IS NULL AS BIGINT)) FROM documents)
+    SELECT col_name, n_rows, n_null,
+           round(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_rate
+      FROM t ORDER BY col_name
+    """
+
+    col_stats = """
+    SELECT 'l_discount' AS col_name, CAST(min(l_discount) AS DOUBLE) AS min_val,
+           CAST(max(l_discount) AS DOUBLE) AS max_val,
+           count(DISTINCT l_discount) AS n_distinct, count(l_discount) AS n_nonnull
+      FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE),
+           count(DISTINCT l_extendedprice), count(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+           count(DISTINCT l_quantity), count(l_quantity) FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+           count(DISTINCT l_tax), count(l_tax) FROM lineitem
+    ORDER BY col_name
+    """
+
+    dup_keys = """
+    SELECT l_orderkey, count(*) AS n_copies, count(*) - 1 AS n_duplicates
+      FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """
+
+    uniq_orders = """
+    WITH per_key AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
+    SELECT count(*) AS n_keys, sum(n) AS n_rows,
+           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_duplicates,
+           (sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0) AS pass
+      FROM per_key
+    """
+
+    orphans = """
+    WITH orph AS (
+      SELECT o_custkey FROM orders
+       WHERE o_custkey IS NOT NULL
+         AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+    SELECT count(*) AS n_orphans, (count(*) = 0) AS pass FROM orph
+    """
+
+    lang_hist = """
+    SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS bucket, count(*) AS n
+      FROM documents GROUP BY 1 ORDER BY bucket
+    """
+
+    chi_square = """
+    WITH cur AS (SELECT lang AS bucket, count(*) AS n_cur FROM documents
+                  WHERE length(source) = 5 GROUP BY 1),
+         base AS (SELECT lang AS bucket, count(*) AS n_base FROM documents
+                  WHERE length(source) = 4 GROUP BY 1),
+         j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+                      coalesce(n_cur, 0) AS n_cur, coalesce(n_base, 0) AS n_base
+                 FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+         t AS (SELECT sum(n_cur) AS t_cur, sum(n_base) AS t_base FROM j)
+    SELECT round(sum(pow(n_cur - n_base * t_cur / t_base, 2)
+                     / (n_base * t_cur / t_base)), 4) AS chi_square,
+           CAST(count(*) - 1 AS BIGINT) AS dof
+      FROM j, t WHERE n_base > 0
+    """
+
+    ks = """
+    WITH cur AS (SELECT CAST(floor(n_chars / 30.0) + 1 AS BIGINT) AS bucket, count(*) AS n_cur
+                   FROM documents WHERE length(source) = 5 AND n_chars IS NOT NULL GROUP BY 1),
+         base AS (SELECT CAST(floor(n_chars / 30.0) + 1 AS BIGINT) AS bucket, count(*) AS n_base
+                   FROM documents WHERE length(source) = 4 AND n_chars IS NOT NULL GROUP BY 1),
+         j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+                      coalesce(n_cur, 0) AS n_cur, coalesce(n_base, 0) AS n_base
+                 FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+         t AS (SELECT sum(n_cur) AS t_cur, sum(n_base) AS t_base FROM j),
+         e AS (SELECT bucket,
+                      sum(n_cur) OVER (ORDER BY bucket) AS c_cur,
+                      sum(n_base) OVER (ORDER BY bucket) AS c_base
+                 FROM j)
+    SELECT round(max(abs(CAST(c_cur AS DOUBLE) / t_cur
+                         - CAST(c_base AS DOUBLE) / t_base)), 6) AS ks_stat
+      FROM e, t
+    """
+
+    pricing = """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    topk = """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+        FROM events)
+    SELECT event_type, event_id, value, rn FROM ranked WHERE rn <= 3
+    """
+
+    return {
+        "flagship_validation": flagship,
+        "combinator_validation": combinator,
+        "json_props_validation": json_props,
+        "null_rates_documents": null_rates,
+        "column_stats_lineitem": col_stats,
+        "duplicate_keys_lineitem": dup_keys,
+        "uniqueness_orders": uniq_orders,
+        "orphans_orders_customer": orphans,
+        "lang_histogram_documents": lang_hist,
+        "chi_square_lang_drift": chi_square,
+        "ks_n_chars_drift": ks,
+        "agg_pricing_summary": pricing,
+        "topk_events_per_type": topk,
+    }

@@ -1,0 +1,100 @@
+"""Benchmark harness. Prints ONE JSON line to stdout:
+  {"metric": "validated_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+Headline: full constraint-suite validation throughput over the synthetic
+pages table (columnar path). Secondary: wall-clock of each driver-contract
+query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages_n = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from schema_fantasy_spark.engine import ValidationEngine
+    from schema_fantasy_spark.session import get_spark
+    from schema_fantasy_spark.sources.pages import PAGES_SCHEMA, pages
+
+    spark = get_spark(app_name="sfs-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    log(f"bench: sf_dir={sf_dir} cores={cpus} pages_n={pages_n}")
+
+    # ---- headline: validated docs/sec on the pages table (columnar path).
+    # Materialize the synthetic table to parquet once so the timed section
+    # measures scan+validate+aggregate, not generation.
+    pages_path = f"/tmp/sfs_bench_pages_{pages_n}"
+    if not os.path.exists(pages_path):
+        t0 = time.time()
+        pages(spark, pages_n, partitions=cpus * 4).write.mode("overwrite").parquet(pages_path)
+        log(f"pages materialized in {time.time() - t0:.1f}s")
+    pdf = spark.read.parquet(pages_path)
+
+    eng = ValidationEngine(PAGES_SCHEMA)
+    # warm-up (JIT, code cache)
+    eng.apply(pdf.limit(50000)).agg(F.sum(F.col("verdict").cast("long"))).collect()
+
+    t0 = time.time()
+    validated = eng.apply(pdf)
+    agg = validated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
+        F.sum(F.size("errors")).alias("n_errors"),
+    ).collect()[0]
+    headline_sec = time.time() - t0
+    docs_per_sec = agg["n"] / headline_sec
+    log(f"headline: {agg['n']} docs, {agg['n_invalid']} invalid, "
+        f"{headline_sec:.2f}s -> {docs_per_sec:,.0f} docs/sec")
+
+    # ---- per-query wall clock at sf_dir
+    qtimes = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            qtimes[name] = round(dt, 3)
+            total += dt
+            log(f"query {name}: {n} rows in {dt:.2f}s")
+        except Exception as e:  # keep the bench line parseable on failure
+            qtimes[name] = -1.0
+            log(f"query {name}: FAILED {e}")
+
+    out = {
+        "metric": "validated_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "headline_docs": agg["n"],
+        "headline_sec": round(headline_sec, 3),
+        "queries_total_sec": round(total, 3),
+        "cores": cpus,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

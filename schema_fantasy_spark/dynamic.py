@@ -1,0 +1,61 @@
+"""Dynamic-document validation: arbitrary JSON values in a string column,
+validated by the compiled kernel inside an Arrow-batched pandas UDF.
+
+This is the conformance-parity path for fully dynamic documents (the
+reference's native habitat — arbitrary JSON, reference index.js:43). The
+scale path for typed tables is ``columnar.py``; SURVEY.md §7 'hard parts'
+(b) routes pathological/recursive schemas here.
+
+The compiled validator closure is built ONCE on the driver
+(``compile_schema``) and shipped to executors inside the UDF closure —
+regexes precompiled, $refs resolved; executors do zero schema
+interpretation setup. Data crosses JVM->Python as Arrow batches
+(spark.sql.execution.arrow.maxRecordsPerBatch rows at a time).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from schema_fantasy_spark.errors import ERRORS_SCHEMA, errs_to_rows
+from schema_fantasy_spark.compiler.plan import compile_schema
+
+
+def json_errors_udf(schema: Any, refs: Optional[Dict[str, Any]] = None):
+    """A pandas UDF: json-string column -> errors array<struct> column."""
+    compiled = compile_schema(schema, refs=refs)
+
+    @pandas_udf(ERRORS_SCHEMA)
+    def _validate(docs: pd.Series) -> pd.Series:
+        validate = compiled.validate
+
+        def one(doc):
+            if doc is None:
+                value = None
+            else:
+                value = json.loads(doc)
+            return errs_to_rows(validate(value))
+
+        return docs.map(one)
+
+    return _validate
+
+
+def validate_json(
+    df: DataFrame,
+    doc_col: str,
+    schema: Any,
+    refs: Optional[Dict[str, Any]] = None,
+    errors_col: str = "errors",
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Validate JSON documents held in ``df[doc_col]`` (string) against
+    ``schema``; append errors + verdict columns."""
+    udf = json_errors_udf(schema, refs)
+    out = df.withColumn(errors_col, udf(F.col(doc_col)))
+    return out.withColumn(verdict_col, F.size(F.col(errors_col)) == 0)

@@ -1,0 +1,124 @@
+"""ValidationEngine facade: schema -> errors/verdict/violations/verdicts.
+
+Entry-point parity (reference index.js:33-46):
+  validateIn(schema, value)      -> ValidationEngine(schema).apply(df)
+  validate(refs, schema, value)  -> ValidationEngine(schema, refs=...).apply(df)
+
+Result contract (SURVEY.md §1.4):
+  errors  : array<struct<path,keyword,message,expected,actual,depth>>
+  verdict : size(errors) == 0
+  violations     = filter(~verdict) . select(id_cols, explode(errors))
+  partition verdicts = groupBy(partition_cols).agg(...)   -- shuffle #1
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from schema_fantasy_spark.columnar import ColumnarPlan, compile_columnar
+from schema_fantasy_spark.dynamic import validate_json
+
+
+class ValidationEngine:
+    """Compile once on the driver; apply to any number of DataFrames."""
+
+    def __init__(
+        self,
+        schema: Any,
+        refs: Optional[Dict[str, Any]] = None,
+        mode: str = "columnar",
+    ):
+        if mode not in ("columnar", "dynamic"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.schema = schema
+        self.refs = refs or {}
+        self.mode = mode
+        self._plan: Optional[ColumnarPlan] = (
+            compile_columnar(schema, refs=self.refs) if mode == "columnar" else None
+        )
+
+    # ------------------------------------------------------------- validate
+
+    def apply(
+        self,
+        df: DataFrame,
+        doc_col: Optional[str] = None,
+        errors_col: str = "errors",
+        verdict_col: str = "verdict",
+    ) -> DataFrame:
+        """Append errors + verdict. ``doc_col`` names the JSON-string
+        column in dynamic mode; columnar mode validates the whole row."""
+        if self.mode == "dynamic":
+            if doc_col is None:
+                raise ValueError("dynamic mode needs doc_col (a JSON-string column)")
+            return validate_json(
+                df, doc_col, self.schema, self.refs, errors_col, verdict_col
+            )
+        return self._plan.apply(df, errors_col, verdict_col)
+
+    # ----------------------------------------------------------- violations
+
+    @staticmethod
+    def violations(
+        validated: DataFrame,
+        id_cols: Iterable[str],
+        errors_col: str = "errors",
+        verdict_col: str = "verdict",
+    ) -> DataFrame:
+        """One row per (document, error): the violation-rows sink."""
+        err = F.explode(F.col(errors_col)).alias("error")
+        return (
+            validated.filter(~F.col(verdict_col))
+            .select(*[F.col(c) for c in id_cols], err)
+            .select(
+                *id_cols,
+                F.col("error.path").alias("path"),
+                F.col("error.keyword").alias("keyword"),
+                F.col("error.message").alias("message"),
+                F.col("error.expected").alias("expected"),
+                F.col("error.actual").alias("actual"),
+                F.col("error.depth").alias("depth"),
+            )
+        )
+
+    # ----------------------------------------------------- partition verdicts
+
+    @staticmethod
+    def partition_verdicts(
+        validated: DataFrame,
+        partition_cols: Iterable[str],
+        verdict_col: str = "verdict",
+        errors_col: str = "errors",
+    ) -> DataFrame:
+        """Per-partition pass/fail + counts (partial+final hash agg; the
+        only shuffle is on the partition keys)."""
+        partition_cols = list(partition_cols)
+        return validated.groupBy(*partition_cols).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(verdict_col).cast("long")).alias("n_valid"),
+            F.sum((~F.col(verdict_col)).cast("long")).alias("n_invalid"),
+            F.sum(F.size(errors_col)).alias("n_errors"),
+            (F.sum((~F.col(verdict_col)).cast("long")) == 0).alias("pass"),
+        )
+
+    @staticmethod
+    def top_violations_per_partition(
+        violations: DataFrame,
+        partition_cols: Iterable[str],
+        k: int,
+        order_col: str = "keyword",
+    ) -> DataFrame:
+        """Bound violation-row output at scale: top-k per partition via a
+        window (SURVEY.md §2.4 sorts/limits)."""
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*partition_cols).orderBy(F.col(order_col))
+        )
+        return (
+            violations.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )

@@ -1,0 +1,166 @@
+"""Columnar compiler tests: every keyword as Column expressions over typed
+DataFrames, cross-checked for row-level equivalence against the pure-Python
+kernel (the two modes must agree on (path, keyword) multisets)."""
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from schema_fantasy_spark.columnar import compile_columnar
+from schema_fantasy_spark.compiler.plan import SchemaCompileError, compile_schema
+from schema_fantasy_spark.engine import ValidationEngine
+
+TYPED_SCHEMA = T.StructType([
+    T.StructField("rid", T.LongType()),
+    T.StructField("s", T.StringType()),
+    T.StructField("n", T.DoubleType()),
+    T.StructField("i", T.LongType()),
+    T.StructField("b", T.BooleanType()),
+    T.StructField("arr", T.ArrayType(T.LongType())),
+    T.StructField("tup", T.ArrayType(T.StringType())),
+    T.StructField("obj", T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.StringType()),
+    ])),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+])
+
+#: exercises all 23 keywords against the typed table
+FULL_SCHEMA = {
+    "type": "object",
+    "required": ["rid", "s"],
+    "minProperties": 2,
+    "maxProperties": 9,
+    "properties": {
+        "s": {"type": "string", "minLength": 2, "maxLength": 8, "pattern": "^[a-z]"},
+        "n": {"type": "number", "minimum": 0.5, "maximum": 100,
+              "multipleOf": 0.25},
+        "i": {"type": "integer", "minimum": 0, "exclusiveMinimum": True,
+              "multipleOf": 3, "enum": [3, 6, 9, 12, 15, 18, 21]},
+        "b": {"type": "boolean"},
+        "arr": {"items": {"type": "integer", "minimum": 0},
+                "minItems": 1, "maxItems": 4, "uniqueItems": True},
+        "tup": {"items": [{"minLength": 2}, {"pattern": "^z"}],
+                "additionalItems": {"maxLength": 3}},
+        "obj": {"properties": {"x": {"minimum": 10}, "y": {"enum": ["a", "b"]}},
+                "required": ["x"],
+                "dependencies": {"y": ["x"]}},
+        "m": {"minProperties": 1, "maxProperties": 3,
+              "patternProperties": {"^k": {"maxLength": 2}}},
+    },
+    "allOf": [{"properties": {"i": {"maximum": 50}}}],
+    "anyOf": [{"properties": {"n": {"minimum": 1}}},
+              {"properties": {"s": {"minLength": 3}}}],
+    "oneOf": [{"properties": {"i": {"maximum": 9}}},
+              {"properties": {"i": {"minimum": 7}}}],
+    "not": {"properties": {"s": {"enum": ["forbidden"]}}},
+}
+
+
+def _mk_rows():
+    rows = []
+    for rid in range(120):
+        s = ["ab", "a", "toolongstring", "forbidden", "Xcaps", None][rid % 6]
+        n = [1.0, 0.3, 1.13, 250.0, None][rid % 5]
+        i = [3, 4, 7, 9, 21, 55, -3, None][rid % 8]
+        b = [True, None][rid % 2]
+        arr = [[1, 2], [], [1, 1], [-5, 3], [1, 2, 3, 4, 5], None][rid % 6]
+        tup = [["ab", "zx"], ["a", "nz", "toolong"], [], None][rid % 4]
+        obj = [Row(x=15, y="a"), Row(x=5, y="c"), Row(x=None, y="a"), None][rid % 4]
+        m = [{"k1": "ab"}, {"k1": "toolong", "other": "v"}, {}, None][rid % 4]
+        rows.append((rid, s, n, i, b, arr, tup, obj, m))
+    return rows
+
+
+def _row_to_json_value(row: dict):
+    """NULL ≡ absent; structs -> dicts (dropping null fields); rest as-is."""
+    def conv(v):
+        if isinstance(v, Row):
+            v = v.asDict()
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    return {k: conv(v) for k, v in row.items() if v is not None}
+
+
+def test_columnar_matches_python_kernel(spark):
+    df = spark.createDataFrame(_mk_rows(), TYPED_SCHEMA)
+    plan = compile_columnar(FULL_SCHEMA)
+    got = {
+        r["rid"]: sorted(("/".join(e["path"]), e["keyword"], e["depth"]) for e in r["errors"])
+        for r in plan.apply(df).select("rid", "errors").collect()
+    }
+    kernel = compile_schema(FULL_SCHEMA)
+    mismatches = []
+    for raw in df.collect():
+        d = raw.asDict(recursive=False)
+        rid = d.pop("rid")
+        value = _row_to_json_value(d)
+        value["rid"] = rid
+        want = sorted(
+            ("/".join(str(p) for p in e.vpath), e.keyword, depth)
+            for err in kernel.validate(value)
+            for e, depth in [(x, dp) for x, dp in err.flatten()]
+        )
+        if got[rid] != want:
+            mismatches.append((rid, value, got[rid], want))
+    assert not mismatches, f"{len(mismatches)} rows disagree; first: {mismatches[0]}"
+
+
+def test_columnar_rejects_recursive_schema():
+    rec = {"definitions": {"node": {"properties": {"kid": {"$ref": "#/definitions/node"}}}},
+           "$ref": "#/definitions/node"}
+    with pytest.raises(SchemaCompileError):
+        compile_columnar(rec)
+
+
+def test_columnar_accumulates_all_errors(spark):
+    df = spark.createDataFrame([("zz",)], "s: string")
+    plan = compile_columnar(
+        {"properties": {"s": {"minLength": 5, "pattern": "^a", "enum": ["q"]}}}
+    )
+    errs = plan.apply(df).select("errors").collect()[0][0]
+    assert sorted(e["keyword"] for e in errs) == ["enum", "minLength", "pattern"]
+
+
+def test_columnar_additional_properties_static(spark):
+    df = spark.createDataFrame([(1, "x")], "a: long, extra: string")
+    plan = compile_columnar({"properties": {"a": {}}, "additionalProperties": False})
+    errs = plan.apply(df).select("errors").collect()[0][0]
+    assert len(errs) == 1
+    assert errs[0]["message"] == "additional property found: extra"
+
+
+def test_violations_and_partition_verdicts(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", "g1"), (2, None, "g1"), (3, "ok", "g2")], "id: long, v: string, g: string"
+    )
+    eng = ValidationEngine({"required": ["v"]})
+    validated = eng.apply(df)
+    viol = ValidationEngine.violations(validated, ["id"])
+    assert [r["id"] for r in viol.collect()] == [2]
+    pv = {r["g"]: (r["n_invalid"], r["pass"]) for r in
+          ValidationEngine.partition_verdicts(validated, ["g"]).collect()}
+    assert pv == {"g1": (1, False), "g2": (0, True)}
+
+
+def test_whole_stage_codegen_in_plan(spark):
+    """The columnar path must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes, and codegen must cover the project."""
+    df = spark.createDataFrame([("a", 1.0)], "s: string, n: double")
+    plan = compile_columnar(
+        {"required": ["s"], "properties": {"s": {"minLength": 2}, "n": {"minimum": 0}}}
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.apply(df).explain("formatted")
+    explained = buf.getvalue()
+    assert "EvalPython" not in explained
+    assert "codegen id" in explained  # whole-stage codegen covers the project
