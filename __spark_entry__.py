@@ -170,6 +170,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type", "event_id", "value", "rn")
         )
 
+    # ---- training-data pipeline ops (dedup / similarity / text analysis)
+
+    def exact_dedup_documents(spark, sf):
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents")
+        groups = dedup.exact_duplicates(docs)
+        return groups.select(
+            "digest", "n_copies", F.array_join("ids", ",").alias("ids")
+        )
+
+    def jaccard_pairs_documents(spark, sf):
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents")
+        ids = docs.select("doc_id")
+        pairs = (
+            ids.select(F.col("doc_id").alias("id_a"))
+            .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        return dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.06)
+
+    def minhash_near_dup_documents(spark, sf):
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents")
+        return dedup.minhash_near_duplicates(docs, threshold=0.06)
+
+    def simhash_near_dup_documents(spark, sf):
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents")
+        return dedup.simhash_near_duplicates(docs, max_hamming=3).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    def token_counts_documents(spark, sf):
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.bpeish_token_count(F.col("text")).alias("n_bpeish"),
+        )
+
+    def quality_scores_documents(spark, sf):
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents")
+        return tx.quality_score(docs, "text").select(
+            "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+            "stopword_ratio", "distinct_token_ratio", "quality_score",
+        )
+
+    def lang_id_documents(spark, sf):
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents")
+        return tx.lang_id(docs).select("doc_id", "lang_pred")
+
+    def fingerprint_documents(spark, sf):
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents")
+        return tx.fingerprint(docs).select("doc_id", "fingerprint")
+
+    def cosine_topk_embeddings(spark, sf):
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return sim.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, 10)
+
+    def ann_lsh_topk_embeddings(spark, sf):
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        return sim.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, 10)
+
+    def near_dup_embeddings(spark, sf):
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        return sim.near_duplicates_by_embedding(emb, threshold=0.5)
+
     return {
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
@@ -184,6 +272,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_n_chars_drift": ks_n_chars_drift,
         "agg_pricing_summary": agg_pricing_summary,
         "topk_events_per_type": topk_events_per_type,
+        "exact_dedup_documents": exact_dedup_documents,
+        "jaccard_pairs_documents": jaccard_pairs_documents,
+        "minhash_near_dup_documents": minhash_near_dup_documents,
+        "simhash_near_dup_documents": simhash_near_dup_documents,
+        "token_counts_documents": token_counts_documents,
+        "quality_scores_documents": quality_scores_documents,
+        "lang_id_documents": lang_id_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "near_dup_embeddings": near_dup_embeddings,
     }
 
 
@@ -356,6 +455,112 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, event_id, value, rn FROM ranked WHERE rn <= 3
     """
 
+    exact_dedup = """
+    SELECT md5(text) AS digest, count(*) AS n_copies,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids
+      FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """
+
+    # trigram word-shingle sets, exactly mirroring ops.dedup.shingles_col
+    _shingle_cte = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+                FROM documents))
+    """
+
+    jaccard_pairs = _shingle_cte + r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh)) AS n_inter,
+           len(list_distinct(list_concat(a.sh, b.sh))) AS n_union,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+             AS jaccard
+      FROM t a, t b
+     WHERE a.doc_id < b.doc_id
+       AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.06
+    """
+
+    token_counts = r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_bpeish
+      FROM documents
+    """
+
+    _stop = "'the','and','of','to','is','in','that','it','was','for','a','an','as','at','by','or','be'"
+    quality = rf"""
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+        FROM documents),
+         g AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             round(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1), 4)
+               AS mean_token_len,
+             round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+             round(CAST(len(list_filter(toks, x -> x IN ({_stop}))) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS stopword_ratio,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6)
+               AS distinct_token_ratio
+        FROM f)
+    SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+           distinct_token_ratio,
+           round(least(n_tokens / 20.0, 1.0) * distinct_token_ratio
+                 * greatest(0.0, 1.0 - punct_ratio * 4), 6) AS quality_score
+      FROM g
+    """
+
+    _markers = {
+        "de": "'der','die','das','und','ist','nicht','ein','mit','auf','für'",
+        "en": "'the','and','of','to','is','in','that','it','was','for'",
+        "es": "'el','la','los','de','que','es','en','un','por','con'",
+        "fr": "'le','la','les','et','est','pas','une','dans','que','pour'",
+        "ru": "'и','в','не','на','что','это','с','как','по','но'",
+        "zh": "'的','是','在','了','我','有','和','不','这','人'",
+    }
+    _score_cols = ",\n".join(
+        f"len(list_intersect(toks, [{v}])) AS s_{k}" for k, v in _markers.items()
+    )
+    _case = "\n".join(f"WHEN s_{k} = g THEN '{k}'" for k in _markers)
+    lang_id = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS toks
+        FROM documents),
+         s AS (SELECT doc_id, {_score_cols} FROM t),
+         m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_ru, s_zh) AS g FROM s)
+    SELECT doc_id, CASE WHEN g = 0 THEN 'und' {_case} END AS lang_pred FROM m
+    """
+
+    cosine_topk_sql = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             5) AS cosine_sim
+      FROM embeddings e, q
+     WHERE e.vec_id <> 0
+     ORDER BY cosine_sim DESC, vec_id ASC
+     LIMIT 10
+    """
+
     return {
         "flagship_validation": flagship,
         "combinator_validation": combinator,
@@ -370,4 +575,14 @@ def oracle_sql() -> dict[str, str]:
         "ks_n_chars_drift": ks,
         "agg_pricing_summary": pricing,
         "topk_events_per_type": topk,
+        "exact_dedup_documents": exact_dedup,
+        "jaccard_pairs_documents": jaccard_pairs,
+        "token_counts_documents": token_counts,
+        "quality_scores_documents": quality,
+        "lang_id_documents": lang_id,
+        "cosine_topk_embeddings": cosine_topk_sql,
+        # minhash_near_dup_documents, simhash_near_dup_documents,
+        # fingerprint_documents, ann_lsh_topk_embeddings, near_dup_embeddings:
+        # xxhash64/RP-LSH are Spark-specific -> rows-only driver check;
+        # pytest asserts them against brute-force ground truth instead.
     }

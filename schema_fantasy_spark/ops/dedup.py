@@ -1,0 +1,278 @@
+"""Deduplication operators over a documents table.
+
+All of these run entirely JVM-side (higher-order functions + hash
+built-ins — zero Python in the data path) and are shaped for 100 TB:
+
+* exact        — hash-groupBy on a content digest (one shuffle of digests,
+                 never of full texts).
+* MinHash+LSH  — shingle -> k minhashes -> b bands -> bucket join.
+                 Candidate generation shuffles only (band_hash, id) pairs;
+                 the quadratic blowup is confined to same-bucket groups.
+* SimHash      — 64-bit signed-bit-aggregate fingerprint; near-dup
+                 candidates via 16-bit chunk banding (Hamming<=3 guarantee).
+* n-gram Jaccard — exact verification on candidate pairs only.
+* embedding cosine — see ops/similarity.py (near_duplicates_by_embedding).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------- tokenizing
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, lowercased, empty-safe."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (JVM-side: sequence + slice + concat)."""
+    toks = tokens_col(text)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: digest, group size, member ids.
+
+    Only (digest, id) pairs shuffle — at 10^12 docs the full text never
+    moves. md5 keeps the digest oracle-comparable; swap for xxhash64 when
+    cross-engine parity is not needed.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def distinct_by_content(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per distinct content — the actual
+    dedup transform. Window-free: groupBy digest + semi-join back."""
+    keep = (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42) -> Column:
+    """k-permutation MinHash signature as array<long>: for each seed i,
+    min over shingles of xxhash64(shingle, i). One pass over the shingle
+    array per row, all codegen."""
+    sh = shingles_col(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:long>> — hash each band's slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                )),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
+
+    Scale shape: explode to (band, bucket, id) — a narrow table — then
+    self-join per bucket. Buckets are tiny for honest thresholds, so the
+    join output stays near-linear; a groupBy-size guard drops degenerate
+    buckets (>64 members) the way production LSH dedup pipelines cap
+    bucket fanout.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    banded = (
+        df.select(F.col(id_col), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    sized = banded.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n")
+    ).filter((F.col("n") > 1) & (F.col("n") <= 64))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")).distinct()
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for given (id_a, id_b) pairs —
+    verification stage after LSH candidate generation."""
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / F.greatest(F.col("n_union"), F.lit(1)), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_union", "jaccard"
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
+    n = lsh_kw.get("shingle_n", 3)
+    return jaccard_pairs(df, cands, text_col, id_col, n, threshold)
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens, entirely with higher-order
+    functions: per token, xxhash64 bits vote +1/-1 per position; the
+    signature takes the sign of each accumulated position."""
+    toks = tokens_col(text)
+    # per-token bit-vote arrays (bit positions unrolled: shiftright needs a
+    # literal count), then one zip_with-sum aggregate over tokens
+    def bit_votes(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for j in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        F.transform(toks, bit_votes),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
+    )
+    # fold sign bits into a long (bit 63 omitted -> positive 63-bit
+    # fingerprint); positions unrolled for the same literal-shift reason
+    out = F.lit(0).cast("long")
+    for j in range(63):
+        out = out + F.when(
+            F.element_at(votes, j + 1) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit chunk of the SimHash in any of 4
+    positions (pigeonhole: catches all pairs with Hamming distance <= 3)."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    # chunk positions are compile-time constants: unroll (shiftright needs
+    # a literal bit count)
+    chunks = sh.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "sim", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "val")
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    return simhash_candidates(df, text_col, id_col).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: one broadcast of the
+  query vector, one pass, JVM-side dot product via zip_with/aggregate,
+  top-k by a single ORDER BY LIMIT (Spark executes TakeOrderedAndProject —
+  no full sort, no shuffle of vectors).
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (deterministic from a seed), candidates share a signature prefix in any
+  of several bands; rerank candidates exactly. At 10^12 vectors the
+  bucket join shuffles only (bucket, id) pairs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    ``round_to`` stabilizes cross-engine float comparison; ties broken by
+    id for full determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sims = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_to).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplane(dim: int, seed: int, plane: int) -> List[float]:
+    """Deterministic pseudo-random unit-free hyperplane: components from a
+    splitmix-style integer hash mapped to [-1, 1). Reproducible everywhere,
+    no RNG state."""
+    comps = []
+    for d in range(dim):
+        x = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
+        x ^= x >> 27
+        comps.append((x / float(1 << 64)) * 2.0 - 1.0)
+    return comps
+
+
+def rp_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) bit signature as int: bit p
+    = sign(vec . hyperplane_p)."""
+    bits = []
+    for p in range(n_planes):
+        h = _hyperplane(dim, seed, p)
+        plane = F.array(*[F.lit(c) for c in h])
+        bits.append(
+            F.when(dot(vec.cast("array<double>"), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any signature band
+    with the query; exact cosine rerank on candidates only.
+
+    Recall/cost dial: more bands -> higher recall, more candidates.
+    """
+    dim = len(query_vec)
+    bits_per_band = n_planes // bands
+    sig = rp_signature(F.col(vec_col), dim, n_planes, seed)
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+
+    # query signature computed driver-side with identical arithmetic
+    qsig = 0
+    for p in range(n_planes):
+        h = _hyperplane(dim, seed, p)
+        if sum(a * b for a, b in zip(query_vec, h)) >= 0:
+            qsig |= 1 << p
+    mask = (1 << bits_per_band) - 1
+    band_match = None
+    for b in range(bands):
+        qband = (qsig >> (b * bits_per_band)) & mask
+        cond = (
+            F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            == qband
+        )
+        band_match = cond if band_match is None else (band_match | cond)
+    candidates = with_sig.filter(band_match)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sims = candidates.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), round_to).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def near_duplicates_by_embedding(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 5,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: RP-LSH banding for candidates,
+    exact cosine verification >= threshold. Shuffles (band, bucket, id)."""
+    dim_probe = None  # signature needs dim; take it from the first row lazily
+    # Spark-side: compute signature per row (dim from array size is not
+    # expressible for the hyperplane constants, so dim must be known)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine_sim double"
+        )
+    dim = first[0]["d"]
+    bits_per_band = n_planes // bands
+    sig = rp_signature(F.col(vec_col), dim, n_planes, seed)
+    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    # band positions are compile-time constants: unroll (shiftright needs
+    # a literal bit count)
+    banded = with_sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * bits_per_band)
+                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
+            round_to,
+        ).alias("cosine_sim"),
+    )
+    return out.filter(F.col("cosine_sim") >= threshold)

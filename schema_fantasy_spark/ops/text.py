@@ -1,0 +1,134 @@
+"""Text analysis operators for training-data pipelines — all native
+Column expressions (regex, HOFs, hashes); no Python in the data path.
+
+* token counting      — whitespace tokens + a BPE-ish subword estimate
+* quality scoring     — length / punctuation / stopword / repetition ratios
+* language ID         — marker-stopword n-gram heuristic, argmax per row
+* fingerprinting      — rolling-hash (character-shingle min-hash) document
+                        fingerprint for fast copy detection
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from schema_fantasy_spark.ops.dedup import tokens_col
+
+# compact marker sets per language (function words; heuristic, documented)
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "por", "con"],
+    "ru": ["и", "в", "не", "на", "что", "это", "с", "как", "по", "но"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "不", "这", "人"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "or", "be"]
+
+#: BPE-ish token estimate: word pieces + digits + punctuation runs — a
+#: cheap regex proxy for subword tokenizers (counts matches, no Python)
+_BPEISH = r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpeish_token_count(text: Column) -> Column:
+    """Subword-ish token estimate via regex match count (regexp_count is
+    codegen'd; ~chars/3.5 for English)."""
+    return F.regexp_count(text, F.lit(_BPEISH))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns (each a single-pass expression)."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.round((n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.regexp_count(t, F.lit(r"[^\w\s]")) / F.greatest(n_chars, F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.size(F.filter(toks, lambda x: x.isin(STOPWORDS_EN)))
+                / F.greatest(n_tok, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "distinct_token_ratio",
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: length sweet-spot x lexical diversity
+    x (1 - excess punctuation). A deterministic, documented heuristic —
+    the shape (bounded per-signal terms, multiplicative) mirrors common
+    web-text quality filters."""
+    feat = quality_features(df, text_col)
+    len_term = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    div_term = F.col("distinct_token_ratio")
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4)
+    return feat.withColumn(
+        "quality_score", F.round(len_term * div_term * punct_term, 6)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: per language, count distinct marker hits in
+    the token set; argmax (ties resolved by language-code order). Rows with
+    zero hits get 'und'. Pure Column algebra: one filter/size per language
+    over the shared token array (subexpression-eliminated by Catalyst)."""
+    toks = F.array_distinct(tokens_col(F.col(text_col)))
+    scores = [
+        (code, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    pred = F.lit("und")
+    # first language (code order) achieving the max, if max > 0
+    expr = None
+    for code, s in scores:
+        cond = s == best
+        expr = F.when(cond, code) if expr is None else expr.when(cond, code)
+    pred = F.when(best > 0, expr).otherwise(F.lit("und"))
+    out = df.withColumn(out_col, pred)
+    return out
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    ``gram``-shingles (min-hash winnowing, resilient to local edits).
+    substr with column offsets via SQL expr — still whole-stage codegen."""
+    shingle_hashes = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)),"
+        f" i -> xxhash64(substr({text_col}, i, {gram})))"
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), None).otherwise(F.array_min(shingle_hashes)),
+    )
