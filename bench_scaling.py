@@ -37,7 +37,9 @@ spark = get_spark(app_name=f"sfs-scaling-{cores}", cores=cores,
 spark.sparkContext.setLogLevel("ERROR")
 pdf = spark.read.parquet(path)
 eng = ValidationEngine(PAGES_SCHEMA)
-eng.apply(pdf.limit(50000)).agg(F.sum(F.col("verdict").cast("long"))).collect()
+# full-size untimed warm-up: JIT-compiles the whole codegen path and warms
+# the OS page cache, so timed runs measure steady-state throughput
+eng.apply(pdf).agg(F.sum(F.col("verdict").cast("long"))).collect()
 times = []
 for _ in range(runs):
     t0 = time.time()
@@ -70,16 +72,22 @@ def materialize(rows: int) -> str:
 
 
 def run_level(cores: int, path: str, runs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"here": HERE}, str(cores), path, str(runs)],
-        check=True, capture_output=True, text=True,
-    )
+    """One JVM per level, CPU-pinned with taskset so local[N] really has N
+    cores (otherwise GC/IO threads of the 'small cluster' borrow idle cores
+    and overstate throughput(N), understating scaling efficiency)."""
+    cmd = [sys.executable, "-c", WORKER % {"here": HERE}, str(cores), path, str(runs)]
+    try:
+        subprocess.run(["taskset", "-c", "0", "true"], check=True, capture_output=True)
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        print("taskset unavailable; running unpinned", file=sys.stderr)
+    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--rows", type=int, default=16_000_000)
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
