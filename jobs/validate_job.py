@@ -1,0 +1,83 @@
+"""spark-submit entry point: validate a pages table, resumably.
+
+    /opt/spark/bin/spark-submit --master local[8] \
+        --py-files dist/schema_fantasy_spark.zip \
+        jobs/validate_job.py \
+        --input /path/to/pages_parquet_or_iceberg_identifier \
+        --schema-file schemas/pages.json \
+        --manifest-dir /out/manifest --violations-dir /out/violations \
+        --partition-col day
+
+On a real cluster, swap --master for the cluster master and add the
+Iceberg --packages/--conf lines from sources/iceberg.py. The job is
+idempotent: rerunning after any failure resumes from the manifest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or iceberg identifier")
+    ap.add_argument("--schema-file", default=None, help="JSON-Schema file; default: built-in pages schema")
+    ap.add_argument("--manifest-dir", required=True)
+    ap.add_argument("--violations-dir", default=None)
+    ap.add_argument("--partition-col", default="day")
+    ap.add_argument("--id-cols", default="url")
+    ap.add_argument("--derive-day-from", default=None,
+                    help="timestamp column to derive a 'day' partition column from")
+    ap.add_argument("--host-verdicts-out", default=None,
+                    help="also write per-host verdicts (salted agg) to this path")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from schema_fantasy_spark.engine import ValidationEngine
+    from schema_fantasy_spark.manifest import ResumableValidationRun
+    from schema_fantasy_spark.scale import per_host_verdicts
+    from schema_fantasy_spark.sources.iceberg import read_pages
+    from schema_fantasy_spark.sources.pages import PAGES_SCHEMA
+
+    # spark-submit provides master/conf; AQE + Arrow settings may also be
+    # passed via --conf. getOrCreate attaches to the submitted session.
+    spark = SparkSession.builder.appName("sfs-validate").getOrCreate()
+
+    if args.schema_file:
+        with open(args.schema_file) as f:
+            schema = json.load(f)
+    else:
+        schema = PAGES_SCHEMA
+
+    df = read_pages(spark, args.input)
+    if args.derive_day_from:
+        df = df.withColumn(args.partition_col, F.to_date(F.col(args.derive_day_from)))
+
+    engine = ValidationEngine(schema)
+    run = ResumableValidationRun(
+        engine,
+        manifest_dir=args.manifest_dir,
+        partition_col=args.partition_col,
+        violations_dir=args.violations_dir,
+        id_cols=tuple(args.id_cols.split(",")),
+    )
+    result = run.run(df)
+
+    if args.host_verdicts_out:
+        validated = engine.apply(df)
+        per_host_verdicts(validated).write.mode("overwrite").parquet(args.host_verdicts_out)
+
+    print(json.dumps({
+        "processed": result.processed,
+        "skipped": result.skipped,
+        **result.summary,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""Skew machinery tests: salted two-phase aggregation must be EXACTLY
+equivalent to the plain groupBy, and per-host verdicts must match the
+unsalted computation on the Zipf-skewed pages table."""
+
+import pyspark.sql.functions as F
+
+from schema_fantasy_spark import scale
+from schema_fantasy_spark.engine import ValidationEngine
+from schema_fantasy_spark.sources.pages import PAGES_SCHEMA, pages
+
+
+def test_salted_count_exact(spark):
+    df = pages(spark, 5000)
+    plain = {
+        r["host"]: r["n"]
+        for r in df.groupBy(scale.host_of(F.col("url")).alias("host"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["host"]: r["n"]
+        for r in scale.salted_count(
+            df.withColumn("host", scale.host_of(F.col("url"))),
+            ["host"],
+            F.col("url"),
+            buckets=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_exact(spark):
+    df = pages(spark, 3000).withColumn("host", scale.host_of(F.col("url")))
+    plain = {
+        r["host"]: (r["n"], r["mx"], r["mn"])
+        for r in df.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("text")).alias("mx"),
+            F.min(F.length("text")).alias("mn"),
+        )
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n"], r["mx"], r["mn"])
+        for r in scale.salted_agg(
+            df,
+            ["host"],
+            F.col("url"),
+            {
+                "n": (F.lit(1), "count"),
+                "mx": (F.length("text"), "max"),
+                "mn": (F.length("text"), "min"),
+            },
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_per_host_verdicts_matches_plain(spark):
+    validated = ValidationEngine(PAGES_SCHEMA).apply(pages(spark, 4000))
+    plain = {
+        r["host"]: (r["n_rows"], r["n_invalid"])
+        for r in validated.groupBy(scale.host_of(F.col("url")).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
+        )
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n_rows"], r["n_invalid"])
+        for r in scale.per_host_verdicts(validated).collect()
+    }
+    assert salted == plain
+    # the generator really is skewed: hottest host >> median host
+    counts = sorted((n for n, _ in plain.values()), reverse=True)
+    assert counts[0] > 10 * counts[len(counts) // 2]
+
+
+def test_host_of_and_bad_urls(spark):
+    df = spark.createDataFrame(
+        [("https://a.example.com/x",), ("notaurl:77",)], "url: string"
+    )
+    got = [r["h"] for r in df.select(scale.host_of(F.col("url")).alias("h")).collect()]
+    assert got[0] == "a.example.com"
+    assert got[1] is None  # malformed url -> NULL host, lands in null group
+
+
+def test_prune_days_pushdown(spark, tmp_path):
+    import contextlib
+    import io
+
+    src = str(tmp_path / "p")
+    pages(spark, 2000).write.parquet(src)
+    df = scale.prune_days(spark.read.parquet(src), "warc_ts", "2026-01-02", "2026-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "warc_ts" in plan.split("PushedFilters")[1][:200]
+    n = df.count()
+    assert 0 < n < 2000
