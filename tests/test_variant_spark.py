@@ -1,0 +1,60 @@
+"""Variant-mode conformance: the JVM-side dynamic validator must agree
+with the fixtures (and therefore with the UDF kernel) on every case."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_fantasy_spark.variant import compile_variant
+from tests.conftest import load_fixture_cases
+
+_BY_FEATURE = {}
+for g, feat, case, schema, refs, data, valid in load_fixture_cases():
+    _BY_FEATURE.setdefault((g, feat), {"schema": schema, "refs": refs, "cases": []})
+    _BY_FEATURE[(g, feat)]["cases"].append((case, data, valid))
+
+FEATURES = sorted(_BY_FEATURE.items(), key=lambda kv: kv[0])
+IDS = [f"{g}:{feat}" for (g, feat), _ in FEATURES]
+
+
+@pytest.mark.parametrize("key,feature", FEATURES, ids=IDS)
+def test_variant_conformance(spark, key, feature):
+    rows = [(c, json.dumps(d), v) for c, d, v in feature["cases"]]
+    df = spark.createDataFrame(rows, "c: string, doc: string, want: boolean")
+    plan = compile_variant(feature["schema"], refs=feature["refs"])
+    bad = df.transform(lambda d: plan.apply(d, "doc")).filter(
+        F.col("verdict") != F.col("want")
+    ).select("c", "want", F.to_json("errors").alias("e")).collect()
+    assert not bad, f"{key}: {[(r['c'], r['want'], r['e']) for r in bad]}"
+
+
+def test_recursion_unrolls_and_truncates(spark):
+    rec = {
+        "definitions": {"node": {"properties": {"kid": {"$ref": "#/definitions/node"},
+                                                "v": {"type": "integer"}}}},
+        "$ref": "#/definitions/node",
+    }
+    plan = compile_variant(rec, max_depth=3)
+    assert plan.warning.truncated_paths  # truncation recorded
+    doc_ok = {"v": 1, "kid": {"v": 2, "kid": {"v": 3}}}
+    doc_bad = {"v": 1, "kid": {"v": "x"}}
+    deep_bad = {"kid": {"kid": {"kid": {"kid": {"v": "x"}}}}}  # beyond depth
+    df = spark.createDataFrame(
+        [(json.dumps(doc_ok),), (json.dumps(doc_bad),), (json.dumps(deep_bad),)],
+        "doc: string",
+    )
+    got = [r["verdict"] for r in plan.apply(df, "doc").collect()]
+    assert got == [True, False, True]  # deep violation vacuously passes (documented)
+
+
+def test_variant_agrees_with_udf_on_events(spark):
+    from schema_fantasy_spark.dynamic import validate_json
+    from __spark_entry__ import PROPS_SCHEMA
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v = compile_variant(PROPS_SCHEMA).apply(ev, "props")
+    u = validate_json(ev, "props", PROPS_SCHEMA)
+    va = {(r["event_id"], r["verdict"]) for r in v.select("event_id", "verdict").collect()}
+    ua = {(r["event_id"], r["verdict"]) for r in u.select("event_id", "verdict").collect()}
+    assert va == ua
