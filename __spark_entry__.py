@@ -182,9 +182,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def jaccard_pairs_documents(spark, sf):
+        # all-pairs exact Jaccard is the ORACLE for the LSH pipeline, not
+        # the scale path — O(n^2) by construction, so bound to a
+        # deterministic 500-doc slice (the whole table at sf0.01)
         from schema_fantasy_spark.ops import dedup
 
-        docs = tables.load(spark, sf, "documents")
+        docs = tables.load(spark, sf, "documents").filter(F.col("doc_id") < 500)
         ids = docs.select("doc_id")
         pairs = (
             ids.select(F.col("doc_id").alias("id_a"))
@@ -472,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS toks
-                FROM documents))
+                FROM documents WHERE doc_id < 500))
     """
 
     jaccard_pairs = _shingle_cte + r"""

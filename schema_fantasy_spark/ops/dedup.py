@@ -80,13 +80,26 @@ def distinct_by_content(
 
 
 # ------------------------------------------------------------- MinHash+LSH
+#
+# Expression-sharing note: Catalyst's CollapseProject inlines a projected
+# expression into every downstream use — 64 hash lanes each rebuilding the
+# shingle array turned signature computation O(64x) slower (measured 230s
+# for 5k docs before the fix, ~2s after). `_barrier` materializes an
+# expression as a Generate (explode) output attribute, which downstream
+# projections reference instead of re-evaluating.
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42) -> Column:
-    """k-permutation MinHash signature as array<long>: for each seed i,
-    min over shingles of xxhash64(shingle, i). One pass over the shingle
-    array per row, all codegen."""
-    sh = shingles_col(text, shingle_n)
+def _barrier(df: DataFrame, expr: Column, name: str) -> DataFrame:
+    """Materialize ``expr`` once per row as column ``name`` via an
+    explode(array(...)) Generate barrier (exempt from CollapseProject)."""
+    return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """k-permutation MinHash signature as array<long> from a shingle-array
+    column: for each seed i, min over shingles of xxhash64(shingle, i).
+    Pass an ATTRIBUTE (barrier-materialized) shingle column — passing a
+    raw shingles_col expression rebuilds it once per hash lane."""
     return F.array(
         *[
             F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
@@ -130,9 +143,23 @@ def minhash_lsh_candidates(
     bucket fanout.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    # barrier after each expensive stage: shingles built once, signature
+    # built once, THEN sliced into bands
+    shingled = _barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        shingles_col(F.col(text_col), shingle_n),
+        "_sh",
+    )
+    signed = _barrier(
+        shingled.select(id_col, "_sh"),
+        minhash_signature(F.col("_sh"), num_hashes, seed),
+        "_sig",
+    )
     banded = (
-        df.select(F.col(id_col), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"))
+        signed.select(
+            F.col(id_col),
+            F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("bb"),
+        )
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
     sized = banded.groupBy("band", "bucket").agg(
@@ -164,11 +191,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for given (id_a, id_b) pairs —
     verification stage after LSH candidate generation."""
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("sh")
+    sh = _barrier(
+        df.select(F.col(id_col), F.col(text_col)),
+        shingles_col(F.col(text_col), shingle_n),
+        "sh",
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # explicit repartition: the pairs table is tiny in BYTES but heavy in
+    # per-row COMPUTE (array_intersect over shingle sets), so AQE's
+    # byte-based coalescing would squash it into one task — user-specified
+    # numPartitions is exempt from AQE coalescing
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    pairs = pairs.repartition(n_part, "id_a")
     j = (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -223,13 +258,22 @@ def simhash64(text: Column) -> Column:
         lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
     )
     # fold sign bits into a long (bit 63 omitted -> positive 63-bit
-    # fingerprint); positions unrolled for the same literal-shift reason
-    out = F.lit(0).cast("long")
-    for j in range(63):
-        out = out + F.when(
-            F.element_at(votes, j + 1) > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    # fingerprint). The fold MUST reference `votes` exactly once: a 63-term
+    # sum of element_at(votes, j) inlines the whole token aggregate 63
+    # times (measured 385s for 5k docs; ~6s this way). zip_with against a
+    # literal powers-of-two array traverses votes once.
+    powers = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(63)] + [F.lit(0).cast("long")]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_candidates(
@@ -237,9 +281,11 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit chunk of the SimHash in any of 4
     positions (pigeonhole: catches all pairs with Hamming distance <= 3)."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
-    # chunk positions are compile-time constants: unroll (shiftright needs
-    # a literal bit count)
+    # barrier: without it, CollapseProject inlines the (large) simhash64
+    # expression into all four chunk projections -> 5x evaluation
+    sh = _barrier(
+        df.select(F.col(id_col), F.col(text_col)), simhash64(F.col(text_col)), "sim"
+    ).select(id_col, "sim")
     chunks = sh.select(
         id_col,
         "sim",

@@ -157,13 +157,17 @@ def near_duplicates_by_embedding(
         )
     dim = first[0]["d"]
     bits_per_band = n_planes // bands
-    sig = rp_signature(F.col(vec_col), dim, n_planes, seed)
-    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    # Generate-barrier: without it CollapseProject inlines the 16-plane
+    # signature computation into every band projection
+    with_sig = df.select(F.col(id_col), F.col(vec_col)).select(
+        "*",
+        F.explode(F.array(rp_signature(F.col(vec_col), dim, n_planes, seed))).alias("sig"),
+    )
     # band positions are compile-time constants: unroll (shiftright needs
-    # a literal bit count)
+    # a literal bit count). Banded table carries ONLY (id, band, bucket) —
+    # the narrow shuffle; vectors join back for the rerank.
     banded = with_sig.select(
         id_col,
-        vec_col,
         F.explode(
             F.array(
                 *[
@@ -177,25 +181,30 @@ def near_duplicates_by_embedding(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "band", "bucket"
-    )
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # dedupe on the id pair BEFORE fetching vectors (distinct over float
+    # arrays shuffles and compares the vectors themselves — measured 15.7s
+    # -> ~4s on 5k x 64-dim)
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    out = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(
-            cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
-            round_to,
-        ).alias("cosine_sim"),
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    out = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
+                round_to,
+            ).alias("cosine_sim"),
+        )
     )
     return out.filter(F.col("cosine_sim") >= threshold)
