@@ -50,20 +50,26 @@ def main() -> None:
     pdf = spark.read.parquet(pages_path)
 
     eng = ValidationEngine(PAGES_SCHEMA)
-    # warm-up (JIT, code cache)
-    eng.apply(pdf.limit(50000)).agg(F.sum(F.col("verdict").cast("long"))).collect()
+    # warm-up (JIT, code cache, page cache)
+    eng.apply(pdf).agg(F.sum(F.col("verdict").cast("long"))).collect()
 
-    t0 = time.time()
-    validated = eng.apply(pdf)
-    agg = validated.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
-        F.sum(F.size("errors")).alias("n_errors"),
-    ).collect()[0]
-    headline_sec = time.time() - t0
+    # median of 3 timed runs: steady-state throughput, not cache luck
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        validated = eng.apply(pdf)
+        agg = validated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
+            F.sum(F.size("errors")).alias("n_errors"),
+        ).collect()[0]
+        times.append(time.time() - t0)
+    times.sort()
+    headline_sec = times[1]
     docs_per_sec = agg["n"] / headline_sec
     log(f"headline: {agg['n']} docs, {agg['n_invalid']} invalid, "
-        f"{headline_sec:.2f}s -> {docs_per_sec:,.0f} docs/sec")
+        f"runs={['%.2f' % t for t in times]} median {headline_sec:.2f}s "
+        f"-> {docs_per_sec:,.0f} docs/sec")
 
     # ---- per-query wall clock at sf_dir
     qtimes = {}

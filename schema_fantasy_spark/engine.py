@@ -30,14 +30,23 @@ class ValidationEngine:
         refs: Optional[Dict[str, Any]] = None,
         mode: str = "columnar",
     ):
-        if mode not in ("columnar", "dynamic"):
+        """modes: 'columnar' (typed tables, the scale path), 'dynamic'
+        (JSON strings via Arrow-batched compiled kernel — the measured
+        default for dynamic docs), 'variant' (JSON strings via Spark 4
+        VariantType expressions, JVM-side; see variant.py for when it
+        wins)."""
+        if mode not in ("columnar", "dynamic", "variant"):
             raise ValueError(f"unknown mode {mode!r}")
         self.schema = schema
         self.refs = refs or {}
         self.mode = mode
-        self._plan: Optional[ColumnarPlan] = (
-            compile_columnar(schema, refs=self.refs) if mode == "columnar" else None
-        )
+        self._plan = None
+        if mode == "columnar":
+            self._plan = compile_columnar(schema, refs=self.refs)
+        elif mode == "variant":
+            from schema_fantasy_spark.variant import compile_variant
+
+            self._plan = compile_variant(schema, refs=self.refs)
 
     # ------------------------------------------------------------- validate
 
@@ -56,6 +65,10 @@ class ValidationEngine:
             return validate_json(
                 df, doc_col, self.schema, self.refs, errors_col, verdict_col
             )
+        if self.mode == "variant":
+            if doc_col is None:
+                raise ValueError("variant mode needs doc_col (a JSON-string column)")
+            return self._plan.apply(df, doc_col, errors_col, verdict_col)
         return self._plan.apply(df, errors_col, verdict_col)
 
     # ----------------------------------------------------------- violations
