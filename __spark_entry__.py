@@ -172,6 +172,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data pipeline ops (dedup / similarity / text analysis)
 
+    def error_breakdown_documents(spark, sf):
+        docs = tables.load(spark, sf, "documents")
+        v = ValidationEngine(DOCUMENTS_SCHEMA).apply(docs)
+        return ValidationEngine.error_breakdown(v)
+
     def exact_dedup_documents(spark, sf):
         from schema_fantasy_spark.ops import dedup
 
@@ -275,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_n_chars_drift": ks_n_chars_drift,
         "agg_pricing_summary": agg_pricing_summary,
         "topk_events_per_type": topk_events_per_type,
+        "error_breakdown_documents": error_breakdown_documents,
         "exact_dedup_documents": exact_dedup_documents,
         "jaccard_pairs_documents": jaccard_pairs_documents,
         "minhash_near_dup_documents": minhash_near_dup_documents,
@@ -458,6 +464,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, event_id, value, rn FROM ranked WHERE rn <= 3
     """
 
+    error_breakdown = f"""
+    WITH v AS (
+      SELECT 'text' AS path, 'minLength' AS keyword FROM documents
+       WHERE text IS NOT NULL AND length(text) < 60
+      UNION ALL SELECT 'lang', 'enum' FROM documents
+       WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+      UNION ALL SELECT 'n_chars', 'minimum' FROM documents
+       WHERE n_chars IS NOT NULL AND n_chars < 50
+      UNION ALL SELECT 'n_chars', 'maximum' FROM documents
+       WHERE n_chars IS NOT NULL AND n_chars > 500
+      UNION ALL SELECT 'source', 'pattern' FROM documents
+       WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+      UNION ALL SELECT '', 'required' FROM documents WHERE doc_id IS NULL
+      UNION ALL SELECT '', 'required' FROM documents WHERE text IS NULL
+      UNION ALL SELECT '', 'required' FROM documents WHERE lang IS NULL)
+    SELECT keyword, path, count(*) AS n_violations FROM v GROUP BY keyword, path
+    """
+
     exact_dedup = """
     SELECT md5(text) AS digest, count(*) AS n_copies,
            array_to_string(list_sort(list(doc_id)), ',') AS ids
@@ -578,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_n_chars_drift": ks,
         "agg_pricing_summary": pricing,
         "topk_events_per_type": topk,
+        "error_breakdown_documents": error_breakdown,
         "exact_dedup_documents": exact_dedup,
         "jaccard_pairs_documents": jaccard_pairs,
         "token_counts_documents": token_counts,

@@ -117,6 +117,28 @@ class ValidationEngine:
         )
 
     @staticmethod
+    def error_breakdown(
+        validated: DataFrame,
+        group_cols: Iterable[str] = (),
+        errors_col: str = "errors",
+    ) -> DataFrame:
+        """Violation counts per (group, keyword, path) — the monitoring
+        rollup. Exploding only the (tiny) errors arrays of failing rows;
+        valid rows contribute nothing to the shuffle."""
+        group_cols = list(group_cols)
+        err = F.explode(F.col(errors_col)).alias("error")
+        return (
+            validated.filter(F.size(F.col(errors_col)) > 0)
+            .select(*group_cols, err)
+            .groupBy(
+                *group_cols,
+                F.col("error.keyword").alias("keyword"),
+                F.array_join(F.col("error.path"), "/").alias("path"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+
+    @staticmethod
     def top_violations_per_partition(
         violations: DataFrame,
         partition_cols: Iterable[str],

@@ -58,28 +58,45 @@ FULL_SCHEMA = {
 }
 
 
-def _mk_rows():
+def _mk_rows(n_rows=840):
+    """Deterministic corpus: coprime strides walk the full cross-product
+    of value pools (lcm(6,5,8,2,6,7,5,9)=2520; 840 rows cover most
+    pairwise combinations)."""
+    s_pool = ["ab", "a", "toolongstring", "forbidden", "Xcaps", None]
+    n_pool = [1.0, 0.3, 1.13, 250.0, None]
+    i_pool = [3, 4, 7, 9, 21, 55, -3, None]
+    b_pool = [True, None]
+    arr_pool = [[1, 2], [], [1, 1], [-5, 3], [1, 2, 3, 4, 5], None]
+    tup_pool = [["ab", "zx"], ["a", "nz", "toolong"], [], None, ["zz"], ["ab", "no", "x", "y"], ["ab", "zx", "okx"]]
+    obj_pool = [Row(x=15, y="a"), Row(x=5, y="c"), Row(x=None, y="a"), None, Row(x=20, y=None)]
+    m_pool = [{"k1": "ab"}, {"k1": "toolong", "other": "v"}, {},
+              None, {"a": "x", "b": "y", "c": "z", "d": "w"},
+              {"k2": "ok", "kxxxxx": "bad"}, {"zz": "q"}, {"k1": "ab", "k2": "cd"},
+              {"k1": None}]
     rows = []
-    for rid in range(120):
-        s = ["ab", "a", "toolongstring", "forbidden", "Xcaps", None][rid % 6]
-        n = [1.0, 0.3, 1.13, 250.0, None][rid % 5]
-        i = [3, 4, 7, 9, 21, 55, -3, None][rid % 8]
-        b = [True, None][rid % 2]
-        arr = [[1, 2], [], [1, 1], [-5, 3], [1, 2, 3, 4, 5], None][rid % 6]
-        tup = [["ab", "zx"], ["a", "nz", "toolong"], [], None][rid % 4]
-        obj = [Row(x=15, y="a"), Row(x=5, y="c"), Row(x=None, y="a"), None][rid % 4]
-        m = [{"k1": "ab"}, {"k1": "toolong", "other": "v"}, {}, None][rid % 4]
-        rows.append((rid, s, n, i, b, arr, tup, obj, m))
+    for rid in range(n_rows):
+        rows.append((
+            rid,
+            s_pool[rid % 6],
+            n_pool[(rid * 3 + 1) % 5],
+            i_pool[(rid * 5 + 2) % 8],
+            b_pool[(rid * 7 + 1) % 2],
+            arr_pool[(rid * 5 + 3) % 6],
+            tup_pool[(rid * 2 + 1) % 7],
+            obj_pool[(rid * 3 + 2) % 5],
+            m_pool[(rid * 4 + 1) % 9],
+        ))
     return rows
 
 
 def _row_to_json_value(row: dict):
-    """NULL ≡ absent; structs -> dicts (dropping null fields); rest as-is."""
+    """Struct NULL field ≡ absent property (dropped); a MAP entry with a
+    NULL value is PRESENT with JSON null (maps have real key sets)."""
     def conv(v):
         if isinstance(v, Row):
-            v = v.asDict()
-        if isinstance(v, dict):
-            return {k: conv(x) for k, x in v.items() if x is not None}
+            return {k: conv(x) for k, x in v.asDict().items() if x is not None}
+        if isinstance(v, dict):  # MapType: keep null-valued entries
+            return {k: conv(x) for k, x in v.items()}
         if isinstance(v, list):
             return [conv(x) for x in v]
         return v

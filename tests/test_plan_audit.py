@@ -1,0 +1,108 @@
+"""Physical-plan audits: the shapes that matter at 100 TB, asserted on
+explain() output so regressions in join strategy / pushdown / Python
+leakage fail loudly.
+
+What each assertion buys at scale:
+* BroadcastHashJoin on referential checks — the fact table never shuffles;
+* PushedFilters reaching the parquet scan — partition/rowgroup pruning;
+* ReadSchema excluding untouched columns — html:binary is ~95% of page
+  bytes and must never be read unless a check needs it;
+* no BatchEvalPython/ArrowEvalPython in columnar plans — the hot loop
+  stays in whole-stage codegen;
+* partial_count before the exchange — map-side combine on aggregations.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_fantasy_spark import table_checks as tc
+from schema_fantasy_spark.engine import ValidationEngine
+from schema_fantasy_spark.sources.pages import PAGES_SCHEMA, pages
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    pages(spark, 3000).write.parquet(path)
+    return path
+
+
+def test_referential_check_broadcasts_parent(spark, sf_dir="/root/testdata/sf0.001"):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orphans = tc.referential_orphans(orders, customer, "o_custkey", "c_custkey",
+                                     broadcast_parent=True)
+    plan = plan_of(orphans)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_columnar_validation_no_python_and_pruned_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    validated = ValidationEngine(PAGES_SCHEMA).apply(df).select("url", "verdict")
+    plan = plan_of(validated)
+    assert "EvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, f"html must not be read: {read_schema}"
+    assert "codegen id" in plan
+
+
+def test_filter_pushdown_to_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en")
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "lang" in pushed and "EqualTo" in pushed
+
+
+def test_partition_verdicts_partial_aggregation(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet)
+    validated = ValidationEngine(PAGES_SCHEMA).apply(df)
+    pv = ValidationEngine.partition_verdicts(
+        validated.withColumn("day", F.to_date("warc_ts")), ["day"]
+    )
+    plan = plan_of(pv)
+    # two HashAggregates around one exchange = map-side partial + final
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_topk_uses_take_ordered(spark, sf_dir="/root/testdata/sf0.001"):
+    from schema_fantasy_spark.ops import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [0.1] * 64
+    topk = sim.cosine_topk(emb, q, 5)
+    plan = plan_of(topk)
+    # orderBy().limit() must compile to TakeOrderedAndProject — a full sort
+    # of 10^12 similarity rows would be a catastrophe
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_agg_two_exchanges(spark, pages_parquet):
+    from schema_fantasy_spark import scale
+
+    df = spark.read.parquet(pages_parquet).withColumn(
+        "host", scale.host_of(F.col("url"))
+    )
+    out = scale.salted_count(df, ["host"], F.col("url"), buckets=8)
+    plan = plan_of(out)
+    # phase-1 agg keyed (host, salt), phase-2 keyed (host): 2 exchanges
+    assert plan.count("Exchange") >= 2
+
+
+def test_dynamic_mode_is_arrow_batched(spark):
+    from schema_fantasy_spark.dynamic import validate_json
+
+    df = spark.createDataFrame([('{"a":1}',)], "doc: string")
+    out = validate_json(df, "doc", {"required": ["a"]})
+    plan = plan_of(out)
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time BatchEvalPython

@@ -58,3 +58,36 @@ def test_variant_agrees_with_udf_on_events(spark):
     va = {(r["event_id"], r["verdict"]) for r in v.select("event_id", "verdict").collect()}
     ua = {(r["event_id"], r["verdict"]) for r in u.select("event_id", "verdict").collect()}
     assert va == ua
+
+
+def test_variant_agrees_with_columnar_on_typed_corpus(spark):
+    """Three-mode consistency: the same 840-row corpus validated (a)
+    columnar over typed columns and (b) variant over the JSON-serialized
+    documents must yield identical (path, keyword, depth) multisets."""
+    from schema_fantasy_spark.columnar import compile_columnar
+    from tests.test_columnar import (
+        FULL_SCHEMA, TYPED_SCHEMA, _mk_rows, _row_to_json_value,
+    )
+
+    df = spark.createDataFrame(_mk_rows(), TYPED_SCHEMA)
+    col_plan = compile_columnar(FULL_SCHEMA)
+    got_col = {
+        r["rid"]: sorted(("/".join(e["path"]), e["keyword"], e["depth"]) for e in r["errors"])
+        for r in col_plan.apply(df).select("rid", "errors").collect()
+    }
+
+    docs = []
+    for raw in df.collect():
+        d = raw.asDict(recursive=False)
+        rid = d.pop("rid")
+        value = _row_to_json_value(d)
+        value["rid"] = rid
+        docs.append((rid, json.dumps(value)))
+    jdf = spark.createDataFrame(docs, "rid: long, doc: string")
+    var_plan = compile_variant(FULL_SCHEMA)
+    got_var = {
+        r["rid"]: sorted(("/".join(e["path"]), e["keyword"], e["depth"]) for e in r["errors"])
+        for r in var_plan.apply(jdf, "doc").select("rid", "errors").collect()
+    }
+    mismatches = [(k, got_col[k], got_var[k]) for k in got_col if got_col[k] != got_var[k]]
+    assert not mismatches, f"{len(mismatches)} rows disagree; first: {mismatches[0]}"
