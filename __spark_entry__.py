@@ -157,6 +157,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def windowed_event_counts(spark, sf):
+        ev = tables.load(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+
     def topk_events_per_type(spark, sf):
         from pyspark.sql import Window
 
@@ -279,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_lang_drift": chi_square_lang_drift,
         "ks_n_chars_drift": ks_n_chars_drift,
         "agg_pricing_summary": agg_pricing_summary,
+        "windowed_event_counts": windowed_event_counts,
         "topk_events_per_type": topk_events_per_type,
         "error_breakdown_documents": error_breakdown_documents,
         "exact_dedup_documents": exact_dedup_documents,
@@ -455,6 +475,13 @@ def oracle_sql() -> dict[str, str]:
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
 
+    windowed = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    """
+
     topk = """
     WITH ranked AS (
       SELECT event_type, event_id, value,
@@ -601,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "chi_square_lang_drift": chi_square,
         "ks_n_chars_drift": ks,
         "agg_pricing_summary": pricing,
+        "windowed_event_counts": windowed,
         "topk_events_per_type": topk,
         "error_breakdown_documents": error_breakdown,
         "exact_dedup_documents": exact_dedup,

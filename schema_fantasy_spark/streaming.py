@@ -94,3 +94,62 @@ def write_validated(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stateful_dedup_stream(
+    stream_df: DataFrame,
+    key_col: str = "url",
+    timeout_hours: Optional[int] = None,
+):
+    """Cross-micro-batch exact deduplication with keyed state
+    (``applyInPandasWithState``): the first row per key passes, every later
+    occurrence — in this or any later micro-batch — is dropped. The
+    streaming analogue of ops.dedup.distinct_by_content.
+
+    State per key is one boolean ("seen"), so state size is O(distinct
+    keys); pass ``timeout_hours`` to expire state for keys not seen in that
+    window (bounds state at 10^12-key scale; a re-crawled url after the
+    timeout passes again — the batch uniqueness check still catches it
+    downstream).
+
+    Note: Spark's built-in ``dropDuplicates`` on a stream is equivalent for
+    this exact case; this operator exists as the template for richer custom
+    state (per-key verdict history, change detection) and is tested as such.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already = state.exists
+        if not already:
+            first = None
+            for pdf in pdfs:
+                if len(pdf) and first is None:
+                    first = pdf.iloc[[0]]
+            state.update((True,))
+            if timeout_hours is not None:
+                state.setTimeoutDuration(timeout_hours * 3600 * 1000)
+            if first is not None:
+                yield first
+        else:
+            for _ in pdfs:  # drain
+                pass
+            if timeout_hours is not None:
+                state.setTimeoutDuration(timeout_hours * 3600 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_hours is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "update", timeout
+        )
+    )

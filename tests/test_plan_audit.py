@@ -106,3 +106,33 @@ def test_dynamic_mode_is_arrow_batched(spark):
     out = validate_json(df, "doc", {"required": ["a"]})
     plan = plan_of(out)
     assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time BatchEvalPython
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Bucketing co-locates join keys at write time: a self-join of two
+    tables bucketed on the same key by the same bucket count needs NO
+    exchange on either side — the pre-shuffle is amortized across every
+    downstream join/agg (the 100 TB answer for repeatedly-joined tables)."""
+    # (warehouse dir is a static conf; tables land in ./spark-warehouse,
+    # which is gitignored — dropped again below). At test size the planner
+    # would rightly broadcast the small side, so disable the broadcast
+    # threshold to model the at-scale case where neither side fits.
+    df = pages(spark, 2000).select("id", "url", "lang")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("pages_b1", "pages_b2"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (df.write.bucketBy(8, "url").sortBy("url").mode("overwrite")
+               .format("parquet").saveAsTable(name))
+        a = spark.table("pages_b1")
+        b = spark.table("pages_b2").select(F.col("url"), F.col("lang").alias("lang2"))
+        joined = a.join(b, "url")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed: zero shuffle
+        assert joined.count() >= 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        for name in ("pages_b1", "pages_b2"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
