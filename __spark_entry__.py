@@ -12,7 +12,11 @@ cross-engine float-summation order cannot flip the value hash.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# make the engine importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
