@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = tables.load(spark, sf, "lineitem")
         return tc.column_stats(li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"])
 
+    def percentiles_lineitem(spark, sf):
+        li = tables.load(spark, sf, "lineitem")
+        return tc.percentiles(li, ["l_extendedprice", "l_quantity"])
+
     def duplicate_keys_lineitem(spark, sf):
         li = tables.load(spark, sf, "lineitem")
         return tc.duplicate_keys(li, ["l_orderkey"])
@@ -295,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_validation": json_props_validation,
         "null_rates_documents": null_rates_documents,
         "column_stats_lineitem": column_stats_lineitem,
+        "percentiles_lineitem": percentiles_lineitem,
         "duplicate_keys_lineitem": duplicate_keys_lineitem,
         "uniqueness_orders": uniqueness_orders,
         "orphans_orders_customer": orphans_orders_customer,
@@ -409,6 +414,23 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
            count(DISTINCT l_tax), count(l_tax) FROM lineitem
+    ORDER BY col_name
+    """
+
+    percentiles_sql = """
+    SELECT 'l_extendedprice' AS col_name,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity',
+           round(quantile_cont(l_quantity, 0.25), 4),
+           round(quantile_cont(l_quantity, 0.5), 4),
+           round(quantile_cont(l_quantity, 0.75), 4),
+           round(quantile_cont(l_quantity, 0.95), 4)
+      FROM lineitem
     ORDER BY col_name
     """
 
@@ -625,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_validation": json_props,
         "null_rates_documents": null_rates,
         "column_stats_lineitem": col_stats,
+        "percentiles_lineitem": percentiles_sql,
         "duplicate_keys_lineitem": dup_keys,
         "uniqueness_orders": uniq_orders,
         "orphans_orders_customer": orphans,

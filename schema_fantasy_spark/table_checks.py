@@ -75,6 +75,25 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return out.orderBy("col_name")
 
 
+def percentiles(
+    df: DataFrame, cols: Sequence[str], probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Exact percentiles per column (long format). Exact `percentile`
+    keeps the oracle comparable; the 10^12-scale path swaps in
+    ``approx_percentile`` (t-digest sketch, same call shape)."""
+    parts = []
+    for c in cols:
+        aggs = [F.lit(c).alias("col_name")] + [
+            F.round(F.expr(f"percentile({c}, {p})"), 4).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]
+        parts.append(df.agg(*aggs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
+
+
 def cardinality_approx(df: DataFrame, cols: Sequence[str], rsd: float = 0.01) -> DataFrame:
     """HLL cardinality per column — the 10^12-scale path (single pass,
     no shuffle of raw values, fixed-size sketches)."""
