@@ -23,6 +23,40 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def host_calibration() -> dict:
+    """Tiny pure-CPU probes of the sandbox host at bench time. This VM's
+    host is bursty (observed 3-10x ambient swings within minutes); these
+    numbers let a reader normalize docs/sec across bench runs taken at
+    different times."""
+    import multiprocessing as mp
+
+    def spin(n):
+        x = 0
+        for i in range(n):
+            x += i * i
+        return x
+
+    n = 20_000_000
+    t0 = time.time()
+    spin(n)
+    single = n / (time.time() - t0)
+    t0 = time.time()
+    with mp.Pool(32) as p:
+        p.map(_spin_global, [n // 4] * 32)
+    par = 8 * n / (time.time() - t0)
+    return {
+        "single_core_mops": round(single / 1e6, 1),
+        "allcore_mops": round(par / 1e6, 1),
+    }
+
+
+def _spin_global(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -97,6 +131,8 @@ def main() -> None:
         "headline_sec": round(headline_sec, 3),
         "queries_total_sec": round(total, 3),
         "cores": cpus,
+        # ambient host speed at bench time — normalize across runs with it
+        "host_calibration": host_calibration(),
     }
     print(json.dumps(out), flush=True)
     spark.stop()

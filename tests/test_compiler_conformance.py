@@ -59,3 +59,16 @@ def test_unknown_keyword_ignored():
     compiled = compile_schema({"frobnicate": 99, "type": "integer"})
     assert compiled.is_valid(3)
     assert not compiled.is_valid("x")
+
+
+def test_minlength_nfc_normalization():
+    # reference src/v4/minLength.js:18-22 normalizes NFC before counting:
+    # "A" + COMBINING RING (2 code points) NFC-composes to U+00C5 (1).
+    # Kernel-only semantics: the columnar/variant modes count raw code
+    # points (documented divergence; route NFC-sensitive schemas here).
+    decomposed = "A\u030a"  # 2 code points pre-NFC, 1 after
+    assert len(decomposed) == 2
+    compiled = compile_schema({"maxLength": 1})
+    assert compiled.is_valid(decomposed)
+    compiled2 = compile_schema({"minLength": 2})
+    assert not compiled2.is_valid(decomposed)
