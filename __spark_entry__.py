@@ -113,6 +113,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
 
+    def dependencies_validation(spark, sf):
+        # schema-form dependency: presence of 'source' re-validates the row
+        # against a subschema (reference src/v4/dependencies.js:27-29)
+        docs = tables.load(spark, sf, "documents")
+        schema = {
+            "dependencies": {
+                "source": {"properties": {"n_chars": {"maximum": 450}}}
+            }
+        }
+        v = ValidationEngine(schema).apply(docs)
+        out = ValidationEngine.violations(v, ["doc_id"])
+        return out.select("doc_id", "keyword", "message", "depth")
+
+    def leaf_suite_lineitem(spark, sf):
+        # multipleOf (float semantics) + exclusive bounds over lineitem
+        li = tables.load(spark, sf, "lineitem")
+        schema = {
+            "properties": {
+                "l_quantity": {"multipleOf": 1},
+                "l_discount": {"maximum": 0.08, "exclusiveMaximum": True},
+                "l_tax": {"minimum": 0.01, "exclusiveMinimum": True},
+            }
+        }
+        v = ValidationEngine(schema).apply(li)
+        out = ValidationEngine.violations(v, ["l_orderkey", "l_linenumber"])
+        return out.select(
+            "l_orderkey", "l_linenumber",
+            F.array_join("path", "/").alias("path"), "keyword", "message",
+        )
+
+    def array_keywords_embeddings(spark, sf):
+        # minItems/maxItems/uniqueItems over a real array column; the
+        # quantized copy (floor(x*10), exact in IEEE754 both engines)
+        # guarantees duplicates so uniqueItems actually fires
+        emb = tables.load(spark, sf, "embeddings").withColumn(
+            "emb_q", F.transform("embedding", lambda x: F.floor(x * 10).cast("int"))
+        )
+        schema = {
+            "properties": {
+                "embedding": {"minItems": 64, "maxItems": 64, "uniqueItems": True},
+                "emb_q": {"uniqueItems": True},
+            }
+        }
+        v = ValidationEngine(schema).apply(emb)
+        out = ValidationEngine.violations(v, ["vec_id"])
+        return out.select(
+            "vec_id", F.array_join("path", "/").alias("path"), "keyword", "message"
+        )
+
+    def props_object_bounds(spark, sf):
+        # minProperties/maxProperties on dynamic JSON objects (UDF kernel)
+        from schema_fantasy_spark.dynamic import validate_json
+
+        ev = tables.load(spark, sf, "events")
+        v = validate_json(ev, "props", {"minProperties": 2, "maxProperties": 1})
+        out = ValidationEngine.violations(v, ["event_id"])
+        return out.select("event_id", "keyword", "message")
+
     def null_rates_documents(spark, sf):
         docs = tables.load(spark, sf, "documents")
         return tc.null_rates(docs, ["doc_id", "lang", "n_chars", "source", "text"])
@@ -297,6 +355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
+        "dependencies_validation": dependencies_validation,
+        "leaf_suite_lineitem": leaf_suite_lineitem,
+        "array_keywords_embeddings": array_keywords_embeddings,
+        "props_object_bounds": props_object_bounds,
         "null_rates_documents": null_rates_documents,
         "column_stats_lineitem": column_stats_lineitem,
         "percentiles_lineitem": percentiles_lineitem,
@@ -384,6 +446,69 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT event_id, 'required', 'missing k'
       FROM events WHERE json_extract_string(props, '$.k') IS NULL
+    """
+
+    dependencies_sql = """
+    SELECT doc_id, 'dependencies' AS keyword,
+           'Failed dependency for "source"' AS message, 0 AS depth
+      FROM documents WHERE n_chars > 450
+    UNION ALL
+    SELECT doc_id, 'maximum', 'greater than 450', 1
+      FROM documents WHERE n_chars > 450
+    """
+
+    leaf_suite = """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS path,
+           'multipleOf' AS keyword, 'not a multiple of 1' AS message
+      FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity / 1.0) % 1 <> 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', 'maximum',
+           'greater than or equal to 0.08'
+      FROM lineitem WHERE l_discount IS NOT NULL AND NOT (l_discount < 0.08)
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', 'minimum',
+           'less than or equal to 0.01'
+      FROM lineitem WHERE l_tax IS NOT NULL AND NOT (l_tax > 0.01)
+    """
+
+    array_keywords = """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(floor(x * 10) AS INT)) AS emb_q
+        FROM embeddings)
+    SELECT vec_id, 'embedding' AS path, 'minItems' AS keyword,
+           'less than 64 items' AS message
+      FROM q WHERE len(embedding) < 64
+    UNION ALL
+    SELECT vec_id, 'embedding', 'maxItems', 'more than 64 items'
+      FROM q WHERE len(embedding) > 64
+    UNION ALL
+    SELECT vec_id, 'embedding', 'uniqueItems',
+           'does not contain unique values: '
+           || (len(embedding) - len(list_distinct(embedding)))
+           || ' duplicate'
+           || CASE WHEN len(embedding) - len(list_distinct(embedding)) = 1
+                   THEN '' ELSE 's' END || ' found'
+      FROM q WHERE len(embedding) > len(list_distinct(embedding))
+    UNION ALL
+    SELECT vec_id, 'emb_q', 'uniqueItems',
+           'does not contain unique values: '
+           || (len(emb_q) - len(list_distinct(emb_q)))
+           || ' duplicate'
+           || CASE WHEN len(emb_q) - len(list_distinct(emb_q)) = 1
+                   THEN '' ELSE 's' END || ' found'
+      FROM q WHERE len(emb_q) > len(list_distinct(emb_q))
+    """
+
+    props_bounds = """
+    SELECT event_id, 'minProperties' AS keyword,
+           'less than 2 properties' AS message
+      FROM events
+     WHERE json_array_length(json_keys(props)) < 2
+    UNION ALL
+    SELECT event_id, 'maxProperties', 'more than 1 properties'
+      FROM events
+     WHERE json_array_length(json_keys(props)) > 1
     """
 
     null_rates = """
@@ -645,6 +770,10 @@ def oracle_sql() -> dict[str, str]:
         "flagship_validation": flagship,
         "combinator_validation": combinator,
         "json_props_validation": json_props,
+        "dependencies_validation": dependencies_sql,
+        "leaf_suite_lineitem": leaf_suite,
+        "array_keywords_embeddings": array_keywords,
+        "props_object_bounds": props_bounds,
         "null_rates_documents": null_rates,
         "column_stats_lineitem": col_stats,
         "percentiles_lineitem": percentiles_sql,
