@@ -171,6 +171,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
 
+    def suite_documents(spark, sf):
+        from schema_fantasy_spark.suite import CheckSuite
+
+        docs = tables.load(spark, sf, "documents")
+        report = (
+            CheckSuite(schema=DOCUMENTS_SCHEMA, id_cols=("doc_id",))
+            .with_null_rate("lang", 0.05)
+            .with_uniqueness(["doc_id"])
+            .run(docs)
+        )
+        return report.to_df(spark).select(
+            "check", "pass", F.round("metric", 6).alias("metric")
+        )
+
     def null_rates_documents(spark, sf):
         docs = tables.load(spark, sf, "documents")
         return tc.null_rates(docs, ["doc_id", "lang", "n_chars", "source", "text"])
@@ -359,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leaf_suite_lineitem": leaf_suite_lineitem,
         "array_keywords_embeddings": array_keywords_embeddings,
         "props_object_bounds": props_object_bounds,
+        "suite_documents": suite_documents,
         "null_rates_documents": null_rates_documents,
         "column_stats_lineitem": column_stats_lineitem,
         "percentiles_lineitem": percentiles_lineitem,
@@ -509,6 +524,28 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_id, 'maxProperties', 'more than 1 properties'
       FROM events
      WHERE json_array_length(json_keys(props)) > 1
+    """
+
+    suite_sql = """
+    WITH bad AS (
+      SELECT DISTINCT doc_id FROM documents
+       WHERE (text IS NOT NULL AND length(text) < 60)
+          OR (lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))
+          OR (n_chars IS NOT NULL AND (n_chars < 50 OR n_chars > 500))
+          OR (source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$'))
+          OR doc_id IS NULL OR text IS NULL OR lang IS NULL),
+         tot AS (SELECT count(*) AS n FROM documents),
+         dup AS (SELECT coalesce(sum(c - 1), 0) AS n_dup FROM
+                 (SELECT count(*) AS c FROM documents GROUP BY doc_id HAVING count(*) > 1))
+    SELECT 'schema' AS check, (SELECT count(*) FROM bad) = 0 AS pass,
+           round((SELECT count(*) FROM bad) * 1.0 / (SELECT n FROM tot), 6) AS metric
+    UNION ALL
+    SELECT 'null_rate(lang)',
+           (SELECT sum(CAST(lang IS NULL AS INT)) * 1.0 / count(*) FROM documents) <= 0.05,
+           round((SELECT sum(CAST(lang IS NULL AS INT)) * 1.0 / count(*) FROM documents), 6)
+    UNION ALL
+    SELECT 'unique(doc_id)', (SELECT n_dup FROM dup) = 0,
+           round((SELECT n_dup FROM dup) * 1.0, 6)
     """
 
     null_rates = """
@@ -774,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "leaf_suite_lineitem": leaf_suite,
         "array_keywords_embeddings": array_keywords,
         "props_object_bounds": props_bounds,
+        "suite_documents": suite_sql,
         "null_rates_documents": null_rates,
         "column_stats_lineitem": col_stats,
         "percentiles_lineitem": percentiles_sql,

@@ -1,0 +1,69 @@
+"""CheckSuite integration: the full validation bundle over the synthetic
+pages table — all checks evaluate (no short-circuit), outcomes accumulate,
+thresholds decide the suite verdict."""
+
+import pyspark.sql.functions as F
+
+from schema_fantasy_spark import table_checks as tc
+from schema_fantasy_spark.sources.pages import (
+    LANG_CUM, PAGES_SCHEMA, expected_violation_ids, pages, snapshot_pair,
+)
+from schema_fantasy_spark.suite import CheckSuite
+
+
+def test_suite_accumulates_all_checks(spark):
+    N = 3000
+    df = pages(spark, N)
+    exp = expected_violation_ids(N)
+    base, _ = snapshot_pair(spark, N)
+    lang_baseline = tc.group_histogram(base, "lang")
+
+    suite = (
+        CheckSuite(schema=PAGES_SCHEMA, id_cols=("id",))
+        .with_max_invalid_rate(0.05)       # injected violations ~1.5% -> pass
+        .with_null_rate("lang", 0.05)      # ~1% null lang -> pass
+        .with_null_rate("text", 0.0001)    # injected NULL texts -> FAIL
+        .with_bounds("warc_ts", maximum="2030-01-01")  # future ts -> FAIL
+        .with_uniqueness(["url"])          # injected dups -> FAIL
+        .with_categorical_drift("lang", lang_baseline, max_chi_square=50.0)  # self -> pass
+    )
+    report = suite.run(df)
+    by_name = {r.check: r for r in report.results}
+
+    assert not report.passed  # at least one failing check
+    assert by_name["schema"].passed
+    assert by_name["null_rate(lang)"].passed
+    assert not by_name["null_rate(text)"].passed
+    assert not by_name["bounds(warc_ts)"].passed
+    assert not by_name["unique(url)"].passed
+    assert by_name["unique(url)"].metric == len(exp["dup_url"])
+    assert by_name["chi_square_drift(lang)"].passed
+    # ALL checks ran despite failures (applicative accumulation, not
+    # fail-fast): one result per registered check + the schema check
+    assert len(report.results) == 6
+
+    # violation rows available alongside
+    viol_keywords = {r["keyword"] for r in report.violations.collect()}
+    assert {"pattern", "enum", "required", "maximum", "minLength"} <= viol_keywords
+
+    # results frame shape
+    rdf = report.to_df(spark)
+    assert rdf.columns == ["check", "scope", "pass", "metric", "detail"]
+    assert rdf.count() == 6
+
+
+def test_suite_without_schema(spark):
+    df = pages(spark, 1000)
+    report = CheckSuite().with_uniqueness(["id"]).run(df)
+    assert report.passed and report.validated is None
+
+
+def test_suite_referential(spark):
+    base, nxt = snapshot_pair(spark, 2000)
+    report = (
+        CheckSuite()
+        .with_referential(nxt.select("url"), "url", broadcast_parent=True)
+        .run(base)
+    )
+    r = report.results[0]
+    assert not r.passed and r.metric == len(range(0, 2000, 211))
