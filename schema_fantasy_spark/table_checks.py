@@ -207,6 +207,30 @@ def referential_summary(
     )
 
 
+def text_consistency(
+    df: DataFrame,
+    reference: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row invariant vs a reference corpus: byte-identical ``text`` per
+    ``key`` (BASELINE.json input_hint; semantics = the reference's enum
+    deep-equality on strings, src/v4/enum.js:25, lifted to a keyed join).
+
+    Returns mismatching keys with both hashes. Only (key, xxhash64(text))
+    pairs shuffle — texts themselves never move.
+    """
+    a = df.select(F.col(key_col).alias("k"), F.xxhash64(text_col).alias("h_actual"))
+    b = reference.select(
+        F.col(key_col).alias("k"), F.xxhash64(text_col).alias("h_expected")
+    )
+    return (
+        a.join(b, "k")
+        .filter(~F.col("h_actual").eqNullSafe(F.col("h_expected")))
+        .select(F.col("k").alias(key_col), "h_actual", "h_expected")
+    )
+
+
 # ------------------------------------------------------------------- drift
 
 

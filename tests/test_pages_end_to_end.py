@@ -119,3 +119,20 @@ def test_ks_drift_on_text_length(spark):
     assert tc.ks_stat(hb, hb).collect()[0]["ks_stat"] == 0.0  # self-drift zero
     d = tc.ks_stat(hn, hb).collect()[0]["ks_stat"]
     assert 0.0 <= d < 0.2  # text-length law unchanged between snapshots
+
+
+def test_text_consistency_vs_reference_corpus(spark):
+    """BASELINE.json per-row invariant: byte-identical text per url vs a
+    reference corpus. The regenerated table IS the reference (text is a
+    pure function of url), so self-check is empty; a corrupted copy is
+    caught exactly."""
+    df = pages(spark, 1500).filter(F.col("text").isNotNull())
+    ref = pages(spark, 1500).filter(F.col("text").isNotNull())
+    assert tc.text_consistency(df, ref).count() == 0
+    corrupted = ref.withColumn(
+        "text",
+        F.when(F.col("id") % 500 == 3, F.concat(F.col("text"), F.lit("X")))
+        .otherwise(F.col("text")),
+    )
+    bad = tc.text_consistency(df, corrupted)
+    assert bad.count() == len([i for i in range(1500) if i % 500 == 3])
