@@ -359,6 +359,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         return sim.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, 10)
 
+    def ivf_topk_embeddings(spark, sf):
+        # IVF index (seeded k-means lists) probed EXHAUSTIVELY: must equal
+        # the exact brute-force top-k, so it shares the cosine oracle;
+        # partial-probe recall is asserted in pytest
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        rest = emb.filter(F.col("vec_id") != 0)
+        assigned, centroids = sim.ivf_index(rest, n_lists=8)
+        return sim.ivf_topk(assigned, centroids, qvec, 10, n_probe=8)
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -397,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": fingerprint_documents,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
     }
 
@@ -831,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": quality,
         "lang_id_documents": lang_id,
         "cosine_topk_embeddings": cosine_topk_sql,
+        "ivf_topk_embeddings": cosine_topk_sql,
         # minhash_near_dup_documents, simhash_near_dup_documents,
         # fingerprint_documents, ann_lsh_topk_embeddings, near_dup_embeddings:
         # xxhash64/RP-LSH are Spark-specific -> rows-only driver check;

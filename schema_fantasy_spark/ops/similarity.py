@@ -135,6 +135,90 @@ def ann_lsh_topk(
     return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """IVF (inverted-file) index: k-means centroids + per-vector list
+    assignment. Returns (assigned_df, centroids) where assigned_df carries
+    a ``list_id`` column and centroids is a small driver-side list.
+
+    Scale shape: training samples the data (MLlib KMeans is itself
+    distributed); assignment is one JVM-side argmin over n_lists literal
+    centroids per row; the assigned table is the persisted index — at
+    10^12 vectors it would be written bucketed/partitioned by list_id so
+    probes read only the probed lists (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = df.withColumn(
+        "list_id", _nearest_centroid_expr(F.col(vec_col), centroids)
+    )
+    return assigned, centroids
+
+
+def _nearest_centroid_expr(vec: Column, centroids) -> Column:
+    """argmin over literal centroids of squared L2 distance — unrolled,
+    JVM-side (centroid count is a compile-time constant)."""
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec.cast("array<double>"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d)
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    expr = None
+    for i, d in enumerate(dists):
+        cond = d == best
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.cast("int")
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids,
+    query_vec,
+    k: int,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query (driver-side,
+    n_lists floats), scan only the ``n_probe`` nearest lists, exact cosine
+    rerank within them. With a list_id-partitioned index this prunes
+    (1 - n_probe/n_lists) of the data before any scan."""
+    q = [float(x) for x in query_vec]
+
+    def dist2(c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:n_probe]
+    qcol = F.array(*[F.lit(x) for x in q])
+    sims = (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), round_to).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def near_duplicates_by_embedding(
     df: DataFrame,
     threshold: float = 0.95,

@@ -215,3 +215,25 @@ def test_sample_frames_stub(spark):
     assert len(by_doc[2]) == 1
     with pytest.raises(ValueError):
         multimodal.sample_frames(df, every_n=0)
+
+
+def test_ivf_topk_recall(emb):
+    """IVF index + probe: recall of the exact top-10 with 4/16 lists
+    probed must be high on clustered-ish data; probing ALL lists must
+    reproduce the exact top-k exactly."""
+    rows = emb.limit(1).collect()
+    q = rows[0]["embedding"]
+    rest = emb.filter(F.col("vec_id") != rows[0]["vec_id"])
+    assigned, centroids = sim.ivf_index(rest, n_lists=8, seed=42)
+    assigned = assigned.cache()
+    exact = [r["vec_id"] for r in sim.cosine_topk(rest, q, 10).collect()]
+    # full probe == exact
+    full = [r["vec_id"] for r in sim.ivf_topk(assigned, centroids, q, 10, n_probe=8).collect()]
+    assert full == exact
+    # partial probe: reasonable recall
+    approx = [r["vec_id"] for r in sim.ivf_topk(assigned, centroids, q, 10, n_probe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+    # every vector landed in exactly one list
+    assert assigned.count() == rest.count()
+    assert assigned.filter(F.col("list_id").isNull()).count() == 0
