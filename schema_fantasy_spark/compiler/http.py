@@ -19,7 +19,6 @@ from typing import Any, Dict, Optional, Tuple
 from urllib.request import urlopen
 
 from schema_fantasy_spark.compiler.linker import link
-from schema_fantasy_spark.compiler import pointer as ptr
 
 
 def http_fetch(url: str, timeout: float = 10.0):

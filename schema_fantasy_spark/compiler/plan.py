@@ -40,7 +40,6 @@ from schema_fantasy_spark.errors import (
     Err,
     human_list,
 )
-from schema_fantasy_spark.compiler import pointer as ptr
 from schema_fantasy_spark.compiler.linker import (
     CyclicRefError,
     UnknownResourceError,

@@ -19,7 +19,7 @@ import json
 from typing import Any, Dict, Optional
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from schema_fantasy_spark.errors import ERRORS_SCHEMA, errs_to_rows

@@ -16,7 +16,7 @@ built-ins — zero Python in the data path) and are shaped for 100 TB:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 

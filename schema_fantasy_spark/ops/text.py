@@ -10,7 +10,7 @@ Column expressions (regex, HOFs, hashes); no Python in the data path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 from pyspark.sql import Column, DataFrame, functions as F
 

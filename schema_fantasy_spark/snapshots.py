@@ -10,7 +10,7 @@ and the comparison column is 8 bytes regardless of row width.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 

@@ -16,10 +16,10 @@ and returns a ``SuiteReport`` with a uniform results frame:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame, Row, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from schema_fantasy_spark import table_checks as tc
 from schema_fantasy_spark.engine import ValidationEngine

@@ -24,7 +24,7 @@ decimal.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 

@@ -48,7 +48,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from schema_fantasy_spark.errors import ERRORS_SCHEMA, human_list
+from schema_fantasy_spark.errors import human_list
 from schema_fantasy_spark.compiler.linker import resolve_ref
 from schema_fantasy_spark.compiler.plan import json_repr
 from schema_fantasy_spark.columnar import (
