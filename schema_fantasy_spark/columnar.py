@@ -165,18 +165,27 @@ def compile_columnar(
     schema: Any,
     refs: Optional[Dict[str, Any]] = None,
     base: str = "",
+    nfc_lengths: bool = False,
 ) -> "ColumnarPlan":
     """Compile ``schema`` into a ColumnarPlan applicable to any DataFrame
     whose schema the plan's keywords can bind to. $refs resolved at compile
     time (cycle -> raise, reference src/context.js:24-26 semantics).
+
+    ``nfc_lengths=True`` routes min/maxLength through a vectorized
+    NFC-normalizing pandas UDF for exact reference parity on corpora with
+    decomposed combining sequences (default: raw code points, pure JVM).
 
     Note: unlike the dynamic mode, the columnar compiler rejects
     *recursive* schemas (a $ref cycle through properties/items) — a flat
     expression DAG cannot express unbounded recursion. Those route to the
     dynamic mode.
     """
+    global _NFC_LENGTHS
     refs = refs or {}
     in_progress: set = set()
+    _NFC_LENGTHS = nfc_lengths
+    # (module-level switch read synchronously during this compile walk;
+    # compile is driver-side and single-threaded per call)
 
     def compile_node(cur_base: str, cur_doc: Any, node: Any) -> ColumnarNode:
         cur_base, cur_doc, node = resolve_ref(refs, cur_base, cur_doc, node)
@@ -413,11 +422,38 @@ def _ck_multiple_of(sch: Any):
     return emit
 
 
+def nfc_length_udf():
+    """Vectorized NFC-normalized code-point length (reference
+    src/v4/minLength.js:18-22 + src/ulength.js). The ONLY optional Python
+    slice in the columnar path — enable via ``nfc_lengths=True`` when a
+    corpus can contain decomposed combining sequences; plain ``F.length``
+    (raw code points) is the default and identical for NFC-normalized or
+    ASCII text."""
+    import unicodedata
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark cannot resolve 'pd.Series' from this module's scope
+    @pandas_udf("int", PandasUDFType.SCALAR)
+    def _nfc_len(s):
+        return s.map(
+            lambda x: len(unicodedata.normalize("NFC", x)) if x is not None else None
+        )
+
+    return _nfc_len
+
+
+#: module switch consulted by _ck_length; set via compile_columnar kwarg
+_NFC_LENGTHS = False
+
+
 def _ck_length(sch: Any, is_min: bool):
+    use_nfc = _NFC_LENGTHS
+
     def emit(value: Column, dtype: T.DataType, path: Column) -> Column:
         if not isinstance(dtype, T.StringType):
             return _empty_errors()
-        n = F.length(value)
+        n = nfc_length_udf()(value) if use_nfc else F.length(value)
         if is_min:
             ok, kw, msg = n >= sch, "minLength", f"shorter than {sch} characters"
         else:

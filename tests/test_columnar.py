@@ -181,3 +181,15 @@ def test_whole_stage_codegen_in_plan(spark):
     explained = buf.getvalue()
     assert "EvalPython" not in explained
     assert "codegen id" in explained  # whole-stage codegen covers the project
+
+
+def test_nfc_lengths_option(spark):
+    # decomposed "A" + COMBINING RING: 2 raw code points, 1 after NFC
+    decomposed = "Å"
+    df = spark.createDataFrame([(decomposed,)], "s: string")
+    default_plan = compile_columnar({"properties": {"s": {"maxLength": 1}}})
+    assert default_plan.apply(df).collect()[0]["verdict"] is False  # raw: 2 > 1
+    nfc_plan = compile_columnar(
+        {"properties": {"s": {"maxLength": 1}}}, nfc_lengths=True
+    )
+    assert nfc_plan.apply(df).collect()[0]["verdict"] is True  # NFC: 1 <= 1
