@@ -231,8 +231,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+                # exact decimal sums, then one final cast to double so both
+                # sides of the driver gate emit the same primitive type
+                # (DECIMAL canonicalizes differently between engines)
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_base_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
         )
@@ -246,10 +253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("sum_value"),
+                # exact decimal sum -> double (primitive type on both sides)
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             )
             .select(
-                F.col("w.start").alias("window_start"),
+                # timestamps render engine-dependently; a formatted string is
+                # canonical on both sides of the driver gate
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type",
                 "n",
                 "sum_value",
@@ -564,11 +574,15 @@ def oracle_sql() -> dict[str, str]:
     null_rates = """
     WITH t AS (
       SELECT 'doc_id' AS col_name, count(*) AS n_rows,
-             sum(CAST(doc_id IS NULL AS BIGINT)) AS n_null FROM documents
-      UNION ALL SELECT 'lang', count(*), sum(CAST(lang IS NULL AS BIGINT)) FROM documents
-      UNION ALL SELECT 'n_chars', count(*), sum(CAST(n_chars IS NULL AS BIGINT)) FROM documents
-      UNION ALL SELECT 'source', count(*), sum(CAST(source IS NULL AS BIGINT)) FROM documents
-      UNION ALL SELECT 'text', count(*), sum(CAST(text IS NULL AS BIGINT)) FROM documents)
+             CAST(sum(CAST(doc_id IS NULL AS BIGINT)) AS BIGINT) AS n_null FROM documents
+      UNION ALL SELECT 'lang', count(*),
+             CAST(sum(CAST(lang IS NULL AS BIGINT)) AS BIGINT) FROM documents
+      UNION ALL SELECT 'n_chars', count(*),
+             CAST(sum(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT) FROM documents
+      UNION ALL SELECT 'source', count(*),
+             CAST(sum(CAST(source IS NULL AS BIGINT)) AS BIGINT) FROM documents
+      UNION ALL SELECT 'text', count(*),
+             CAST(sum(CAST(text IS NULL AS BIGINT)) AS BIGINT) FROM documents)
     SELECT col_name, n_rows, n_null,
            round(CAST(n_null AS DOUBLE) / n_rows, 6) AS null_rate
       FROM t ORDER BY col_name
@@ -616,8 +630,8 @@ def oracle_sql() -> dict[str, str]:
 
     uniq_orders = """
     WITH per_key AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
-    SELECT count(*) AS n_keys, sum(n) AS n_rows,
-           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_duplicates,
+    SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
            (sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0) AS pass
       FROM per_key
     """
@@ -670,16 +684,16 @@ def oracle_sql() -> dict[str, str]:
 
     pricing = """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
 
     windowed = """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            count(*) AS n,
-           round(sum(CAST(value AS DECIMAL(18,2))), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2
     """
 

@@ -16,6 +16,26 @@ from decimal import Decimal
 
 import duckdb
 
+
+def pd_isna(v):
+    try:
+        import pandas as pd
+
+        r = pd.isna(v)
+        return bool(r) if not hasattr(r, "__len__") else False
+    except Exception:
+        return v is None
+
+
+def _coerce(v):
+    if pd_isna(v):
+        return None
+    if hasattr(v, "to_pydatetime"):
+        return v.to_pydatetime()
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        return v.item()
+    return v
+
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -82,7 +102,13 @@ def main():
         try:
             res = con.sql(sql)
             ocols = [c.lower() for c in res.columns]
-            orows = res.fetchall()
+            # Fetch through pandas: HUGEINT (sum of BIGINT) and DECIMAL
+            # degrade to float64 here, like they plausibly do in the
+            # driver's canonicalizer. Queries must emit types that
+            # survive this (BIGINT casts, decimal->double) — round 1's
+            # four hash_match failures were exactly this class.
+            odf = res.df()
+            orows = [tuple(_coerce(v) for v in r) for r in odf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
