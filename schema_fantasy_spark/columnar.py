@@ -40,6 +40,28 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from schema_fantasy_spark.errors import ERRORS_SCHEMA, human_list
 from schema_fantasy_spark.compiler.linker import resolve_ref
 from schema_fantasy_spark.compiler.plan import SchemaCompileError, json_repr
+from schema_fantasy_spark.compiler.regex_dialect import (
+    RegexDialectError,
+    java_pattern,
+    python_pattern,
+)
+
+
+def _jrx(p: str) -> str:
+    """Java-dialect pattern for ``rlike`` (JS spellings translated,
+    dialect-divergent constructs rejected — reference src/v4/pattern.js:18)."""
+    try:
+        return java_pattern(p)
+    except RegexDialectError as e:
+        raise SchemaCompileError(str(e)) from None
+
+
+def _prx(p: str) -> "re.Pattern":
+    """Python-dialect compiled pattern for compile-time field matching."""
+    try:
+        return python_pattern(p)
+    except RegexDialectError as e:
+        raise SchemaCompileError(str(e)) from None
 
 ERRORS_DDL = ERRORS_SCHEMA.simpleString()
 
@@ -306,10 +328,10 @@ def _compile_keyword(
     if kw == "properties":
         return _ck_properties({k: rec(s) for k, s in sch.items()}, sch)
     if kw == "patternProperties":
-        return _ck_pattern_properties([(p, re.compile(p), rec(s)) for p, s in sch.items()])
+        return _ck_pattern_properties([(_jrx(p), _prx(p), rec(s)) for p, s in sch.items()])
     if kw == "additionalProperties":
         props = node.get("properties") or {}
-        patterns = [re.compile(p) for p in (node.get("patternProperties") or {})]
+        patterns = [(_jrx(p), _prx(p)) for p in (node.get("patternProperties") or {})]
         sub = rec(sch) if isinstance(sch, dict) else None
         return _ck_additional_properties(sch, sub, props, patterns)
     if kw == "items":
@@ -364,20 +386,130 @@ def _ck_type(sch: Any):
     return emit
 
 
+def _typed_literal(x: Any, dtype: T.DataType) -> Optional[Column]:
+    """Coerce a JSON enum value into a Column literal of exactly ``dtype``.
+
+    Returns None when the value is not representable in the column's type —
+    no value of that column could deep-equal it (reference src/v4/enum.js:25
+    ``R.equals``: booleans never equal numbers, strings never equal numbers).
+    Numeric coercion implements the 1 == 1.0 deep-equality the dynamic
+    kernel already has (compiler/plan.py ``canonical``)."""
+    if x is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(x, bool):
+        return F.lit(x) if isinstance(dtype, T.BooleanType) else None
+    if isinstance(x, (int, float)):
+        if not _is_numeric(dtype):
+            return None
+        if _is_integral(dtype):
+            if isinstance(x, float) and not x.is_integer():
+                return None
+            return F.lit(int(x)).cast(dtype)
+        return F.lit(float(x)).cast(dtype)
+    if isinstance(x, str):
+        return F.lit(x) if isinstance(dtype, T.StringType) else None
+    if isinstance(x, list):
+        if not isinstance(dtype, T.ArrayType):
+            return None
+        elems = [_typed_literal(e, dtype.elementType) for e in x]
+        if any(e is None for e in elems):
+            return None
+        if not elems:
+            return F.expr("array()").cast(dtype)
+        return F.array(*elems)
+    if isinstance(x, dict):
+        if isinstance(dtype, T.StructType):
+            names = {f.name for f in dtype.fields}
+            if any(k not in names for k in x):
+                return None  # property the type cannot hold
+            parts = []
+            for f in dtype.fields:
+                if f.name in x:
+                    c = _typed_literal(x[f.name], f.dataType)
+                    if c is None:
+                        return None
+                else:
+                    c = F.lit(None).cast(f.dataType)  # absent ≡ NULL field
+                parts.append(c.alias(f.name))
+            return F.struct(*parts)
+        if isinstance(dtype, T.MapType):
+            if not isinstance(dtype.keyType, T.StringType):
+                return None
+            vals = [_typed_literal(v, dtype.valueType) for v in x.values()]
+            if any(v is None for v in vals):
+                return None
+            if not vals:
+                return F.expr("map()").cast(dtype)
+            return F.map_from_arrays(
+                F.array(*[F.lit(k) for k in x.keys()]), F.array(*vals)
+            )
+        return None
+    return None
+
+
+def _contains_map(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _sorted_maps(col: Column, dtype: T.DataType) -> Column:
+    """Rewrite every map in the value as a key-sorted entries array so
+    ``to_json`` renders a canonical form (map iteration order is not)."""
+    if isinstance(dtype, T.MapType):
+        entries = F.array_sort(
+            F.map_entries(col),
+            lambda a, b: F.when(a["key"] < b["key"], -1)
+            .when(a["key"] > b["key"], 1)
+            .otherwise(0),
+        )
+        return F.transform(
+            entries,
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                _sorted_maps(e["value"], dtype.valueType).alias("value"),
+            ),
+        )
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda e: _sorted_maps(e, dtype.elementType))
+    if isinstance(dtype, T.StructType):
+        inner = F.struct(
+            *[_sorted_maps(col[f.name], f.dataType).alias(f.name) for f in dtype.fields]
+        )
+        # keep NULL structs NULL (a struct of NULL fields renders differently)
+        return F.when(col.isNotNull(), inner)
+    return col
+
+
 def _ck_enum(sch: Any):
     expected = human_list("or", [json_repr(x) for x in sch])
 
     def emit(value: Column, dtype: T.DataType, path: Column) -> Column:
-        # scalar enums compile to isin; complex values to canonical-JSON compare
-        scalars = [x for x in sch if not isinstance(x, (list, dict))]
-        complexes = [x for x in sch if isinstance(x, (list, dict))]
-        if complexes:
-            target = F.to_json(value) if isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)) else value.cast("string")
-            ok = target.isin([json_repr(x) for x in complexes])
-            if scalars:
-                ok = ok | value.isin(scalars)
-        else:
-            ok = value.isin(scalars)
+        # each enum literal is coerced into the column's exact dtype at
+        # compile time; comparison is then structural (1 == 1.0 holds, and
+        # struct-field order is the type's, not the JSON text's). Types
+        # containing maps are not directly comparable in Spark — those
+        # compare via to_json after canonical map-entry sorting.
+        tests = []
+        for x in sch:
+            lit = _typed_literal(x, dtype)
+            if lit is None:
+                continue
+            if _contains_map(dtype):
+                tests.append(
+                    F.to_json(_sorted_maps(value, dtype)).eqNullSafe(
+                        F.to_json(_sorted_maps(lit, dtype))
+                    )
+                )
+            else:
+                tests.append(value.eqNullSafe(lit))
+        ok = F.lit(False)
+        for t in tests:
+            ok = ok | t
         err = _err_struct(path, "enum", F.lit(""), F.lit(expected), value.cast("string"))
         return _leaf(value.isNotNull() & ~ok, err)
 
@@ -465,12 +597,14 @@ def _ck_length(sch: Any, is_min: bool):
 
 
 def _ck_pattern(sch: Any):
+    jp = _jrx(sch)  # dialect-divergent constructs raise at compile time
+
     def emit(value: Column, dtype: T.DataType, path: Column) -> Column:
         if not isinstance(dtype, T.StringType):
             return _empty_errors()
         # rlike = java.util.regex find -> unanchored, like JS RegExp.test
         err = _err_struct(path, "pattern", F.lit(f"does not match /{sch}/"))
-        return _leaf(value.isNotNull() & ~value.rlike(sch), err)
+        return _leaf(value.isNotNull() & ~value.rlike(jp), err)
 
     return emit
 
@@ -605,7 +739,7 @@ def _ck_pattern_properties(subs: List[Tuple[str, "re.Pattern", ColumnarNode]]):
                             ).otherwise(child)
                         )
             return _concat_errors(parts)
-        if isinstance(dtype, T.MapType) and isinstance(dtype.valueType, T.StringType):
+        if isinstance(dtype, T.MapType):
             parts = []
             for raw, _rx, sub in subs:
                 matched = F.map_filter(value, lambda k, _v: k.rlike(raw))
@@ -626,9 +760,11 @@ def _ck_pattern_properties(subs: List[Tuple[str, "re.Pattern", ColumnarNode]]):
     return emit
 
 
-def _ck_additional_properties(sch, sub, props: dict, patterns: List["re.Pattern"]):
+def _ck_additional_properties(
+    sch, sub, props: dict, patterns: List[Tuple[str, "re.Pattern"]]
+):
     def is_additional(name: str) -> bool:
-        return name not in props and not any(rx.search(name) for rx in patterns)
+        return name not in props and not any(rx.search(name) for _j, rx in patterns)
 
     def emit(value: Column, dtype: T.DataType, path: Column) -> Column:
         if sch is True:
@@ -685,7 +821,7 @@ def _ck_additional_properties(sch, sub, props: dict, patterns: List["re.Pattern"
                 F.map_keys(value),
                 lambda k: ~k.isin(list(props))
                 & ~F.coalesce(
-                    F.array_max(F.array(*[k.rlike(p.pattern) for p in patterns]))
+                    F.array_max(F.array(*[k.rlike(j) for j, _rx in patterns]))
                     if patterns
                     else F.lit(False),
                     F.lit(False),

@@ -205,8 +205,23 @@ def _k_maxLength(sch: Any) -> Validator:
     return check
 
 
+def _dialect_rx(pattern: str) -> "re.Pattern":
+    """Compile a draft-4 ``pattern`` with JS-dialect spellings translated
+    to Python ``re`` (reference src/v4/pattern.js:18 uses ``new RegExp``);
+    dialect-divergent constructs raise at schema-compile time."""
+    from schema_fantasy_spark.compiler.regex_dialect import (
+        RegexDialectError,
+        python_pattern,
+    )
+
+    try:
+        return python_pattern(pattern)
+    except RegexDialectError as e:
+        raise SchemaCompileError(str(e)) from None
+
+
 def _k_pattern(sch: Any) -> Validator:
-    rx = re.compile(sch)  # compiled once at plan time
+    rx = _dialect_rx(sch)  # compiled once at plan time, JS spellings translated
 
     def check(v, vpath):
         if type_of(v) != "string" or rx.search(v):
@@ -602,11 +617,11 @@ def _compile_keyword(
         return _k_properties([(k, rec(s)) for k, s in sch.items()])
     if kw == "patternProperties":
         return _k_patternProperties(
-            [(raw, re.compile(raw), rec(s)) for raw, s in sch.items()]
+            [(raw, _dialect_rx(raw), rec(s)) for raw, s in sch.items()]
         )
     if kw == "additionalProperties":
         sibling_props = node.get("properties") or {}
-        sibling_patterns = [re.compile(p) for p in (node.get("patternProperties") or {})]
+        sibling_patterns = [_dialect_rx(p) for p in (node.get("patternProperties") or {})]
         sub = rec(sch) if isinstance(sch, dict) else None
         return _k_additionalProperties(sch, sub, sibling_props, sibling_patterns)
     if kw == "items":

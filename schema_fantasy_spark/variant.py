@@ -53,6 +53,7 @@ from schema_fantasy_spark.compiler.linker import resolve_ref
 from schema_fantasy_spark.compiler.plan import json_repr
 from schema_fantasy_spark.columnar import (
     _bump_depth,
+    _jrx,
     _compound,
     _concat_errors,
     _empty_errors,
@@ -386,9 +387,11 @@ def _vk_length(sch, is_min):
 
 
 def _vk_pattern(sch):
+    jp = _jrx(sch)  # dialect-divergent constructs raise at compile time
+
     def emit(v, p):
         err = _err_struct(p, "pattern", F.lit(f"does not match /{sch}/"))
-        return _leaf((vtype(v) == "string") & ~as_string(v).rlike(sch), err)
+        return _leaf((vtype(v) == "string") & ~as_string(v).rlike(jp), err)
 
     return emit
 
@@ -477,7 +480,7 @@ def _vk_pattern_properties(subs: List[Tuple[str, VariantNode]]):
         guard = vtype(v) == "object"
         parts = []
         for raw, sub in subs:
-            matched_keys = F.filter(F.map_keys(m), lambda k: k.rlike(raw))
+            matched_keys = F.filter(F.map_keys(m), lambda k: k.rlike(_jrx(raw)))
             per_key = F.transform(
                 matched_keys,
                 lambda k: sub.emit(F.try_element_at(m, k), F.concat(p, F.array(k))),
@@ -493,7 +496,7 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
         def is_add(k):
             cond = ~k.isin(props) if props else F.lit(True)
             for raw in patterns:
-                cond = cond & ~k.rlike(raw)
+                cond = cond & ~k.rlike(_jrx(raw))
             return cond
 
         return F.filter(F.map_keys(m), is_add)

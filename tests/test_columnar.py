@@ -128,6 +128,84 @@ def test_columnar_matches_python_kernel(spark):
     assert not mismatches, f"{len(mismatches)} rows disagree; first: {mismatches[0]}"
 
 
+def test_pattern_properties_map_nonstring_values(spark):
+    """patternProperties over map<string,long> must validate matched
+    entries (round-1 advice: the StringType-valueType restriction
+    silently passed invalid data in the columnar mode)."""
+    schema = {"properties": {"m": {"patternProperties": {"^x": {"maximum": 10}}}}}
+    df = spark.createDataFrame(
+        [(0, {"x1": 999}), (1, {"x1": 5, "other": 999}), (2, {"x2": 11, "x3": 3}), (3, None)],
+        T.StructType([
+            T.StructField("rid", T.LongType()),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]),
+    )
+    plan = compile_columnar(schema)
+    got = {
+        r["rid"]: sorted(("/".join(e["path"]), e["keyword"]) for e in r["errors"])
+        for r in plan.apply(df).select("rid", "errors").collect()
+    }
+    assert got[0] == [("m/x1", "maximum")]
+    assert got[1] == []  # non-matching key not validated
+    assert got[2] == [("m/x2", "maximum")]
+    assert got[3] == []
+    # cross-check the dynamic kernel agrees
+    kernel = compile_schema(schema)
+    for value, want in [({"m": {"x1": 999}}, got[0]), ({"m": {"x1": 5, "other": 999}}, got[1]),
+                        ({"m": {"x2": 11, "x3": 3}}, got[2]), ({}, got[3])]:
+        errs = sorted(
+            ("/".join(str(p) for p in e.vpath), e.keyword)
+            for err in kernel.validate(value)
+            for e, _dp in err.flatten()
+        )
+        assert errs == want, value
+
+
+def test_composite_enum_structural_equality(spark):
+    """Composite enum values compare structurally, not as JSON text
+    (round-1 advice: field order and 1 vs 1.0 caused false negatives)."""
+    df = spark.createDataFrame(
+        [(0, Row(b=1, a=2), [1.0], {"k": 1}),
+         (1, Row(b=1, a=3), [2.5], {"k": 2}),
+         (2, None, None, None)],
+        T.StructType([
+            T.StructField("rid", T.LongType()),
+            T.StructField("o", T.StructType([
+                T.StructField("b", T.LongType()), T.StructField("a", T.LongType())])),
+            T.StructField("xs", T.ArrayType(T.DoubleType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]),
+    )
+    schema = {"properties": {
+        "o": {"enum": [{"b": 1, "a": 2}]},       # field order differs from type's
+        "xs": {"enum": [[1], [3.5]]},            # int literal vs double column
+        "m": {"enum": [{"k": 1.0}]},             # map + float literal vs long value
+    }}
+    plan = compile_columnar(schema)
+    got = {r["rid"]: sorted(e["path"][0] for e in r["errors"])
+           for r in plan.apply(df).select("rid", "errors").collect()}
+    assert got[0] == []          # all three match despite order/numeric repr
+    assert got[1] == ["m", "o", "xs"]
+    assert got[2] == []          # nulls vacuously pass
+    # the dynamic kernel agrees
+    kernel = compile_schema(schema)
+    assert list(kernel.validate({"o": {"b": 1, "a": 2}, "xs": [1.0], "m": {"k": 1}})) == []
+    assert len(list(kernel.validate({"o": {"b": 1, "a": 3}, "xs": [2.5], "m": {"k": 2}}))) == 3
+
+
+def test_composite_enum_type_mismatch_never_matches(spark):
+    """Literals not representable in the column type can match nothing:
+    booleans are not numbers, strings are not numbers (R.equals parity)."""
+    df = spark.createDataFrame([(1, True, "1")], "i: long, b: boolean, s: string")
+    plan = compile_columnar({"properties": {
+        "i": {"enum": [True, "1"]},   # neither matches a numeric 1
+        "b": {"enum": [1]},           # number does not match true
+        "s": {"enum": [1]},           # number does not match "1"
+    }})
+    errs = plan.apply(df).collect()[0]["errors"]
+    assert sorted(e["path"][0] for e in errs) == ["b", "i", "s"]
+
+
 def test_columnar_rejects_recursive_schema():
     rec = {"definitions": {"node": {"properties": {"kid": {"$ref": "#/definitions/node"}}}},
            "$ref": "#/definitions/node"}
