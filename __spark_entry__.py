@@ -311,16 +311,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.06)
 
     def minhash_near_dup_documents(spark, sf):
+        # md5-lane minhash so the DuckDB oracle replays the FULL pipeline
+        # (signatures -> bands -> bucket join -> exact-Jaccard verify);
+        # method='xxhash64' (default) is the faster scale path with
+        # identical plan shape
         from schema_fantasy_spark.ops import dedup
 
-        docs = tables.load(spark, sf, "documents")
-        return dedup.minhash_near_duplicates(docs, threshold=0.06)
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        return dedup.minhash_near_duplicates(
+            docs, threshold=0.06, num_hashes=16, bands=8, method="md5"
+        )
 
     def simhash_near_dup_documents(spark, sf):
+        # 60-bit md5-prefix simhash (oracle-replayable); the xxhash64
+        # 64-bit variant is the scale default with the same plan shape
         from schema_fantasy_spark.ops import dedup
 
-        docs = tables.load(spark, sf, "documents")
-        return dedup.simhash_near_duplicates(docs, max_hamming=3).select(
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        return dedup.simhash_near_duplicates(docs, max_hamming=3, method="md5").select(
             "id_a", "id_b", "hamming"
         )
 
@@ -350,10 +358,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.lang_id(docs).select("doc_id", "lang_pred")
 
     def fingerprint_documents(spark, sf):
+        # md5-hex min-hash fingerprint (oracle-replayable); xxhash64 is
+        # the scale default
         from schema_fantasy_spark.ops import text as tx
 
         docs = tables.load(spark, sf, "documents")
-        return tx.fingerprint(docs).select("doc_id", "fingerprint")
+        return tx.fingerprint(docs, method="md5").select("doc_id", "fingerprint")
 
     def cosine_topk_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
@@ -385,7 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from schema_fantasy_spark.ops import similarity as sim
 
         emb = tables.load(spark, sf, "embeddings")
-        return sim.near_duplicates_by_embedding(emb, threshold=0.5)
+        # 0.4 yields a non-empty result at sf0.01 so the oracle gate is
+        # exercised on real rows, not a vacuous empty-vs-empty match
+        return sim.near_duplicates_by_embedding(emb, threshold=0.4)
 
     return {
         "flagship_validation": flagship_validation,
@@ -813,6 +825,169 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CASE WHEN g = 0 THEN 'und' {_case} END AS lang_pred FROM m
     """
 
+    # ---- full-pipeline replicas for the formerly rows-only queries ------
+    # (the Spark queries run the md5-based method of each operator; these
+    # SQL replicas replay the SAME algorithm — signatures, banding, bucket
+    # join, exact verification — so the match is exact, not probabilistic)
+
+    fingerprint_sql = """
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                     i -> substr(md5(substr(text, i, 8)), 1, 16)))
+           END AS fingerprint
+      FROM documents
+    """
+
+    _mh_seed, _mh_lanes, _mh_bands = 42, 16, 8
+    _mh_rows = _mh_lanes // _mh_bands
+    _lane_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> substr(md5(concat('{_mh_seed + i}:', s)), 1, 16))) AS h{i}"
+        for i in range(_mh_lanes)
+    )
+    _band_structs = ", ".join(
+        "{band: %d, key: %s}"
+        % (b, " || ".join(f"h{b * _mh_rows + r}" for r in range(_mh_rows)))
+        for b in range(_mh_bands)
+    )
+    minhash_sql = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        FROM documents WHERE text IS NOT NULL),
+    sh_t AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk)-1),
+                                   i -> array_to_string(tk[i:i+2], ' '))
+               ELSE [array_to_string(tk, ' ')] END) AS sh
+        FROM toks),
+    m AS MATERIALIZED (
+      SELECT doc_id, {_lane_cols}
+        FROM sh_t),
+    banded AS MATERIALIZED (
+      SELECT doc_id, unnest([{_band_structs}], recursive := true) FROM m),
+    ok_buckets AS (
+      SELECT band, key FROM banded GROUP BY band, key
+      HAVING count(*) > 1 AND count(*) <= 64),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN ok_buckets USING (band, key)
+        JOIN banded b USING (band, key)
+       WHERE a.doc_id < b.doc_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.sh, tb.sh)) AS n_inter,
+             len(list_distinct(list_concat(ta.sh, tb.sh))) AS n_union,
+             round(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1), 6)
+               AS jaccard
+        FROM cand c
+        JOIN sh_t ta ON ta.doc_id = c.id_a
+        JOIN sh_t tb ON tb.doc_id = c.id_b)
+    SELECT id_a, id_b, n_inter, n_union, jaccard FROM scored WHERE jaccard >= 0.06
+    """
+
+    # 60-bit md5-prefix simhash: token hash = conv of the first 15 hex
+    # chars; votes per bit; 4 x 15-bit chunk banding; Hamming <= 3
+    _sim_bit_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) * 2 - len(hs) > 0"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)
+    )
+    _sim_chunks = ", ".join(
+        "{chunk: %d, val: (sim >> %d) & 32767}" % (c, c * 15) for c in range(4)
+    )
+    simhash_sql = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        FROM documents WHERE text IS NOT NULL),
+    hs_t AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(tk, t -> CAST(list_sum(list_transform(range(1, 16),
+               p -> (strpos('0123456789abcdef', substr(md5(t), p, 1)) - 1)
+                    * CAST(pow(16, 15 - p) AS BIGINT))) AS BIGINT)) AS hs
+        FROM toks),
+    sig AS MATERIALIZED (
+      SELECT doc_id, CAST({_sim_bit_terms} AS BIGINT) AS sim FROM hs_t),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, sim, unnest([{_sim_chunks}], recursive := true) FROM sig),
+    p AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sim_a, b.sim AS sim_b
+        FROM chunks a JOIN chunks b USING (chunk, val)
+       WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+      FROM p WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """
+
+    # RP-LSH over embeddings: the 16 hyperplanes are deterministic
+    # splitmix-style constants — embed them as literals so the oracle
+    # replays the exact signature arithmetic (per-element double products,
+    # left-to-right sum, sign at >= 0)
+    from schema_fantasy_spark.ops.similarity import _hyperplane
+
+    _dim, _n_planes = 64, 16
+
+    def _dot_sql(vec_expr: str, plane) -> str:
+        lits = ", ".join(repr(c) for c in plane)
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, [{lits}]),"
+            f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    _sig_terms = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _hyperplane(_dim, 42, p))} >= 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(_n_planes)
+    )
+    _cos_expr = """
+      list_sum(list_transform(list_zip(va, vb),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+    ann_lsh_sql = f"""
+    WITH sigs AS MATERIALIZED (
+      SELECT vec_id, embedding, CAST({_sig_terms} AS BIGINT) AS sig FROM embeddings),
+    q AS (SELECT sig AS qsig, embedding AS qe FROM sigs WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id, s.embedding AS va, q.qe AS vb
+        FROM sigs s, q
+       WHERE s.vec_id <> 0 AND (
+             ((s.sig >> 0) & 15) = ((q.qsig >> 0) & 15) OR
+             ((s.sig >> 4) & 15) = ((q.qsig >> 4) & 15) OR
+             ((s.sig >> 8) & 15) = ((q.qsig >> 8) & 15) OR
+             ((s.sig >> 12) & 15) = ((q.qsig >> 12) & 15)))
+    SELECT vec_id, round({_cos_expr}, 5) AS cosine_sim
+      FROM cand ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """
+
+    _emb_chunks = ", ".join(
+        "{band: %d, val: (sig >> %d) & 15}" % (b, b * 4) for b in range(4)
+    )
+    near_dup_emb_sql = f"""
+    WITH sigs AS MATERIALIZED (
+      SELECT vec_id, embedding, CAST({_sig_terms} AS BIGINT) AS sig FROM embeddings),
+    chunks AS MATERIALIZED (
+      SELECT vec_id, unnest([{_emb_chunks}], recursive := true) FROM sigs),
+    p AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM chunks a JOIN chunks b USING (band, val)
+       WHERE a.vec_id < b.vec_id),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             round({_cos_expr.replace("va", "sa.embedding").replace("vb", "sb.embedding")}, 5)
+               AS cosine_sim
+        FROM p
+        JOIN sigs sa ON sa.vec_id = p.id_a
+        JOIN sigs sb ON sb.vec_id = p.id_b)
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+    """
+
     cosine_topk_sql = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -859,8 +1034,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": lang_id,
         "cosine_topk_embeddings": cosine_topk_sql,
         "ivf_topk_embeddings": cosine_topk_sql,
-        # minhash_near_dup_documents, simhash_near_dup_documents,
-        # fingerprint_documents, ann_lsh_topk_embeddings, near_dup_embeddings:
-        # xxhash64/RP-LSH are Spark-specific -> rows-only driver check;
-        # pytest asserts them against brute-force ground truth instead.
+        "fingerprint_documents": fingerprint_sql,
+        "minhash_near_dup_documents": minhash_sql,
+        "simhash_near_dup_documents": simhash_sql,
+        "ann_lsh_topk_embeddings": ann_lsh_sql,
+        "near_dup_embeddings": near_dup_emb_sql,
     }

@@ -95,32 +95,64 @@ def _barrier(df: DataFrame, expr: Column, name: str) -> DataFrame:
     return df.select("*", F.explode(F.array(expr)).alias(name))
 
 
-def minhash_signature(sh: Column, num_hashes: int = 64, seed: int = 42) -> Column:
-    """k-permutation MinHash signature as array<long> from a shingle-array
-    column: for each seed i, min over shingles of xxhash64(shingle, i).
+def minhash_signature(
+    sh: Column, num_hashes: int = 64, seed: int = 42, method: str = "xxhash64"
+) -> Column:
+    """k-permutation MinHash signature from a shingle-array column.
     Pass an ATTRIBUTE (barrier-materialized) shingle column — passing a
-    raw shingles_col expression rebuilds it once per hash lane."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
-            for i in range(num_hashes)
-        ]
-    )
+    raw shingles_col expression rebuilds it once per hash lane.
+
+    ``method='xxhash64'`` (default, the scale path): for each seed i, min
+    over shingles of xxhash64(shingle, i) -> array<long>.
+    ``method='md5'`` (the oracle path): min over shingles of the 16-hex
+    prefix of md5('<seed+i>:' || shingle) -> array<string>; lexicographic
+    min of fixed-width lowercase hex == numeric min, and any engine with
+    md5 (e.g. the DuckDB driver oracle) reproduces it bit-for-bit."""
+    # NB: lane closures, not `lambda s, i=i`: F.transform treats a
+    # two-parameter lambda as (element, index) and would shadow i with
+    # the array-index column, silently collapsing every lane to one hash
+    def md5_lane(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed + i}:"), s)), 1, 16),
+            )
+        )
+
+    def xx_lane(i: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
+
+    lane = md5_lane if method == "md5" else xx_lane
+    return F.array(*[lane(i) for i in range(num_hashes)])
 
 
-def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, bucket:long>> — hash each band's slice."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.xxhash64(
+def lsh_bands(
+    signature: Column, bands: int, rows_per_band: int, method: str = "xxhash64"
+) -> Column:
+    """array<struct<band:int, bucket>> — one bucket key per band slice.
+    xxhash64 method re-hashes the slice to a fixed-width long (the scale
+    shape: narrow shuffle keys); md5 method concatenates the slice's hex
+    minhashes verbatim so any engine reproduces the bucket key."""
+    if method == "md5":
+        def bucket_of(b: Column) -> Column:
+            return F.concat_ws(
+                "", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+            )
+    else:
+        def bucket_of(b: Column) -> Column:
+            return F.xxhash64(
                 F.concat_ws(",", F.transform(
                     F.slice(signature, b * rows_per_band + 1, rows_per_band),
                     lambda x: x.cast("string"),
                 )),
                 b,
-            ).alias("bucket"),
+            )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            bucket_of(b).alias("bucket"),
         ),
     )
 
@@ -133,6 +165,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding.
 
@@ -152,13 +185,13 @@ def minhash_lsh_candidates(
     )
     signed = _barrier(
         shingled.select(id_col, "_sh"),
-        minhash_signature(F.col("_sh"), num_hashes, seed),
+        minhash_signature(F.col("_sh"), num_hashes, seed, method),
         "_sig",
     )
     banded = (
         signed.select(
             F.col(id_col),
-            F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("bb"),
+            F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band, method)).alias("bb"),
         )
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
@@ -234,37 +267,36 @@ def minhash_near_duplicates(
 # ----------------------------------------------------------------- SimHash
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of whitespace tokens, entirely with higher-order
-    functions: per token, xxhash64 bits vote +1/-1 per position; the
-    signature takes the sign of each accumulated position."""
+def _simhash_sig(text: Column, nbits: int, token_hash) -> Column:
+    """SimHash of whitespace tokens, entirely with higher-order functions:
+    per token, ``token_hash`` bits vote +1/-1 per position; the signature
+    takes the sign of each accumulated position. ``nbits`` usable sign
+    bits are folded into a non-negative long."""
     toks = tokens_col(text)
     # per-token bit-vote arrays (bit positions unrolled: shiftright needs a
     # literal count), then one zip_with-sum aggregate over tokens
     def bit_votes(t: Column) -> Column:
-        h = F.xxhash64(t)
+        h = token_hash(t)
         return F.array(
             *[
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
                     F.lit(-1)
                 )
-                for j in range(64)
+                for j in range(nbits)
             ]
         )
 
     votes = F.aggregate(
         F.transform(toks, bit_votes),
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), nbits),
         lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
     )
-    # fold sign bits into a long (bit 63 omitted -> positive 63-bit
-    # fingerprint). The fold MUST reference `votes` exactly once: a 63-term
-    # sum of element_at(votes, j) inlines the whole token aggregate 63
-    # times (measured 385s for 5k docs; ~6s this way). zip_with against a
-    # literal powers-of-two array traverses votes once.
-    powers = F.array(
-        *[F.lit(1 << j).cast("long") for j in range(63)] + [F.lit(0).cast("long")]
-    )
+    # fold sign bits into a long. The fold MUST reference `votes` exactly
+    # once: an nbits-term sum of element_at(votes, j) inlines the whole
+    # token aggregate nbits times (measured 385s for 5k docs; ~6s this
+    # way). zip_with against a literal powers-of-two array traverses
+    # votes once.
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
     return F.aggregate(
         F.zip_with(
             votes,
@@ -276,16 +308,44 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def simhash64(text: Column) -> Column:
+    """63-usable-bit SimHash from xxhash64 token hashes — the scale
+    default (bit 63 omitted so the fingerprint stays non-negative)."""
+    return _simhash_sig(text, 63, F.xxhash64)
+
+
+def simhash60_md5(text: Column) -> Column:
+    """60-bit SimHash from the 15-hex-char prefix of md5(token) — the
+    oracle-comparable variant: any engine with md5 reproduces the token
+    hash (conv hex->long stays in whole-stage codegen), so the full
+    near-dup pipeline is replayable in the DuckDB driver oracle."""
+    return _simhash_sig(
+        text,
+        60,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit chunk of the SimHash in any of 4
-    positions (pigeonhole: catches all pairs with Hamming distance <= 3)."""
-    # barrier: without it, CollapseProject inlines the (large) simhash64
+    """Near-dup candidates: equal chunk of the SimHash in any of 4
+    positions (pigeonhole: catches all pairs with Hamming distance <= 3).
+    ``method='md5'`` uses the 60-bit oracle-comparable signature with
+    15-bit chunks; the default 64-bit signature uses 16-bit chunks."""
+    if method == "md5":
+        sig_col, chunk_bits = simhash60_md5(F.col(text_col)), 15
+    else:
+        sig_col, chunk_bits = simhash64(F.col(text_col)), 16
+    mask = (1 << chunk_bits) - 1
+    # barrier: without it, CollapseProject inlines the (large) simhash
     # expression into all four chunk projections -> 5x evaluation
-    sh = _barrier(
-        df.select(F.col(id_col), F.col(text_col)), simhash64(F.col(text_col)), "sim"
-    ).select(id_col, "sim")
+    sh = _barrier(df.select(F.col(id_col), F.col(text_col)), sig_col, "sim").select(
+        id_col, "sim"
+    )
     chunks = sh.select(
         id_col,
         "sim",
@@ -294,8 +354,8 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sim"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sim"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for c in range(4)
@@ -317,8 +377,12 @@ def simhash_candidates(
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    method: str = "xxhash64",
 ) -> DataFrame:
-    return simhash_candidates(df, text_col, id_col).filter(
+    return simhash_candidates(df, text_col, id_col, method).filter(
         F.col("hamming") <= max_hamming
     )

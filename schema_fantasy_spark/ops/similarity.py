@@ -104,10 +104,18 @@ def ann_lsh_topk(
 
     Recall/cost dial: more bands -> higher recall, more candidates.
     """
+    from schema_fantasy_spark.ops.dedup import _barrier
+
     dim = len(query_vec)
     bits_per_band = n_planes // bands
-    sig = rp_signature(F.col(vec_col), dim, n_planes, seed)
-    with_sig = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig"))
+    # Generate-barrier: the band-match filter references sig once per band;
+    # without the barrier CollapseProject re-inlines the full 16-plane
+    # dot-product tree into every band predicate
+    with_sig = _barrier(
+        df.select(F.col(id_col), F.col(vec_col)),
+        rp_signature(F.col(vec_col), dim, n_planes, seed),
+        "sig",
+    )
 
     # query signature computed driver-side with identical arithmetic
     qsig = 0

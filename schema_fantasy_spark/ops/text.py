@@ -120,13 +120,24 @@ def fingerprint(
     id_col: str = "doc_id",
     gram: int = 8,
     out_col: str = "fingerprint",
+    method: str = "xxhash64",
 ) -> DataFrame:
-    """Rolling-hash document fingerprint: min xxhash64 over character
+    """Rolling-hash document fingerprint: min hash over character
     ``gram``-shingles (min-hash winnowing, resilient to local edits).
-    substr with column offsets via SQL expr — still whole-stage codegen."""
+    substr with column offsets via SQL expr — still whole-stage codegen.
+
+    ``method='xxhash64'`` (default): long fingerprint, fastest at scale.
+    ``method='md5'``: 64-bit hex-prefix fingerprint as a string —
+    bit-reproducible in any engine with md5 (the DuckDB oracle replicates
+    it), same min-hash semantics (lexicographic min of fixed-width hex ==
+    numeric min)."""
+    if method == "md5":
+        hashed = f"substr(md5(substr({text_col}, i, {gram})), 1, 16)"
+    else:
+        hashed = f"xxhash64(substr({text_col}, i, {gram}))"
     shingle_hashes = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {gram - 1}, 1)),"
-        f" i -> xxhash64(substr({text_col}, i, {gram})))"
+        f" i -> {hashed})"
     )
     return df.withColumn(
         out_col,

@@ -52,6 +52,47 @@ def test_minhash_near_duplicates(docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_minhash_lanes_are_independent(docs, method):
+    """Every signature lane must use a distinct seed/prefix. Guards the
+    F.transform two-parameter-lambda trap: (s, i) lambdas receive the
+    ARRAY INDEX as i, collapsing all lanes to one hash (hit in round 2)."""
+    sh = dedup._barrier(
+        docs.filter("doc_id = 0").select("doc_id", "text"),
+        dedup.shingles_col(F.col("text"), 3),
+        "_sh",
+    )
+    sig = sh.select(
+        dedup.minhash_signature(F.col("_sh"), 8, 42, method).alias("sig")
+    ).collect()[0]["sig"]
+    assert len(set(sig)) > 4, f"lanes collapsed: {sig}"
+
+
+def test_minhash_md5_method_matches_xxhash_semantics(docs):
+    """The oracle-comparable md5 pipeline verifies with the same exact
+    Jaccard stage, so any pair both candidate paths surface must carry an
+    identical score; with rows_per_band=2 the md5 parameters have HIGHER
+    recall at mid Jaccard, so xxhash's verified pairs are a subset."""
+    xx = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dedup.minhash_near_duplicates(docs, threshold=0.3).collect()}
+    md = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dedup.minhash_near_duplicates(
+              docs, threshold=0.3, num_hashes=16, bands=8, method="md5").collect()}
+    assert set(xx) <= set(md)
+    assert all(md[k] == v for k, v in xx.items())
+    assert {k for k, j in md.items() if j >= 0.8} <= set(xx)  # high-j recall
+
+
+def test_simhash_md5_method(docs):
+    """60-bit md5-prefix simhash: identical docs collide; hamming is
+    consistent with the signature definition."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(
+                 docs, max_hamming=8, method="md5").collect()}
+    assert pairs[(0, 1)] == 0  # identical text -> identical fingerprint
+    assert all(h <= 8 for h in pairs.values())
+
+
 def test_minhash_candidates_superset_of_high_jaccard(docs):
     """LSH recall: pairs with true Jaccard >= 0.8 are candidates with
     P(miss) = (1 - 0.8^4)^16 ~ 2e-4 — and the fixed seed makes this corpus
