@@ -117,8 +117,9 @@ class ResumableValidationRun:
         """``fail_after``: test hook — raise after N partitions complete
         (simulates a mid-run crash for the resume test)."""
         done = self.manifest.completed()
-        todo = [p for p in self.partitions(df) if p not in done]
-        skipped = [p for p in self.partitions(df) if p in done]
+        all_parts = self.partitions(df)  # one listing job, not one per use
+        todo = [p for p in all_parts if p not in done]
+        skipped = [p for p in all_parts if p in done]
         processed: List[str] = []
         for i, part in enumerate(todo):
             if fail_after is not None and i >= fail_after:
@@ -126,24 +127,34 @@ class ResumableValidationRun:
             t0 = time.time()
             pdf = df.filter(F.col(self.partition_col).cast("string") == part)
             validated = self.engine.apply(pdf)
-            if self.violations_dir:
-                viol = ValidationEngine.violations(validated, list(self.id_cols))
-                viol.write.mode("overwrite").parquet(
-                    os.path.join(self.violations_dir, f"part={_safe_key(part)}")
-                )
-                # second pass for metrics only over this partition slice
-            agg = validated.agg(
+            metric_cols = [
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.col("verdict").cast("long")).alias("n_valid"),
                 F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
                 F.sum(F.size("errors")).alias("n_errors"),
-            ).collect()[0]
+            ]
+            if self.violations_dir:
+                # ONE pass per partition: metrics ride the violations write
+                # as a CollectMetrics (observe) node — Catalyst cannot push
+                # the violations filter below it, so the observation sees
+                # every validated row while the write job runs
+                from pyspark.sql import Observation
+
+                obs = Observation(f"validate-{_safe_key(part)}")
+                observed = validated.observe(obs, *metric_cols)
+                viol = ValidationEngine.violations(observed, list(self.id_cols))
+                viol.write.mode("overwrite").parquet(
+                    os.path.join(self.violations_dir, f"part={_safe_key(part)}")
+                )
+                agg = obs.get
+            else:
+                agg = validated.agg(*metric_cols).collect()[0].asDict()
             metrics = {
                 "n_rows": agg["n_rows"],
-                "n_valid": agg["n_valid"],
-                "n_invalid": agg["n_invalid"],
-                "n_errors": agg["n_errors"],
-                "pass": agg["n_invalid"] == 0,
+                "n_valid": agg["n_valid"] or 0,
+                "n_invalid": agg["n_invalid"] or 0,
+                "n_errors": agg["n_errors"] or 0,
+                "pass": (agg["n_invalid"] or 0) == 0,
                 "wall_sec": round(time.time() - t0, 3),
             }
             self.manifest.mark(part, metrics)

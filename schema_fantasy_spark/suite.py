@@ -62,7 +62,12 @@ class CheckSuite:
                  id_cols: Sequence[str] = ("url",)):
         self._engine = ValidationEngine(schema, refs=refs) if schema else None
         self._id_cols = list(id_cols)
-        self._checks: List[Callable[[DataFrame], List[CheckResult]]] = []
+        # slots in registration order: ("agg", build_aggs(df)->[Column],
+        # finish(row)->[CheckResult]) fold into ONE aggregation pass;
+        # ("job", fn, None) are join/shuffle-shaped checks that stay
+        # separate Spark jobs. At 100 TB this is the difference between
+        # one scan for schema+null_rate+bounds and one scan PER check.
+        self._slots: List[tuple] = []
         self._max_invalid_rate = 0.0
 
     # ------------------------------------------------------------ builders
@@ -74,18 +79,26 @@ class CheckSuite:
         return self
 
     def with_null_rate(self, col: str, max_rate: float) -> "CheckSuite":
-        def check(df: DataFrame) -> List[CheckResult]:
-            r = tc.null_rates(df, [col]).collect()[0]
+        tag = f"_c{len(self._slots)}"
+
+        def build(df: DataFrame):
+            return [F.sum(F.col(col).isNull().cast("long")).alias(f"{tag}_null")]
+
+        def finish(row) -> List[CheckResult]:
+            n_null, n_rows = row[f"{tag}_null"] or 0, row["_n_rows"]
+            rate = (n_null / n_rows) if n_rows else 0.0
             return [CheckResult(
-                f"null_rate({col})", "column", r["null_rate"] <= max_rate,
-                r["null_rate"], f"{r['n_null']}/{r['n_rows']} null, max {max_rate}",
+                f"null_rate({col})", "column", rate <= max_rate,
+                rate, f"{n_null}/{n_rows} null, max {max_rate}",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("agg", build, finish))
         return self
 
     def with_bounds(self, col: str, minimum=None, maximum=None) -> "CheckSuite":
-        def check(df: DataFrame) -> List[CheckResult]:
+        tag = f"_c{len(self._slots)}"
+
+        def build(df: DataFrame):
             # comparisons happen Spark-side so bound literals coerce to the
             # column type (e.g. string date vs timestamp column)
             c = F.col(col)
@@ -94,19 +107,21 @@ class CheckSuite:
                 viol = viol | (c < F.lit(minimum).cast(df.schema[col].dataType))
             if maximum is not None:
                 viol = viol | (c > F.lit(maximum).cast(df.schema[col].dataType))
-            agg = df.agg(
-                F.sum(viol.cast("long")).alias("n_viol"),
-                F.min(col).cast("string").alias("mn"),
-                F.max(col).cast("string").alias("mx"),
-            ).collect()[0]
-            n = agg["n_viol"] or 0
+            return [
+                F.sum(viol.cast("long")).alias(f"{tag}_viol"),
+                F.min(col).cast("string").alias(f"{tag}_mn"),
+                F.max(col).cast("string").alias(f"{tag}_mx"),
+            ]
+
+        def finish(row) -> List[CheckResult]:
+            n = row[f"{tag}_viol"] or 0
             return [CheckResult(
                 f"bounds({col})", "column", n == 0, float(n),
                 f"{n} rows outside [{minimum}, {maximum}]; "
-                f"observed [{agg['mn']}, {agg['mx']}]",
+                f"observed [{row[f'{tag}_mn']}, {row[f'{tag}_mx']}]",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("agg", build, finish))
         return self
 
     def with_uniqueness(self, key_cols: Sequence[str]) -> "CheckSuite":
@@ -120,7 +135,7 @@ class CheckSuite:
                 f"{s['n_duplicates']} duplicate rows over {s['n_keys']} keys",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("job", check, None))
         return self
 
     def with_referential(self, parent: DataFrame, fk, pk=None,
@@ -132,7 +147,7 @@ class CheckSuite:
                 float(s["n_orphans"]), f"{s['n_orphans']} orphan rows",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("job", check, None))
         return self
 
     def with_categorical_drift(self, col: str, baseline: DataFrame,
@@ -147,7 +162,7 @@ class CheckSuite:
                 f"dof={stat['dof']}, max {max_chi_square}",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("job", check, None))
         return self
 
     def with_numeric_drift(self, col_expr, baseline_hist: DataFrame, lo, hi, buckets,
@@ -160,11 +175,11 @@ class CheckSuite:
                 stat["ks_stat"] <= max_ks, stat["ks_stat"], f"max {max_ks}",
             )]
 
-        self._checks.append(check)
+        self._slots.append(("job", check, None))
         return self
 
     def with_custom(self, name: str, fn: Callable[[DataFrame], CheckResult]) -> "CheckSuite":
-        self._checks.append(lambda df: [fn(df)])
+        self._slots.append(("job", lambda df: [fn(df)], None))
         return self
 
     # ----------------------------------------------------------------- run
@@ -174,20 +189,40 @@ class CheckSuite:
         validated = violations = None
         if self._engine is not None:
             validated = self._engine.apply(df).persist()
-            agg = validated.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((~F.col("verdict")).cast("long")).alias("n_invalid"),
-            ).collect()[0]
-            rate = (agg["n_invalid"] / agg["n"]) if agg["n"] else 0.0
+        target = validated if validated is not None else df
+
+        # ONE aggregation pass for the schema verdict + every algebraic
+        # column-scope check (null rates, bounds): a single scan with
+        # map-side partial aggregation, however many checks registered
+        agg_slots = [s for s in self._slots if s[0] == "agg"]
+        row = None
+        if self._engine is not None or agg_slots:
+            aggs = [F.count(F.lit(1)).alias("_n_rows")]
+            if self._engine is not None:
+                aggs.append(
+                    F.sum((~F.col("verdict")).cast("long")).alias("_n_invalid")
+                )
+            for _kind, build, _finish in agg_slots:
+                aggs.extend(build(target))
+            row = target.agg(*aggs).collect()[0]
+
+        if self._engine is not None:
+            n, n_invalid = row["_n_rows"], row["_n_invalid"] or 0
+            rate = (n_invalid / n) if n else 0.0
             results.append(CheckResult(
                 "schema", "row", rate <= self._max_invalid_rate, rate,
-                f"{agg['n_invalid']}/{agg['n']} invalid rows, "
+                f"{n_invalid}/{n} invalid rows, "
                 f"max rate {self._max_invalid_rate}",
             ))
             violations = ValidationEngine.violations(validated, self._id_cols)
-        target = validated if validated is not None else df
-        for check in self._checks:
-            results.extend(check(target))
+
+        # join/shuffle-shaped checks run as their own jobs, in
+        # registration order interleaved with agg finishers
+        for kind, payload, finish in self._slots:
+            if kind == "agg":
+                results.extend(finish(row))
+            else:
+                results.extend(payload(target))
         if validated is not None:
             validated.unpersist()
         return SuiteReport(results, validated, violations)

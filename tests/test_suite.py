@@ -67,3 +67,33 @@ def test_suite_referential(spark):
     )
     r = report.results[0]
     assert not r.passed and r.metric == len(range(0, 2000, 211))
+
+
+def test_suite_algebraic_checks_fold_into_one_job(spark):
+    """schema + N null-rate/bounds checks must execute as ONE Spark job
+    (one scan, one aggregation with map-side partials) — not one job per
+    check (round-1 verdict: serial per-check scans are a 100 TB killer)."""
+    df = pages(spark, 2000)
+    suite = (
+        CheckSuite(schema=PAGES_SCHEMA, id_cols=("id",))
+        .with_max_invalid_rate(0.05)
+        .with_null_rate("lang", 0.05)
+        .with_null_rate("text", 0.5)
+        .with_bounds("warc_ts", maximum="2030-01-01")
+    )
+    baseline = CheckSuite(schema=PAGES_SCHEMA, id_cols=("id",)).with_max_invalid_rate(0.05)
+
+    def jobs_for(s, group):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "suite job-count audit")
+        try:
+            return s.run(df), len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+
+    _, n_schema_only = jobs_for(baseline, "suite-schema-only")
+    report, n_with_checks = jobs_for(suite, "suite-with-checks")
+    # AQE may split one aggregation into several jobs, but adding
+    # algebraic checks must not add ANY: they ride the same aggregation
+    assert n_with_checks == n_schema_only, (n_schema_only, n_with_checks)
+    assert len(report.results) == 4
