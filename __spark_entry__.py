@@ -380,16 +380,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sim.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, 10)
 
     def ivf_topk_embeddings(spark, sf):
-        # IVF index (seeded k-means lists) probed EXHAUSTIVELY: must equal
-        # the exact brute-force top-k, so it shares the cosine oracle;
-        # partial-probe recall is asserted in pytest
+        # IVF index (seeded k-means lists) PERSISTED partitionBy(list_id),
+        # read back, and probed EXHAUSTIVELY: must equal the exact
+        # brute-force top-k, so it shares the cosine oracle. Partial-probe
+        # recall + partition pruning are asserted in pytest
+        # (tests/test_plan_audit.py).
+        import tempfile
+
         from schema_fantasy_spark.ops import similarity as sim
 
         emb = tables.load(spark, sf, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         rest = emb.filter(F.col("vec_id") != 0)
         assigned, centroids = sim.ivf_index(rest, n_lists=8)
-        return sim.ivf_topk(assigned, centroids, qvec, 10, n_probe=8)
+        index_dir = tempfile.mkdtemp(prefix="sfspark_ivf_")
+        sim.ivf_write(assigned, centroids, index_dir)
+        assigned2, centroids2 = sim.ivf_read(spark, index_dir)
+        return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
+
+    def text_consistency_documents(spark, sf):
+        # the north-star per-row invariant (BASELINE input_hint:
+        # byte-identical extracted text per key) gated on the driver
+        # oracle: a deterministically corrupted copy (every 97th doc gets
+        # '!' appended) must surface EXACTLY those keys with both hashes
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        corrupted = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        return tc.text_consistency(
+            corrupted, docs, key_col="doc_id", text_col="text", method="md5"
+        )
 
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
@@ -433,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
+        "text_consistency_documents": text_consistency_documents,
     }
 
 
@@ -1039,4 +1062,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_documents": simhash_sql,
         "ann_lsh_topk_embeddings": ann_lsh_sql,
         "near_dup_embeddings": near_dup_emb_sql,
+        "text_consistency_documents": """
+    SELECT doc_id, md5(text || '!') AS h_actual, md5(text) AS h_expected
+      FROM documents
+     WHERE text IS NOT NULL AND doc_id % 97 = 0
+    """,
     }

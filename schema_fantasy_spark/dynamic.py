@@ -38,7 +38,23 @@ def json_errors_udf(schema: Any, refs: Optional[Dict[str, Any]] = None):
             if doc is None:
                 value = None
             else:
-                value = json.loads(doc)
+                try:
+                    value = json.loads(doc)
+                except (ValueError, RecursionError) as e:
+                    # quarantine, don't kill the job: at 10^12 docs one
+                    # malformed document must become a violation row, not
+                    # a failed stage ('$parse' is not a draft-4 keyword,
+                    # so it can never collide with schema-driven errors)
+                    return [
+                        {
+                            "path": [],
+                            "keyword": "$parse",
+                            "message": f"malformed JSON: {e}"[:200],
+                            "expected": None,
+                            "actual": doc[:80],
+                            "depth": 0,
+                        }
+                    ]
             return errs_to_rows(validate(value))
 
         return docs.map(one)

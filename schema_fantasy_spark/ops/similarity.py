@@ -193,6 +193,30 @@ def _nearest_centroid_expr(vec: Column, centroids) -> Column:
     return expr.cast("int")
 
 
+def ivf_write(assigned: DataFrame, centroids, index_dir: str) -> None:
+    """Persist an IVF index: the assigned table written
+    ``partitionBy('list_id')`` — probes then read ONLY the probed lists'
+    files (partition pruning, asserted in tests/test_plan_audit.py) —
+    plus a tiny centroids table. Build once, probe many."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        index_dir + "/lists"
+    )
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+
+
+def ivf_read(spark, index_dir: str):
+    """Load a persisted IVF index -> (assigned_df, centroids). The
+    assigned frame is partition-pruned when filtered on list_id."""
+    rows = spark.read.parquet(index_dir + "/centroids").collect()
+    centroids = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["list_id"])]
+    assigned = spark.read.parquet(index_dir + "/lists")
+    return assigned, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids,

@@ -70,13 +70,20 @@ def write_validated(
     """Start a foreachBatch query writing violation rows per micro-batch;
     the streaming checkpoint provides resume (processed files are never
     re-read). ``on_batch(batch_id, metrics)`` receives per-batch verdict
-    metrics — the streaming analogue of the manifest entry."""
+    metrics — the streaming analogue of the manifest entry.
+
+    foreachBatch is at-least-once: a retried micro-batch re-runs handle()
+    with the SAME batch_id, so each batch overwrites its own
+    ``batch_id=N`` subdirectory — replays are idempotent and the overall
+    output is effectively exactly-once per committed batch."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
             viol = ValidationEngine.violations(batch_df, list(id_cols))
-            viol.write.mode("append").parquet(violations_path)
+            viol.write.mode("overwrite").parquet(
+                f"{violations_path}/batch_id={batch_id}"
+            )
             if on_batch is not None:
                 agg = batch_df.agg(
                     F.count(F.lit(1)).alias("n_rows"),

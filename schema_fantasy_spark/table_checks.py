@@ -212,6 +212,7 @@ def text_consistency(
     reference: DataFrame,
     key_col: str = "url",
     text_col: str = "text",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Per-row invariant vs a reference corpus: byte-identical ``text`` per
     ``key`` (BASELINE.json input_hint; semantics = the reference's enum
@@ -220,9 +221,10 @@ def text_consistency(
     Returns mismatching keys with both hashes. Only (key, xxhash64(text))
     pairs shuffle — texts themselves never move.
     """
-    a = df.select(F.col(key_col).alias("k"), F.xxhash64(text_col).alias("h_actual"))
+    h = F.md5 if method == "md5" else F.xxhash64  # md5 = oracle-comparable
+    a = df.select(F.col(key_col).alias("k"), h(F.col(text_col)).alias("h_actual"))
     b = reference.select(
-        F.col(key_col).alias("k"), F.xxhash64(text_col).alias("h_expected")
+        F.col(key_col).alias("k"), h(F.col(text_col)).alias("h_expected")
     )
     return (
         a.join(b, "k")

@@ -179,13 +179,25 @@ class VariantPlan:
         the document is parsed ONCE per row instead of once per keyword
         (CollapseProject would otherwise inline parse_json into every
         check expression — measured 3.8x slower)."""
+        # try_parse_json: a malformed document becomes a '$parse' error
+        # row instead of failing the whole job (quarantine semantics; the
+        # Arrow-UDF kernel in dynamic.py does the same)
+        parse_err = F.array(
+            _err_struct(
+                F.array().cast("array<string>"),
+                "$parse",
+                F.concat(F.lit("malformed JSON: "), F.substring(F.col(doc_col), 1, 80)),
+                None,
+                F.substring(F.col(doc_col), 1, 80),
+            )
+        )
         out = (
-            df.select("*", F.explode(F.array(F.parse_json(doc_col))).alias("__v"))
+            df.select("*", F.explode(F.array(F.try_parse_json(doc_col))).alias("__v"))
             .withColumn(
                 errors_col,
-                F.when(F.col(doc_col).isNull(), _empty_errors()).otherwise(
-                    self.errors_for_variant(F.col("__v"))
-                ),
+                F.when(F.col(doc_col).isNull(), _empty_errors())
+                .when(F.col("__v").isNull(), parse_err)
+                .otherwise(self.errors_for_variant(F.col("__v"))),
             )
             .drop("__v")
         )

@@ -48,3 +48,22 @@ def test_error_struct_roundtrip(spark):
     assert len(errs) == 1
     assert list(errs[0]["path"]) == ["a", "1"]
     assert errs[0]["keyword"] == "type"
+
+
+def test_malformed_json_quarantined(spark):
+    """A malformed document yields a '$parse' violation row instead of
+    failing the stage (quarantine path for 10^12-doc corpora)."""
+    from schema_fantasy_spark.dynamic import validate_json
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"a": '), (3, None), (4, "[1, 2,")],
+        "id: long, doc: string",
+    )
+    out = validate_json(df, "doc", {"required": ["a"]}).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["verdict"] is True
+    assert by_id[2]["verdict"] is False
+    assert by_id[2]["errors"][0]["keyword"] == "$parse"
+    assert "malformed JSON" in by_id[2]["errors"][0]["message"]
+    assert by_id[3]["verdict"] is True  # null value: required is vacuous (type guard)
+    assert by_id[4]["errors"][0]["keyword"] == "$parse"

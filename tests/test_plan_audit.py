@@ -136,3 +136,31 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         for name in ("pages_b1", "pages_b2"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path_factory):
+    """The persisted IVF index (partitionBy list_id) must prune unprobed
+    lists AT THE SCAN: the probe filter appears as PartitionFilters, so at
+    10^12 vectors an n_probe/n_lists probe reads only that fraction of
+    files. Results must match filtering the in-memory assignment."""
+    from schema_fantasy_spark.ops import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = sim.ivf_index(emb, n_lists=8)
+    index_dir = str(tmp_path_factory.mktemp("ivf_index"))
+    sim.ivf_write(assigned, cents, index_dir)
+    assigned2, cents2 = sim.ivf_read(spark, index_dir)
+    assert [list(map(lambda x: round(x, 9), c)) for c in cents2] == [
+        list(map(lambda x: round(x, 9), c)) for c in cents
+    ]
+
+    q = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    topk = sim.ivf_topk(assigned2, cents2, q, 5, n_probe=2)
+    plan = plan_of(topk)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:120]
+    assert "list_id" in pf and " IN (" in pf, pf
+
+    # probe over the persisted index == probe over the live assignment
+    live = sim.ivf_topk(assigned, cents, q, 5, n_probe=2)
+    assert [tuple(r) for r in topk.collect()] == [tuple(r) for r in live.collect()]

@@ -91,3 +91,19 @@ def test_variant_agrees_with_columnar_on_typed_corpus(spark):
     }
     mismatches = [(k, got_col[k], got_var[k]) for k in got_col if got_col[k] != got_var[k]]
     assert not mismatches, f"{len(mismatches)} rows disagree; first: {mismatches[0]}"
+
+
+def test_variant_malformed_json_quarantined(spark):
+    """try_parse_json + null-variant guard: malformed docs become '$parse'
+    violation rows; the job never dies on one bad document."""
+    from schema_fantasy_spark.variant import compile_variant
+
+    plan = compile_variant({"required": ["a"]})
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"a": '), (3, None)], "id: long, doc: string"
+    )
+    out = {r["id"]: r for r in plan.apply(df, "doc").collect()}
+    assert out[1]["verdict"] is True
+    assert out[2]["verdict"] is False
+    assert out[2]["errors"][0]["keyword"] == "$parse"
+    assert out[3]["verdict"] is False or out[3]["errors"] == []
