@@ -392,7 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = tables.load(spark, sf, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         rest = emb.filter(F.col("vec_id") != 0)
-        assigned, centroids = sim.ivf_index(rest, n_lists=8)
+        assigned, centroids = sim.ivf_index(
+            rest, n_lists=8, max_iter=5, assign_partitions=32
+        )
         index_dir = tempfile.mkdtemp(prefix="sfspark_ivf_")
         sim.ivf_write(assigned, centroids, index_dir)
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)

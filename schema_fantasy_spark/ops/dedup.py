@@ -273,10 +273,16 @@ def _simhash_sig(text: Column, nbits: int, token_hash) -> Column:
     takes the sign of each accumulated position. ``nbits`` usable sign
     bits are folded into a non-negative long."""
     toks = tokens_col(text)
+    # hash each token ONCE into an array, then derive bit votes from the
+    # bound lambda variable: HOF lambdas get no common-subexpression
+    # elimination, so `token_hash(t)` referenced 60x inside the vote
+    # array would be EVALUATED 60x per token (measured 36s -> 2s for the
+    # md5 variant at sf0.1)
+    hashes = F.transform(toks, lambda t: token_hash(t))
+
     # per-token bit-vote arrays (bit positions unrolled: shiftright needs a
     # literal count), then one zip_with-sum aggregate over tokens
-    def bit_votes(t: Column) -> Column:
-        h = token_hash(t)
+    def bit_votes(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
@@ -287,7 +293,7 @@ def _simhash_sig(text: Column, nbits: int, token_hash) -> Column:
         )
 
     votes = F.aggregate(
-        F.transform(toks, bit_votes),
+        F.transform(hashes, bit_votes),
         F.array_repeat(F.lit(0), nbits),
         lambda acc, bv: F.zip_with(acc, bv, lambda a, b: a + b),
     )

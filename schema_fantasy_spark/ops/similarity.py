@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -149,33 +149,60 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    train_sample: int = 4096,
+    assign_partitions: Optional[int] = None,
 ):
     """IVF (inverted-file) index: k-means centroids + per-vector list
     assignment. Returns (assigned_df, centroids) where assigned_df carries
     a ``list_id`` column and centroids is a small driver-side list.
 
-    Scale shape: training samples the data (MLlib KMeans is itself
-    distributed); assignment is one JVM-side argmin over n_lists literal
-    centroids per row; the assigned table is the persisted index — at
-    10^12 vectors it would be written bucketed/partitioned by list_id so
-    probes read only the probed lists (partition pruning).
+    Scale shape: FAISS-style — centroids train on a bounded deterministic
+    SAMPLE driver-side (numpy; one TakeOrderedAndProject collect, no
+    per-iteration cluster jobs), then assignment is one JVM-side argmin
+    over n_lists literal centroids per row. The assigned table is the
+    persisted index (``ivf_write``), partitioned by list_id so probes
+    read only the probed lists (partition pruning).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    k = min(n_lists, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for j in range(k):
+            pts = X[labels == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)  # empty cluster keeps its centroid
+    centroids = [list(map(float, c)) for c in C]
 
-    assigned = df.withColumn(
-        "list_id", _nearest_centroid_expr(F.col(vec_col), centroids)
+    from schema_fantasy_spark.ops.dedup import _barrier
+
+    # HOF folds evaluate interpreted (outside codegen): with a single
+    # input split the whole argmin lands in one task. assign_partitions
+    # spreads it; leave None when the source already has real parallelism
+    if assign_partitions:
+        df = df.repartition(assign_partitions)
+    # Generate barrier: downstream stages (partitionBy shuffle + write)
+    # reference list_id repeatedly; without the barrier each reference
+    # re-evaluates the full n_lists x dim distance computation
+    assigned = _barrier(
+        df, _nearest_centroid_expr(F.col(vec_col), centroids), "list_id"
     )
     return assigned, centroids
 
 
 def _nearest_centroid_expr(vec: Column, centroids) -> Column:
     """argmin over literal centroids of squared L2 distance — unrolled,
-    JVM-side (centroid count is a compile-time constant)."""
+    JVM-side (centroid count is a compile-time constant).
+
+    Shaped as array_position(d, array_min(d)) so each distance fold
+    appears twice, not once per when-branch plus once inside every
+    branch's least() (which re-evaluated ~n_lists^2 folds per row in the
+    interpreted write path)."""
     dists = []
     for c in centroids:
         lit_c = F.array(*[F.lit(x) for x in c])
@@ -185,12 +212,10 @@ def _nearest_centroid_expr(vec: Column, centroids) -> Column:
             lambda acc, x: acc + x,
         )
         dists.append(d)
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    expr = None
-    for i, d in enumerate(dists):
-        cond = d == best
-        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
-    return expr.cast("int")
+    darr = F.array(*dists)
+    # array_position is 1-based; ties resolve to the first (lowest) list,
+    # matching the previous when-chain order
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def ivf_write(assigned: DataFrame, centroids, index_dir: str) -> None:
@@ -198,8 +223,16 @@ def ivf_write(assigned: DataFrame, centroids, index_dir: str) -> None:
     ``partitionBy('list_id')`` — probes then read ONLY the probed lists'
     files (partition pruning, asserted in tests/test_plan_audit.py) —
     plus a tiny centroids table. Build once, probe many."""
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-        index_dir + "/lists"
+    # cluster writers by list: without this every task writes a file into
+    # every list_id directory (tasks x lists tiny files + commit overhead;
+    # measured 7s -> 1s at sf0.1). At 10^12 vectors raise numPartitions to
+    # keep per-file size in the GB range — still grouped by list.
+    n_lists = len(centroids)
+    (
+        assigned.repartition(n_lists, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(index_dir + "/lists")
     )
     spark = assigned.sparkSession
     spark.createDataFrame(
