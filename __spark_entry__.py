@@ -866,8 +866,11 @@ def oracle_sql() -> dict[str, str]:
 
     _mh_seed, _mh_lanes, _mh_bands = 42, 16, 8
     _mh_rows = _mh_lanes // _mh_bands
+    # lane i = hex chars [8*(i%4)+1, +8) of md5('<seed + i//4>:' || s) —
+    # mirrors ops.dedup.minhash_signature(method='md5') exactly
     _lane_cols = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> substr(md5(concat('{_mh_seed + i}:', s)), 1, 16))) AS h{i}"
+        f"list_min(list_transform(sh, s -> substr(md5(concat('{_mh_seed + i // 4}:', s)),"
+        f" {8 * (i % 4) + 1}, 8))) AS h{i}"
         for i in range(_mh_lanes)
     )
     _band_structs = ", ".join(

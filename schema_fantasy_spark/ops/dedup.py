@@ -95,6 +95,20 @@ def _barrier(df: DataFrame, expr: Column, name: str) -> DataFrame:
     return df.select("*", F.explode(F.array(expr)).alias(name))
 
 
+def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread compute-heavy HOF stages across cores: higher-order-function
+    folds evaluate interpreted and inherit the SCAN's parallelism, so a
+    small single-row-group file puts an entire shingle/hash pipeline in
+    one task (measured 10s -> ~1s for minhash candidates at sf0.1).
+    No-op whenever the scan already has enough partitions — always true
+    for a 100 TB table — so at scale this never adds a shuffle."""
+    if min_parts is None:
+        min_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def minhash_signature(
     sh: Column, num_hashes: int = 64, seed: int = 42, method: str = "xxhash64"
 ) -> Column:
@@ -111,19 +125,41 @@ def minhash_signature(
     # NB: lane closures, not `lambda s, i=i`: F.transform treats a
     # two-parameter lambda as (element, index) and would shadow i with
     # the array-index column, silently collapsing every lane to one hash
-    def md5_lane(i: int) -> Column:
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed + i}:"), s)), 1, 16),
+    if method == "md5":
+        # one md5 yields 128 bits = four 8-hex-char (32-bit) lanes, so
+        # ceil(k/4) md5 calls per shingle instead of k; the running mins
+        # fold in ONE traversal with the md5 array as a bound lambda
+        # variable (evaluated once per shingle — HOF lambdas get no
+        # common-subexpression elimination). Lane i reads hex chars
+        # [8*(i%4)+1, +8) of md5('<seed + i//4>:' || shingle); the DuckDB
+        # oracle replays exactly this. Lexicographic min of fixed-width
+        # lowercase hex == numeric min.
+        n_md5 = (num_hashes + 3) // 4
+        per_shingle = F.transform(
+            sh,
+            lambda s: F.array(
+                *[F.md5(F.concat(F.lit(f"{seed + j}:"), s)) for j in range(n_md5)]
+            ),
+        )
+
+        def lanes_of(x: Column) -> Column:
+            return F.array(
+                *[
+                    F.substring(x[i // 4], 8 * (i % 4) + 1, 8)
+                    for i in range(num_hashes)
+                ]
             )
+
+        return F.aggregate(
+            per_shingle,
+            F.array_repeat(F.lit("g"), num_hashes),  # 'g' > any hex char
+            lambda acc, x: F.zip_with(acc, lanes_of(x), lambda a, b: F.least(a, b)),
         )
 
     def xx_lane(i: int) -> Column:
         return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed + i))))
 
-    lane = md5_lane if method == "md5" else xx_lane
-    return F.array(*[lane(i) for i in range(num_hashes)])
+    return F.array(*[xx_lane(i) for i in range(num_hashes)])
 
 
 def lsh_bands(
@@ -179,7 +215,7 @@ def minhash_lsh_candidates(
     # barrier after each expensive stage: shingles built once, signature
     # built once, THEN sliced into bands
     shingled = _barrier(
-        df.select(F.col(id_col), F.col(text_col)),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
         shingles_col(F.col(text_col), shingle_n),
         "_sh",
     )
@@ -225,7 +261,7 @@ def jaccard_pairs(
     """Exact n-gram-shingle Jaccard for given (id_a, id_b) pairs —
     verification stage after LSH candidate generation."""
     sh = _barrier(
-        df.select(F.col(id_col), F.col(text_col)),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
         shingles_col(F.col(text_col), shingle_n),
         "sh",
     )
@@ -349,9 +385,9 @@ def simhash_candidates(
     mask = (1 << chunk_bits) - 1
     # barrier: without it, CollapseProject inlines the (large) simhash
     # expression into all four chunk projections -> 5x evaluation
-    sh = _barrier(df.select(F.col(id_col), F.col(text_col)), sig_col, "sim").select(
-        id_col, "sim"
-    )
+    sh = _barrier(
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))), sig_col, "sim"
+    ).select(id_col, "sim")
     chunks = sh.select(
         id_col,
         "sim",

@@ -104,7 +104,7 @@ def ann_lsh_topk(
 
     Recall/cost dial: more bands -> higher recall, more candidates.
     """
-    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism
 
     dim = len(query_vec)
     bits_per_band = n_planes // bands
@@ -112,7 +112,7 @@ def ann_lsh_topk(
     # without the barrier CollapseProject re-inlines the full 16-plane
     # dot-product tree into every band predicate
     with_sig = _barrier(
-        df.select(F.col(id_col), F.col(vec_col)),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))),
         rp_signature(F.col(vec_col), dim, n_planes, seed),
         "sig",
     )
@@ -182,10 +182,15 @@ def ivf_index(
     from schema_fantasy_spark.ops.dedup import _barrier
 
     # HOF folds evaluate interpreted (outside codegen): with a single
-    # input split the whole argmin lands in one task. assign_partitions
-    # spreads it; leave None when the source already has real parallelism
+    # input split the whole argmin lands in one task. Adaptive: repartition
+    # only when the scan has fewer partitions than cores (never at scale);
+    # assign_partitions forces an explicit count.
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
     if assign_partitions:
         df = df.repartition(assign_partitions)
+    else:
+        df = _ensure_parallelism(df)
     # Generate barrier: downstream stages (partitionBy shuffle + write)
     # reference list_id repeatedly; without the barrier each reference
     # re-evaluates the full n_lists x dim distance computation
@@ -307,7 +312,9 @@ def near_duplicates_by_embedding(
     bits_per_band = n_planes // bands
     # Generate-barrier: without it CollapseProject inlines the 16-plane
     # signature computation into every band projection
-    with_sig = df.select(F.col(id_col), F.col(vec_col)).select(
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    with_sig = _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))).select(
         "*",
         F.explode(F.array(rp_signature(F.col(vec_col), dim, n_planes, seed))).alias("sig"),
     )
