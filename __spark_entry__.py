@@ -957,7 +957,7 @@ def oracle_sql() -> dict[str, str]:
     # left-to-right sum, sign at >= 0)
     from schema_fantasy_spark.ops.similarity import _hyperplane
 
-    _dim, _n_planes = 64, 16
+    _dim, _n_planes = 64, 16  # ann_lsh: 16 planes, 4-bit bands (generous top-k probe)
 
     def _dot_sql(vec_expr: str, plane) -> str:
         lits = ", ".join(repr(c) for c in plane)
@@ -994,12 +994,19 @@ def oracle_sql() -> dict[str, str]:
       FROM cand ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
     """
 
+    # near-dup: 32 planes, 8-bit bands (random-pair candidate rate ~1.6%,
+    # vs ~25% with 4-bit buckets — the scale-safe default in similarity.py)
+    _nd_sig_terms = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _hyperplane(_dim, 42, p))} >= 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(32)
+    )
     _emb_chunks = ", ".join(
-        "{band: %d, val: (sig >> %d) & 15}" % (b, b * 4) for b in range(4)
+        "{band: %d, val: (sig >> %d) & 255}" % (b, b * 8) for b in range(4)
     )
     near_dup_emb_sql = f"""
     WITH sigs AS MATERIALIZED (
-      SELECT vec_id, embedding, CAST({_sig_terms} AS BIGINT) AS sig FROM embeddings),
+      SELECT vec_id, embedding, CAST({_nd_sig_terms} AS BIGINT) AS sig FROM embeddings),
     chunks AS MATERIALIZED (
       SELECT vec_id, unnest([{_emb_chunks}], recursive := true) FROM sigs),
     p AS (
