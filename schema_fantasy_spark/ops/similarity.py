@@ -240,10 +240,14 @@ def ivf_write(assigned: DataFrame, centroids, index_dir: str) -> None:
         .parquet(index_dir + "/lists")
     )
     spark = assigned.sparkSession
+    # single-slice parallelize -> one file; a coalesce(1) on a local
+    # relation pathologically cost 4-6s per write in this Spark build
     spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)], 1
+        ),
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+    ).write.mode("overwrite").parquet(index_dir + "/centroids")
 
 
 def ivf_read(spark, index_dir: str):
