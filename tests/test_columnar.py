@@ -271,3 +271,67 @@ def test_nfc_lengths_option(spark):
         {"properties": {"s": {"maxLength": 1}}}, nfc_lengths=True
     )
     assert nfc_plan.apply(df).collect()[0]["verdict"] is True  # NFC: 1 <= 1
+
+
+def test_composite_enum_randomized_cross_check(spark):
+    """Randomized (enum, value) combinations per column type: the columnar
+    typed-literal equality must agree with the dynamic kernel row by row
+    (seeded, deterministic). Covers numeric coercion, field order, maps,
+    nesting, and non-representable literals."""
+    import random
+
+    rnd = random.Random(7)
+
+    def nums():
+        # ints and floats that collide (1 vs 1.0) plus non-integral floats
+        return rnd.choice([0, 1, 2, 1.0, 2.0, 2.5, -1, -1.0])
+
+    cases = []  # (col_ddl, spark_rows, json_values, enum_literals)
+
+    # array<double>
+    pool = [[nums() for _ in range(rnd.randrange(0, 3))] for _ in range(12)]
+    cases.append((
+        T.ArrayType(T.DoubleType()),
+        [[float(x) for x in v] for v in pool],
+        [list(v) for v in pool],
+        rnd.sample(pool, 4) + [["x"], [True], [3.3]],
+    ))
+    # array<long> (non-integral float literals can match nothing)
+    ipool = [[rnd.randrange(-2, 3) for _ in range(rnd.randrange(0, 3))] for _ in range(12)]
+    cases.append((
+        T.ArrayType(T.LongType()),
+        [list(v) for v in ipool],
+        [list(v) for v in ipool],
+        rnd.sample(ipool, 3) + [[1.0, 2.0], [2.5], [1, "a"]],
+    ))
+    # struct<a:long, b:double> — literal dicts in shuffled field order
+    spool = [{"a": rnd.randrange(0, 3), "b": float(rnd.choice([0, 1, 2.5]))} for _ in range(10)]
+    cases.append((
+        T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.DoubleType())]),
+        [Row(a=v["a"], b=v["b"]) for v in spool],
+        [dict(v) for v in spool],
+        [{"b": v["b"], "a": v["a"]} for v in rnd.sample(spool, 3)]
+        + [{"a": 0}, {"a": 0, "b": 0, "c": 1}, {"a": "x", "b": 1}],
+    ))
+    # map<string,long>
+    mpool = [{k: rnd.randrange(0, 3) for k in rnd.sample("wxyz", rnd.randrange(0, 3))}
+             for _ in range(10)]
+    cases.append((
+        T.MapType(T.StringType(), T.LongType()),
+        [dict(v) for v in mpool],
+        [dict(v) for v in mpool],
+        rnd.sample(mpool, 3) + [{"w": 1.0}, {"v": 9}, {}],
+    ))
+
+    for dtype, spark_vals, json_vals, enum in cases:
+        schema = {"properties": {"c": {"enum": enum}}}
+        df = spark.createDataFrame(
+            list(enumerate(spark_vals)),
+            T.StructType([T.StructField("rid", T.LongType()), T.StructField("c", dtype)]),
+        )
+        plan = compile_columnar(schema)
+        got = {r["rid"]: len(r["errors"]) == 0 for r in plan.apply(df).collect()}
+        kernel = compile_schema(schema)
+        for rid, v in enumerate(json_vals):
+            want = not list(kernel.validate({"c": v}))
+            assert got[rid] == want, (dtype.simpleString(), v, enum, got[rid], want)

@@ -99,3 +99,39 @@ class TestEngineRouting:
         )
         assert len(list(kernel.validate({"xx1": 9}))) == 1
         assert list(kernel.validate({"yy1": 9})) == []
+
+
+class TestPropertyBased:
+    def test_common_core_roundtrip(self):
+        """Randomized common-core patterns pass through byte-for-byte for
+        Java and compile to equivalent Python patterns."""
+        from hypothesis import given, settings, strategies as st
+
+        atoms = st.sampled_from(
+            ["a", "b", ".", r"\d", r"\w", r"\s", "[a-z]", "[^0-9]", r"\.", r"\\"]
+        )
+        quants = st.sampled_from(["", "*", "+", "?", "{1,3}"])
+        pieces = st.builds(lambda a, q: a + q, atoms, quants)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(pieces, min_size=1, max_size=6), st.text("ab0. ", max_size=6))
+        def check(parts, probe):
+            p = "".join(parts)
+            assert java_pattern(p) == p
+            assert bool(python_pattern(p).search(probe)) == bool(re.compile(p).search(probe))
+
+        check()
+
+    def test_codepoint_escape_matches_char(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=0x20, max_value=0x10FFFF))
+        def check(cp):
+            if 0xD800 <= cp <= 0xDFFF:
+                return  # surrogates aren't valid chars
+            pat = python_pattern("\\u{%X}" % cp)
+            assert pat.search("<" + chr(cp) + ">")
+            assert not pat.search("<>")
+
+        check()
