@@ -164,3 +164,27 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path_factory):
     # probe over the persisted index == probe over the live assignment
     live = sim.ivf_topk(assigned, cents, q, 5, n_probe=2)
     assert [tuple(r) for r in topk.collect()] == [tuple(r) for r in live.collect()]
+
+
+def test_resumable_run_prunes_partitioned_input(spark, tmp_path_factory):
+    """North-rule 'explicit partition pruning': when the corpus is stored
+    partitioned by the run's partition column (the 100 TB layout), each
+    per-partition validation job must read ONLY that partition's files —
+    the filter shows up as PartitionFilters, not a post-scan Filter."""
+    from schema_fantasy_spark.engine import ValidationEngine
+    from schema_fantasy_spark.sources.pages import PAGES_SCHEMA, pages
+
+    root = str(tmp_path_factory.mktemp("pages_by_day"))
+    df = pages(spark, 3000).withColumn("day", F.to_date("warc_ts"))
+    df.repartition(4, "day").write.mode("overwrite").partitionBy("day").parquet(root)
+
+    part_df = spark.read.parquet(root)
+    one_day = part_df.select(F.col("day").cast("string")).distinct().orderBy("day").collect()[0][0]
+    pdf = part_df.filter(F.col("day").cast("string") == one_day)
+    validated = ValidationEngine(PAGES_SCHEMA).apply(pdf)
+    plan = plan_of(validated)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:160]
+    assert "day" in pf, pf
+    # and the scan is the pruned one, not a full scan + Filter on day
+    assert validated.count() > 0
