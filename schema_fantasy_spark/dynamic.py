@@ -72,6 +72,10 @@ def validate_json(
 ) -> DataFrame:
     """Validate JSON documents held in ``df[doc_col]`` (string) against
     ``schema``; append errors + verdict columns."""
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
     udf = json_errors_udf(schema, refs)
-    out = df.withColumn(errors_col, udf(F.col(doc_col)))
+    # the Arrow UDF inherits the scan's parallelism; spread a low-split
+    # input across cores (no-op on streams or real-scale tables)
+    out = _ensure_parallelism(df).withColumn(errors_col, udf(F.col(doc_col)))
     return out.withColumn(verdict_col, F.size(F.col(errors_col)) == 0)

@@ -102,6 +102,8 @@ def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFram
     one task (measured 10s -> ~1s for minhash candidates at sf0.1).
     No-op whenever the scan already has enough partitions — always true
     for a 100 TB table — so at scale this never adds a shuffle."""
+    if df.isStreaming:
+        return df  # stream parallelism comes from the source
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
