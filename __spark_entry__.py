@@ -400,6 +400,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
 
+    def gopher_quality_documents(spark, sf):
+        # Gopher-style repetition filters (top-bigram / duplicate-trigram
+        # / no-alpha fractions) — standard pre-training corpus rules
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        out = tx.repetition_metrics(docs)
+        return out.select(
+            "doc_id", "n_words", "frac_top_bigram", "frac_dup_trigrams",
+            "frac_no_alpha", "gopher_pass",
+        )
+
     def text_consistency_documents(spark, sf):
         # the north-star per-row invariant (BASELINE input_hint:
         # byte-identical extracted text per key) gated on the driver
@@ -458,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
         "text_consistency_documents": text_consistency_documents,
+        "gopher_quality_documents": gopher_quality_documents,
     }
 
 
@@ -1023,6 +1036,39 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
     """
 
+    gopher_sql = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, len(tk) AS n_words,
+             CASE WHEN len(tk) >= 2
+               THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+               ELSE [] END AS bg,
+             CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE [] END AS tg,
+             len(list_filter(tk, w -> NOT regexp_matches(w, '[a-z]'))) AS n_noalpha
+        FROM toks),
+    m AS (
+      SELECT doc_id, n_words,
+             round(CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d)))), 0) AS DOUBLE)
+                   / greatest(len(bg), 1), 6) AS frac_top_bigram,
+             round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                   / greatest(len(tg), 1), 6) AS frac_dup_trigrams,
+             round(CAST(n_noalpha AS DOUBLE) / greatest(n_words, 1), 6) AS frac_no_alpha
+        FROM g)
+    SELECT doc_id, n_words, frac_top_bigram, frac_dup_trigrams, frac_no_alpha,
+           (n_words BETWEEN 20 AND 100000
+            AND frac_top_bigram <= 0.20
+            AND frac_dup_trigrams <= 0.30
+            AND frac_no_alpha <= 0.20) AS gopher_pass
+      FROM m
+    """
+
     cosine_topk_sql = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1079,4 +1125,5 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
      WHERE text IS NOT NULL AND doc_id % 97 = 0
     """,
+        "gopher_quality_documents": gopher_sql,
     }

@@ -143,3 +143,96 @@ def fingerprint(
         out_col,
         F.when(F.col(text_col).isNull(), None).otherwise(F.array_min(shingle_hashes)),
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_bigram_frac: float = 0.20,
+    max_dup_trigram_frac: float = 0.30,
+    max_no_alpha_frac: float = 0.20,
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style repetition/quality rules over word n-grams — the
+    standard pre-training corpus filters (Rae et al. 2021, "Scaling
+    Language Models", table A1 family), re-expressed as one pass of
+    native higher-order functions:
+
+    * ``frac_top_bigram``  — occurrences of the most frequent 2-gram over
+      all 2-grams (repetitive boilerplate scores high);
+    * ``frac_dup_trigrams`` — fraction of 3-grams that are duplicates;
+    * ``frac_no_alpha``    — fraction of words with no ASCII letter;
+    * ``gopher_pass``      — all thresholds hold and the word count is in
+      [min_words, max_words].
+
+    One shuffle-free pass; tokens materialize once behind a Generate
+    barrier. At 10^12 docs this runs at scan bandwidth like the other
+    text ops."""
+    from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism, tokens_col
+
+    base = _barrier(
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+        tokens_col(F.col(text_col)),
+        "_tk",
+    )
+    tk = F.col("_tk")
+    n = F.size(tk)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    tg = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    # bigrams/trigrams materialize once each (barriers), then the mode
+    # count is an O(distinct x n) fold — tiny per doc, fully JVM-side
+    based = _barrier(_barrier(base, bg, "_bg"), tg, "_tg")
+    bgc, tgc = F.col("_bg"), F.col("_tg")
+    top_bg = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bgc),
+                lambda d: F.size(F.filter(bgc, lambda x: x == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    frac_top_bigram = F.round(
+        top_bg / F.greatest(F.size(bgc), F.lit(1)), 6
+    )
+    frac_dup_trigrams = F.round(
+        (F.size(tgc) - F.size(F.array_distinct(tgc)))
+        / F.greatest(F.size(tgc), F.lit(1)),
+        6,
+    )
+    no_alpha = F.size(F.filter(tk, lambda w: ~w.rlike("[a-z]")))
+    frac_no_alpha = F.round(no_alpha / F.greatest(n, F.lit(1)), 6)
+    out = based.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        frac_top_bigram.alias("frac_top_bigram"),
+        frac_dup_trigrams.alias("frac_dup_trigrams"),
+        frac_no_alpha.alias("frac_no_alpha"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("frac_top_bigram") <= max_top_bigram_frac)
+        & (F.col("frac_dup_trigrams") <= max_dup_trigram_frac)
+        & (F.col("frac_no_alpha") <= max_no_alpha_frac),
+    )

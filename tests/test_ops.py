@@ -278,3 +278,32 @@ def test_ivf_topk_recall(emb):
     # every vector landed in exactly one list
     assert assigned.count() == rest.count()
     assert assigned.filter(F.col("list_id").isNull()).count() == 0
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher-style rules on hand-computable fixtures."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b " * 30),             # "a b a b ...": top bigram dominates
+            (1, " ".join(f"w{i}" for i in range(30))),  # all distinct
+            (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"),  # no alpha
+            (3, "short text"),            # below min_words
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_metrics(df).collect()}
+    # doc 0: 60 tokens alternating -> bigrams "a b" x30 + "b a" x29; top 30/59
+    assert out[0]["n_words"] == 60
+    assert out[0]["frac_top_bigram"] == round(30 / 59, 6)
+    # trigrams "a b a" x29 + "b a b" x29 -> 58 total, 2 distinct -> 56 dups
+    assert out[0]["frac_dup_trigrams"] == round(56 / 58, 6)
+    assert not out[0]["gopher_pass"]
+    # doc 1: no repetition, all alpha
+    assert out[1]["frac_top_bigram"] == round(1 / 29, 6)
+    assert out[1]["frac_dup_trigrams"] == 0.0
+    assert out[1]["gopher_pass"]
+    # doc 2: every token alpha-free
+    assert out[2]["frac_no_alpha"] == 1.0
+    assert not out[2]["gopher_pass"]
+    # doc 3: too short
+    assert out[3]["n_words"] == 2 and not out[3]["gopher_pass"]
