@@ -400,6 +400,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
 
+    def c4_unit_dedup_documents(spark, sf):
+        # C4-style GLOBAL unit dedup (md5 method -> the oracle replays the
+        # exact pipeline). This corpus is single-line, so docs are first
+        # chunked into 5-word spans (C4 dedups on sentence spans); with
+        # newline-separated corpora the operator is plain C4 line dedup
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        chunked = docs.withColumn(
+            "text", F.regexp_replace("text", r"((\S+ ){4}\S+) ", "$1\n")
+        )
+        return dedup.dedup_units_global(chunked, sep="\n", method="md5")
+
     def gopher_quality_documents(spark, sf):
         # Gopher-style repetition filters (top-bigram / duplicate-trigram
         # / no-alpha fractions) — standard pre-training corpus rules
@@ -471,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": near_dup_embeddings,
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
+        "c4_unit_dedup_documents": c4_unit_dedup_documents,
     }
 
 
@@ -1036,6 +1050,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= 0.4
     """
 
+    c4_sql = r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '((\S+ ){4}\S+) ',
+                                         '\1' || chr(10), 'g'), chr(10)) AS parts
+        FROM documents WHERE text IS NOT NULL),
+    w AS (
+      SELECT doc_id, unnest(parts) AS unit,
+             unnest(generate_series(1, len(parts))) - 1 AS pos
+        FROM t),
+    k AS (
+      SELECT doc_id, pos, unit,
+             row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, pos) AS rn
+        FROM w)
+    SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_units
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
     gopher_sql = r"""
     WITH toks AS (
       SELECT doc_id,
@@ -1126,4 +1159,5 @@ def oracle_sql() -> dict[str, str]:
      WHERE text IS NOT NULL AND doc_id % 97 = 0
     """,
         "gopher_quality_documents": gopher_sql,
+        "c4_unit_dedup_documents": c4_sql,
     }

@@ -430,3 +430,57 @@ def simhash_near_duplicates(
     return simhash_candidates(df, text_col, id_col, method).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------------------- C4-style unit dedup
+
+
+def dedup_units_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """C4-style GLOBAL unit deduplication: split every document into
+    units (lines/paragraphs by ``sep``), keep exactly one occurrence of
+    each distinct unit corpus-wide — the earliest (id, position) — and
+    reconstruct documents from their surviving units (C4's "discarded all
+    but one of any three-sentence span" family, simplified to exact unit
+    identity).
+
+    Scale shape: only (unit_hash, id, pos) triples shuffle — unit TEXT
+    never moves; winners resolve with one groupBy-min; reconstruction is
+    a semi-join back + one groupBy(id) with an in-group sort of (pos,
+    unit) structs. ``method='md5'`` hashes units with md5 so the DuckDB
+    driver oracle replays the pipeline exactly.
+    """
+    h = (lambda c: F.md5(c)) if method == "md5" else (lambda c: F.xxhash64(c))
+    units = _ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
+    )
+    keyed = units.select(
+        id_col, "pos", "unit", h(F.col("unit")).alias("_h")
+    )
+    winners = keyed.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w")
+    ).select("_h", F.col("w.i").alias(id_col), F.col("w.p").alias("pos"))
+    kept = keyed.join(winners, ["_h", id_col, "pos"], "left_semi")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("unit")))
+            ).alias("us")
+        )
+        .select(
+            id_col,
+            F.concat_ws(sep, F.transform(F.col("us"), lambda u: u["unit"])).alias(
+                text_col
+            ),
+            F.size("us").alias("n_units"),
+        )
+    )

@@ -307,3 +307,27 @@ def test_repetition_metrics_hand_computed(spark):
     assert not out[2]["gopher_pass"]
     # doc 3: too short
     assert out[3]["n_words"] == 2 and not out[3]["gopher_pass"]
+
+
+def test_dedup_units_global(spark):
+    """C4-style global line dedup: each distinct line survives once
+    (earliest doc/pos); docs reconstruct from surviving lines in order."""
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\ngamma"),
+            (1, "beta\ndelta"),           # 'beta' already seen in doc 0
+            (2, "alpha\nalpha\nepsilon"), # both alphas lose to doc 0's
+            (3, "zeta"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_units"])
+           for r in dedup.dedup_units_global(df).collect()}
+    assert out[0] == ("alpha\nbeta\ngamma", 3)
+    assert out[1] == ("delta", 1)
+    assert out[2] == ("epsilon", 1)
+    assert out[3] == ("zeta", 1)
+    # md5 method gives identical results
+    out2 = {r["doc_id"]: (r["text"], r["n_units"])
+            for r in dedup.dedup_units_global(df, method="md5").collect()}
+    assert out2 == out
