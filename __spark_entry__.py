@@ -400,6 +400,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
 
+    def salted_agg_orders(spark, sf):
+        # the skew path itself under the oracle gate: two-phase salted
+        # aggregation must equal a plain GROUP BY bit-for-bit (exact
+        # decimal sums; one final cast to double)
+        from schema_fantasy_spark import scale
+
+        o = tables.load(spark, sf, "orders")
+        out = scale.salted_agg(
+            o,
+            ["o_orderpriority"],
+            F.col("o_orderkey"),
+            {
+                "n": (F.lit(1), "count"),
+                "total_price": (F.col("o_totalprice").cast("decimal(18,2)"), "sum"),
+                "min_price": (F.col("o_totalprice"), "min"),
+                "max_price": (F.col("o_totalprice"), "max"),
+            },
+            buckets=16,
+        )
+        return out.select(
+            "o_orderpriority",
+            "n",
+            F.col("total_price").cast("double").alias("total_price"),
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("max_price").cast("double").alias("max_price"),
+        )
+
     def c4_unit_dedup_documents(spark, sf):
         # C4-style GLOBAL unit dedup (md5 method -> the oracle replays the
         # exact pipeline). This corpus is single-line, so docs are first
@@ -485,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
+        "salted_agg_orders": salted_agg_orders,
     }
 
 
@@ -1160,4 +1188,11 @@ def oracle_sql() -> dict[str, str]:
     """,
         "gopher_quality_documents": gopher_sql,
         "c4_unit_dedup_documents": c4_sql,
+        "salted_agg_orders": """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderpriority
+    """,
     }
