@@ -400,6 +400,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
 
+    def streaming_validation_documents(spark, sf):
+        # Structured Streaming under the oracle gate: the SAME flagship
+        # constraint suite runs as an availableNow stream (file source ->
+        # validate -> foreachBatch violations write with per-batch_id
+        # idempotent dirs), and the written violations must equal the
+        # batch oracle's rows exactly
+        import tempfile
+
+        from schema_fantasy_spark import streaming as st
+
+        batch = tables.load(spark, sf, "documents")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+        )
+        validated = ValidationEngine(DOCUMENTS_SCHEMA).apply(stream)
+        out_root = tempfile.mkdtemp(prefix="sfspark_stream_")
+        q = st.write_validated(
+            validated,
+            violations_path=f"{out_root}/violations",
+            checkpoint_path=f"{out_root}/ckpt",
+            id_cols=("doc_id",),
+        )
+        q.awaitTermination()
+        viol = spark.read.parquet(f"{out_root}/violations")
+        return viol.select(
+            "doc_id",
+            F.array_join("path", "/").alias("path"),
+            "keyword",
+            "message",
+            "expected",
+            "actual",
+            "depth",
+        )
+
     def salted_agg_orders(spark, sf):
         # the skew path itself under the oracle gate: two-phase salted
         # aggregation must equal a plain GROUP BY bit-for-bit (exact
@@ -513,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": gopher_quality_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
         "salted_agg_orders": salted_agg_orders,
+        "streaming_validation_documents": streaming_validation_documents,
     }
 
 
@@ -1188,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
     """,
         "gopher_quality_documents": gopher_sql,
         "c4_unit_dedup_documents": c4_sql,
+        "streaming_validation_documents": flagship,
         "salted_agg_orders": """
     SELECT o_orderpriority, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
