@@ -113,6 +113,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
 
+    def variant_props_validation(spark, sf):
+        # the THIRD execution mode (Spark 4 VariantType, pure JVM) under
+        # the driver gate: same schema and output as json_props_validation,
+        # so it shares that oracle — three-mode parity on the driver
+        from schema_fantasy_spark.variant import compile_variant
+
+        ev = tables.load(spark, sf, "events")
+        v = compile_variant(PROPS_SCHEMA).apply(ev, "props")
+        out = ValidationEngine.violations(v, ["event_id"])
+        return out.select("event_id", "keyword", "message")
+
     def dependencies_validation(spark, sf):
         # schema-form dependency: presence of 'source' re-validates the row
         # against a subschema (reference src/v4/dependencies.js:27-29)
@@ -436,6 +447,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "depth",
         )
 
+    def http_linked_validation(spark, sf):
+        # entry point C under the gate: fetch the schema over live HTTP
+        # (local ephemeral server), transitively link $refs, validate
+        # documents in columnar mode; the oracle encodes the same
+        # constraints as plain SQL
+        import http.server
+        import json as _json
+        import threading
+
+        from schema_fantasy_spark.compiler.http import engine_from_url
+
+        def schemas(host):
+            return {
+                "/doc/main": {
+                    "id": f"http://{host}/doc/main",
+                    "type": "object",
+                    "properties": {
+                        "text": {"$ref": f"http://{host}/doc/text"},
+                        "n_chars": {"minimum": 80, "maximum": 420},
+                    },
+                },
+                "/doc/text": {
+                    "id": f"http://{host}/doc/text",
+                    "type": "string",
+                    "minLength": 100,
+                },
+            }
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                host = self.headers.get("Host")
+                body = schemas(host).get(self.path)
+                if body is None:
+                    self.send_error(404)
+                    return
+                data = _json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/doc/main"
+            eng = engine_from_url(url, mode="columnar")
+            docs = tables.load(spark, sf, "documents")
+            out = ValidationEngine.violations(eng.apply(docs), ["doc_id"])
+            result = out.select(
+                "doc_id", F.array_join("path", "/").alias("path"), "keyword"
+            )
+            result.count()  # materialize while the server is up
+            return result
+        finally:
+            srv.shutdown()
+
+    def snapshot_diff_documents(spark, sf):
+        # cross-snapshot set ops under the gate: base vs a derived next
+        # snapshot (every 101st doc removed, every 97th lang changed,
+        # every 113th re-added under a shifted key)
+        from schema_fantasy_spark import snapshots as sn
+
+        docs = tables.load(spark, sf, "documents")
+        base = docs.select("doc_id", "lang", "n_chars")
+        nxt = base.filter(F.col("doc_id") % 101 != 0).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 97 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        added = base.filter(F.col("doc_id") % 113 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "n_chars"
+        )
+        return sn.snapshot_diff(base, nxt.unionAll(added), ["doc_id"], ["lang", "n_chars"])
+
     def salted_agg_orders(spark, sf):
         # the skew path itself under the oracle gate: two-phase salted
         # aggregation must equal a plain GROUP BY bit-for-bit (exact
@@ -515,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
+        "variant_props_validation": variant_props_validation,
         "dependencies_validation": dependencies_validation,
         "leaf_suite_lineitem": leaf_suite_lineitem,
         "array_keywords_embeddings": array_keywords_embeddings,
@@ -549,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": gopher_quality_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
         "salted_agg_orders": salted_agg_orders,
+        "snapshot_diff_documents": snapshot_diff_documents,
+        "http_linked_validation": http_linked_validation,
         "streaming_validation_documents": streaming_validation_documents,
     }
 
@@ -1188,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_validation": flagship,
         "combinator_validation": combinator,
         "json_props_validation": json_props,
+        "variant_props_validation": json_props,
         "dependencies_validation": dependencies_sql,
         "leaf_suite_lineitem": leaf_suite,
         "array_keywords_embeddings": array_keywords,
@@ -1226,6 +1318,33 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_documents": gopher_sql,
         "c4_unit_dedup_documents": c4_sql,
         "streaming_validation_documents": flagship,
+        "http_linked_validation": """
+    SELECT doc_id, 'text' AS path, 'minLength' AS keyword FROM documents
+     WHERE text IS NOT NULL AND length(text) < 100
+    UNION ALL
+    SELECT doc_id, 'n_chars', 'minimum' FROM documents
+     WHERE n_chars IS NOT NULL AND n_chars < 80
+    UNION ALL
+    SELECT doc_id, 'n_chars', 'maximum' FROM documents
+     WHERE n_chars IS NOT NULL AND n_chars > 420
+    """,
+        "snapshot_diff_documents": """
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    nxt AS (
+      SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN 'xx' ELSE lang END AS lang,
+             n_chars
+        FROM base WHERE doc_id % 101 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars FROM base WHERE doc_id % 113 = 0),
+    j AS (SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+                 b.doc_id IS NOT NULL AS in_b, n.doc_id IS NOT NULL AS in_n,
+                 ((b.lang IS DISTINCT FROM n.lang)
+                  OR (b.n_chars IS DISTINCT FROM n.n_chars)) AS diff
+            FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id)
+    SELECT doc_id, CASE WHEN NOT in_b THEN 'added' WHEN NOT in_n THEN 'removed'
+                        WHEN diff THEN 'changed' ELSE 'unchanged' END AS change
+      FROM j
+    """,
         "salted_agg_orders": """
     SELECT o_orderpriority, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
