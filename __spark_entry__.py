@@ -406,7 +406,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned, centroids = sim.ivf_index(
             rest, n_lists=8, max_iter=5, assign_partitions=32
         )
-        index_dir = tempfile.mkdtemp(prefix="sfspark_ivf_")
+        # fixed per-sf path, overwritten each run: repeated bench/gate runs
+        # must not accumulate index copies in /tmp
+        index_dir = os.path.join(
+            tempfile.gettempdir(), f"sfspark_ivf_{os.path.basename(sf.rstrip('/'))}"
+        )
         sim.ivf_write(assigned, centroids, index_dir)
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
@@ -428,7 +432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .parquet(sf)
         )
         validated = ValidationEngine(DOCUMENTS_SCHEMA).apply(stream)
-        out_root = tempfile.mkdtemp(prefix="sfspark_stream_")
+        # fixed per-sf path: the checkpoint makes reruns no-ops (already-
+        # processed files are skipped) and nothing accumulates in /tmp
+        out_root = os.path.join(
+            tempfile.gettempdir(), f"sfspark_stream_{os.path.basename(sf.rstrip('/'))}"
+        )
         q = st.write_validated(
             validated,
             violations_path=f"{out_root}/violations",

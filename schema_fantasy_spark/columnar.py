@@ -386,6 +386,15 @@ def _ck_type(sch: Any):
     return emit
 
 
+#: closed integral ranges per Spark type, for ANSI-safe literal coercion
+_INTEGRAL_RANGES = {
+    "ByteType": (-(1 << 7), (1 << 7) - 1),
+    "ShortType": (-(1 << 15), (1 << 15) - 1),
+    "IntegerType": (-(1 << 31), (1 << 31) - 1),
+    "LongType": (-(1 << 63), (1 << 63) - 1),
+}
+
+
 def _typed_literal(x: Any, dtype: T.DataType) -> Optional[Column]:
     """Coerce a JSON enum value into a Column literal of exactly ``dtype``.
 
@@ -404,10 +413,26 @@ def _typed_literal(x: Any, dtype: T.DataType) -> Optional[Column]:
         if _is_integral(dtype):
             if isinstance(x, float) and not x.is_integer():
                 return None
-            return F.lit(int(x)).cast(dtype)
+            # range-check BEFORE casting: under ANSI mode an out-of-range
+            # literal cast throws CAST_OVERFLOW and kills the job; the
+            # correct semantics is "no value of this type can equal it"
+            lo, hi = _INTEGRAL_RANGES.get(type(dtype).__name__, (None, None))
+            iv = int(x)
+            if lo is not None and not (lo <= iv <= hi):
+                return None
+            return F.lit(iv).cast(dtype)
         return F.lit(float(x)).cast(dtype)
     if isinstance(x, str):
-        return F.lit(x) if isinstance(dtype, T.StringType) else None
+        if isinstance(dtype, T.StringType):
+            return F.lit(x)
+        if isinstance(dtype, (T.DateType, T.TimestampType)):
+            # engine extension mirrors _ck_bound: JSON carries dates as
+            # strings, so a string literal compares against a typed
+            # date/timestamp column; unparseable strings match nothing
+            # (try_cast -> NULL literal; <=> against a non-null value is
+            # false, and NULL values pass the enum vacuously anyway)
+            return F.lit(x).try_cast(dtype)
+        return None
     if isinstance(x, list):
         if not isinstance(dtype, T.ArrayType):
             return None
@@ -493,23 +518,25 @@ def _ck_enum(sch: Any):
         # compile time; comparison is then structural (1 == 1.0 holds, and
         # struct-field order is the type's, not the JSON text's). Types
         # containing maps are not directly comparable in Spark — those
-        # compare via to_json after canonical map-entry sorting.
-        tests = []
-        for x in sch:
-            lit = _typed_literal(x, dtype)
-            if lit is None:
-                continue
-            if _contains_map(dtype):
-                tests.append(
-                    F.to_json(_sorted_maps(value, dtype)).eqNullSafe(
-                        F.to_json(_sorted_maps(lit, dtype))
-                    )
-                )
-            else:
-                tests.append(value.eqNullSafe(lit))
-        ok = F.lit(False)
-        for t in tests:
-            ok = ok | t
+        # compare via to_json after canonical map-entry sorting. The
+        # value-side canonicalization appears ONCE (array_contains over
+        # the literal JSONs, which Catalyst constant-folds): HOF exprs get
+        # no common-subexpression elimination, so K eqNullSafe copies
+        # would re-sort the row's maps K times.
+        lits = [_typed_literal(x, dtype) for x in sch]
+        lits = [c for c in lits if c is not None]
+        if not lits:
+            ok = F.lit(False)
+        elif _contains_map(dtype):
+            lit_jsons = F.array(*[F.to_json(_sorted_maps(c, dtype)) for c in lits])
+            ok = F.coalesce(
+                F.array_contains(lit_jsons, F.to_json(_sorted_maps(value, dtype))),
+                F.lit(False),
+            )
+        else:
+            ok = F.lit(False)
+            for c in lits:
+                ok = ok | value.eqNullSafe(c)
         err = _err_struct(path, "enum", F.lit(""), F.lit(expected), value.cast("string"))
         return _leaf(value.isNotNull() & ~ok, err)
 

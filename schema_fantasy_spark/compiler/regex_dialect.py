@@ -5,12 +5,13 @@ runs patterns on java.util.regex (columnar ``rlike``) or Python ``re`` (the
 dynamic kernel). The three dialects agree on the common core; this module
 
 * TRANSLATES the JS-specific spellings that have an exact equivalent in the
-  target dialect (``\\u{10FFFF}`` code-point escapes, ``\\cJ`` control
-  escapes, ``(?<name>...)`` named groups for Python, a bare ``\\0`` NUL), and
+  target dialect (``\\cJ`` control escapes, ``(?<name>...)`` named groups
+  for Python, a bare ``\\0`` NUL), and
 * RAISES :class:`RegexDialectError` at schema-compile time for constructs
-  whose semantics would silently diverge between dialects (``\\p{...}``
-  property escapes, malformed ``\\u`` escapes), instead of returning
-  different verdicts than the reference would.
+  whose semantics would silently diverge between dialects: ``\\p{...}``
+  property escapes, malformed ``\\u`` escapes, and ``\\u{...}`` — which is
+  a code-point escape under the u flag but an identity-escaped 'u' with a
+  quantifier in the reference's FLAGLESS ``new RegExp`` (Annex B legacy).
 
 Kept deliberately conservative: anything in the shared core passes through
 byte-for-byte, so existing Java/Python-targeted schemas are unaffected.
@@ -20,22 +21,11 @@ from __future__ import annotations
 
 import re
 
-_HEX = re.compile(r"[0-9a-fA-F]+\Z")
 _HEX4 = re.compile(r"[0-9a-fA-F]{4}\Z")
 
 
 class RegexDialectError(ValueError):
     """A pattern uses a construct with dialect-dependent semantics."""
-
-
-def _cp_escape(cp: int, target: str) -> str:
-    if target == "java":
-        return "\\x{%X}" % cp
-    if cp <= 0xFF:
-        return "\\x%02X" % cp
-    if cp <= 0xFFFF:
-        return "\\u%04X" % cp
-    return "\\U%08X" % cp
 
 
 def _translate(pattern: str, target: str) -> str:
@@ -50,16 +40,19 @@ def _translate(pattern: str, target: str) -> str:
             nxt = pattern[i + 1]
             if nxt == "u":
                 if i + 2 < n and pattern[i + 2] == "{":
-                    # JS u-flag code-point escape \u{...}
-                    j = pattern.find("}", i + 3)
-                    body = pattern[i + 3 : j] if j >= 0 else ""
-                    if j < 0 or not _HEX.match(body) or int(body, 16) > 0x10FFFF:
-                        raise RegexDialectError(
-                            f"pattern {pattern!r}: malformed \\u{{...}} escape"
-                        )
-                    out.append(_cp_escape(int(body, 16), target))
-                    i = j + 1
-                    continue
+                    # \u{...} is AMBIGUOUS across dialects: with the u flag
+                    # it is a code-point escape, but the reference compiles
+                    # new RegExp(p) WITHOUT flags (src/v4/pattern.js:18),
+                    # where Annex-B legacy semantics make it an identity-
+                    # escaped 'u' with a {n} quantifier. Translating either
+                    # way silently diverges from the other reading -> raise.
+                    raise RegexDialectError(
+                        f"pattern {pattern!r}: '\\u{{...}}' reads as a code-point "
+                        "escape under the u flag but as 'u'+quantifier in the "
+                        "reference's flagless RegExp; spell the intent "
+                        "unambiguously (\\uXXXX for a code point, u{{n}} for "
+                        "repetition)"
+                    )
                 if _HEX4.match(pattern[i + 2 : i + 6]):
                     out.append(pattern[i : i + 6])  # \uXXXX: common core
                     i += 6

@@ -40,16 +40,18 @@ def json_errors_udf(schema: Any, refs: Optional[Dict[str, Any]] = None):
             else:
                 try:
                     value = json.loads(doc)
-                except (ValueError, RecursionError) as e:
+                except (ValueError, RecursionError):
                     # quarantine, don't kill the job: at 10^12 docs one
                     # malformed document must become a violation row, not
                     # a failed stage ('$parse' is not a draft-4 keyword,
-                    # so it can never collide with schema-driven errors)
+                    # so it can never collide with schema-driven errors).
+                    # Message format matches variant.py's $parse row
+                    # exactly so the two modes stay oracle-interchangeable.
                     return [
                         {
                             "path": [],
                             "keyword": "$parse",
-                            "message": f"malformed JSON: {e}"[:200],
+                            "message": "malformed JSON: " + doc[:80],
                             "expected": None,
                             "actual": doc[:80],
                             "depth": 0,

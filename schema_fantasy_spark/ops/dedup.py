@@ -456,11 +456,15 @@ def dedup_units_global(
     driver oracle replays the pipeline exactly.
     """
     h = (lambda c: F.md5(c)) if method == "md5" else (lambda c: F.xxhash64(c))
+    # F.split takes a REGEX; sep is a LITERAL separator everywhere else in
+    # this function (concat_ws, the oracle), so quote it — otherwise
+    # sep='.' splits on every character and corrupts the corpus
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     units = _ensure_parallelism(
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
+        F.posexplode(F.split(F.col(text_col), quoted)).alias("pos", "unit"),
     )
     keyed = units.select(
         id_col, "pos", "unit", h(F.col("unit")).alias("_h")

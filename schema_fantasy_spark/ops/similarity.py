@@ -157,15 +157,24 @@ def ivf_index(
     a ``list_id`` column and centroids is a small driver-side list.
 
     Scale shape: FAISS-style — centroids train on a bounded deterministic
-    SAMPLE driver-side (numpy; one TakeOrderedAndProject collect, no
-    per-iteration cluster jobs), then assignment is one JVM-side argmin
+    hash-ordered SAMPLE driver-side (numpy; one TakeOrderedAndProject
+    collect, no per-iteration cluster jobs), then assignment is one argmin
     over n_lists literal centroids per row. The assigned table is the
     persisted index (``ivf_write``), partitioned by list_id so probes
     read only the probed lists (partition pruning).
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    # deterministic UNBIASED sample: top-K by xxhash64(id) is a random
+    # permutation prefix (an id-prefix would train on one temporal/source
+    # slice of a real crawl), and TakeOrderedAndProject keeps it one
+    # cheap per-partition top-K pass at any scale
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     k = min(n_lists, len(X))
     rng = np.random.RandomState(seed)

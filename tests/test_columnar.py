@@ -335,3 +335,28 @@ def test_composite_enum_randomized_cross_check(spark):
         for rid, v in enumerate(json_vals):
             want = not list(kernel.validate({"c": v}))
             assert got[rid] == want, (dtype.simpleString(), v, enum, got[rid], want)
+
+
+def test_enum_out_of_range_literal_matches_nothing(spark):
+    """ANSI trap: an enum literal outside the column type's range must
+    simply never match — casting it would throw CAST_OVERFLOW and kill
+    the job (round-2 review finding, reproduced live)."""
+    df = spark.createDataFrame([(1, 5), (2, 7)], "rid: long, i: int")
+    plan = compile_columnar({"properties": {"i": {"enum": [4294967296, 5, 1e30]}}})
+    got = {r["rid"]: r["verdict"] for r in plan.apply(df).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_enum_on_date_and_timestamp_columns(spark):
+    """Engine extension parity with minimum/maximum: string enum literals
+    compare against typed date/timestamp columns (regression: the typed-
+    literal rewrite initially made every non-null date fail)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2025, 2, 2)), (3, None)],
+        "rid: long, d: date",
+    )
+    plan = compile_columnar({"properties": {"d": {"enum": ["2024-01-01", "not-a-date"]}}})
+    got = {r["rid"]: r["verdict"] for r in plan.apply(df).collect()}
+    assert got == {1: True, 2: False, 3: True}

@@ -331,3 +331,14 @@ def test_dedup_units_global(spark):
     out2 = {r["doc_id"]: (r["text"], r["n_units"])
             for r in dedup.dedup_units_global(df, method="md5").collect()}
     assert out2 == out
+
+
+def test_dedup_units_sep_is_literal(spark):
+    """The separator is a literal, not a regex: sep='.' must split on
+    dots only (round-2 review finding: F.split treated it as a regex and
+    split on every character)."""
+    df = spark.createDataFrame(
+        [(0, "one.two.three"), (1, "two.four")], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup.dedup_units_global(df, sep=".").collect()}
+    assert out == {0: "one.two.three", 1: "four"}

@@ -22,10 +22,17 @@ class TestTranslation:
                   r"[\]\[]", r"\\u\{literal"]:
             assert java_pattern(p) == p
 
-    def test_codepoint_escape(self):
-        assert java_pattern(r"\u{1F600}") == r"\x{1F600}"
-        assert python_pattern(r"\u{1F600}").search("x\U0001F600y")
-        assert python_pattern(r"\u{41}").search("A")
+    def test_codepoint_escape_braces_raise(self):
+        # \u{...} is a code-point escape ONLY under the u flag; the
+        # reference's flagless new RegExp reads it as 'u' + quantifier
+        # (Annex B) — ambiguous across readings, so it must fail loudly
+        with pytest.raises(RegexDialectError):
+            java_pattern(r"\u{1F600}")
+        with pytest.raises(RegexDialectError):
+            python_pattern(r"\u{2}")
+        # the unambiguous 4-hex spelling passes through
+        assert java_pattern(r"\u0041") == r"\u0041"
+        assert python_pattern(r"\u0041").search("A")
 
     def test_control_escape(self):
         assert java_pattern(r"a\cJb") == "a\\x0Ab"
@@ -66,7 +73,7 @@ class TestTranslation:
 
 class TestEngineRouting:
     def test_dynamic_kernel_translates(self):
-        kernel = compile_schema({"properties": {"s": {"pattern": r"\u{61}\cJ"}}})
+        kernel = compile_schema({"properties": {"s": {"pattern": r"\u0061\cJ"}}})
         assert list(kernel.validate({"s": "a\nx"})) == []
         assert len(list(kernel.validate({"s": "zz"}))) == 1
 
@@ -83,7 +90,7 @@ class TestEngineRouting:
             )
 
     def test_columnar_verdict_matches_kernel(self, spark):
-        schema = {"properties": {"s": {"pattern": r"^\u{61}+\cI$"}}}
+        schema = {"properties": {"s": {"pattern": r"^\u0061+\cI$"}}}
         df = spark.createDataFrame([(0, "aaa\t"), (1, "bbb")], "rid: long, s: string")
         plan = compile_columnar(schema)
         got = {r["rid"]: r["verdict"] for r in plan.apply(df).collect()}
@@ -122,15 +129,15 @@ class TestPropertyBased:
 
         check()
 
-    def test_codepoint_escape_matches_char(self):
+    def test_bmp_codepoint_escape_matches_char(self):
         from hypothesis import given, settings, strategies as st
 
         @settings(max_examples=200, deadline=None)
-        @given(st.integers(min_value=0x20, max_value=0x10FFFF))
+        @given(st.integers(min_value=0x20, max_value=0xFFFF))
         def check(cp):
             if 0xD800 <= cp <= 0xDFFF:
                 return  # surrogates aren't valid chars
-            pat = python_pattern("\\u{%X}" % cp)
+            pat = python_pattern("\\u%04X" % cp)  # unambiguous 4-hex form
             assert pat.search("<" + chr(cp) + ">")
             assert not pat.search("<>")
 

@@ -107,3 +107,8 @@ def test_variant_malformed_json_quarantined(spark):
     assert out[2]["verdict"] is False
     assert out[2]["errors"][0]["keyword"] == "$parse"
     assert out[3]["verdict"] is False or out[3]["errors"] == []
+    # $parse rows are identical across modes (they share driver oracles)
+    from schema_fantasy_spark.dynamic import validate_json
+
+    dyn = {r["id"]: r for r in validate_json(df, "doc", {"required": ["a"]}).collect()}
+    assert dyn[2]["errors"][0]["message"] == out[2]["errors"][0]["message"]
