@@ -437,6 +437,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out_root = os.path.join(
             tempfile.gettempdir(), f"sfspark_stream_{os.path.basename(sf.rstrip('/'))}"
         )
+        if not os.path.isdir(f"{out_root}/violations"):
+            # a stale checkpoint without its output (tmp cleaner) would
+            # make the rerun a no-op with nothing to read — start fresh
+            import shutil
+
+            shutil.rmtree(out_root, ignore_errors=True)
         q = st.write_validated(
             validated,
             violations_path=f"{out_root}/violations",
