@@ -342,3 +342,94 @@ def test_dedup_units_sep_is_literal(spark):
     )
     out = {r["doc_id"]: r["text"] for r in dedup.dedup_units_global(df, sep=".").collect()}
     assert out == {0: "one.two.three", 1: "four"}
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def _make_bmp(px):
+    """24-bit uncompressed BMP from an HxWx3 uint8 array (bottom-up, BGR,
+    4-byte-padded rows) — built by hand so the decoder is tested against
+    an independent construction."""
+    import struct
+
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def _make_ppm(px):
+    h, w = px.shape[:2]
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _make_wav(samples, rate=8000):
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_image_decode_real_formats(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    # decoders round-trip the hand-built containers exactly
+    assert (multimodal.decode_image_pixels(_make_bmp(px)) == px).all()
+    assert (multimodal.decode_image_pixels(_make_ppm(px)) == px).all()
+    assert multimodal.decode_image_header(_make_bmp(px)) == (7, 5, "bmp")
+    assert multimodal.decode_image_header(_make_ppm(px)) == (7, 5, "ppm")
+    # PNG/JPEG header-only parses (no codec needed for dimensions)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02" + b"\x00" * 20
+    assert multimodal.decode_image_header(png) == (640, 480, "png")
+    jpg = b"\xff\xd8" + b"\xff\xe0\x00\x10" + b"\x00" * 14 + b"\xff\xc0\x00\x11\x08" + (31).to_bytes(2, "big") + (64).to_bytes(2, "big") + b"\x00" * 20
+    assert multimodal.decode_image_header(jpg) == (64, 31, "jpeg")
+    # end-to-end through mapInPandas: real metadata + real aHash
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(px))), (2, bytearray(_make_ppm(px)))],
+        "id: long, html: binary",
+    )
+    meta = {r["doc_id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (7, 5, "bmp")
+    assert meta[2]["format"] == "ppm"
+    # identical pixels -> identical perceptual hash across containers
+    assert meta[1]["phash"] == meta[2]["phash"] == multimodal.ahash64(px)
+    # real block-mean features match the direct computation
+    feats = {r["doc_id"]: r["feature"] for r in multimodal.image_features(df).collect()}
+    want = (multimodal._gray_grid(px, 4) / 255.0).flatten()
+    assert feats[1] == pytest.approx(list(want), abs=1e-6)
+    assert feats[1] == feats[2]
+
+
+def test_audio_decode_wav(spark):
+    import numpy as np
+
+    t = np.arange(8000)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 16384).astype("<i2")
+    silent = np.zeros(4000, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav(sine))), (2, bytearray(_make_wav(silent))),
+         (3, bytearray(b"not audio at all"))],
+        "id: long, html: binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.audio_metadata(df).collect()}
+    assert set(out) == {1, 2}  # non-WAV rows are quarantined away
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_frames"] == 8000
+    assert out[1]["duration_sec"] == pytest.approx(1.0)
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert out[1]["rms"] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+    assert out[2]["rms"] == 0.0
