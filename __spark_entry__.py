@@ -409,7 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed per-sf path, overwritten each run: repeated bench/gate runs
         # must not accumulate index copies in /tmp
         index_dir = os.path.join(
-            tempfile.gettempdir(), f"sfspark_ivf_{os.path.basename(sf.rstrip('/'))}"
+            tempfile.gettempdir(),
+            f"sfspark_ivf_{os.path.basename(os.path.abspath(sf))}",
         )
         sim.ivf_write(assigned, centroids, index_dir)
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
@@ -432,11 +433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .parquet(sf)
         )
         validated = ValidationEngine(DOCUMENTS_SCHEMA).apply(stream)
-        # fixed per-sf path: the checkpoint makes reruns no-ops (already-
-        # processed files are skipped) and nothing accumulates in /tmp
-        out_root = os.path.join(
-            tempfile.gettempdir(), f"sfspark_stream_{os.path.basename(sf.rstrip('/'))}"
-        )
+        # fixed path keyed by the SOURCE IDENTITY (abs path + mtime +
+        # size): the checkpoint makes same-data reruns no-ops, while
+        # regenerated or differently-located data gets a fresh root —
+        # a stale seen-files log would otherwise serve old violations
+        import hashlib
+
+        src_file = os.path.join(sf, "documents.parquet")
+        st_info = os.stat(src_file)
+        sig = hashlib.md5(
+            f"{os.path.abspath(src_file)}|{int(st_info.st_mtime)}|{st_info.st_size}".encode()
+        ).hexdigest()[:12]
+        out_root = os.path.join(tempfile.gettempdir(), f"sfspark_stream_{sig}")
         if not os.path.isdir(f"{out_root}/violations"):
             # a stale checkpoint without its output (tmp cleaner) would
             # make the rerun a no-op with nothing to read — start fresh

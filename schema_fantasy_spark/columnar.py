@@ -421,7 +421,16 @@ def _typed_literal(x: Any, dtype: T.DataType) -> Optional[Column]:
             if lo is not None and not (lo <= iv <= hi):
                 return None
             return F.lit(iv).cast(dtype)
-        return F.lit(float(x)).cast(dtype)
+        try:
+            fv = float(x)
+        except OverflowError:
+            return None  # JSON int beyond double range matches nothing
+        if isinstance(dtype, T.DecimalType):
+            # ANSI decimal cast throws NUMERIC_VALUE_OUT_OF_RANGE instead
+            # of returning null — range-check driver-side first
+            if not abs(fv) < float(10 ** (dtype.precision - dtype.scale)):
+                return None
+        return F.lit(fv).cast(dtype)
     if isinstance(x, str):
         if isinstance(dtype, T.StringType):
             return F.lit(x)

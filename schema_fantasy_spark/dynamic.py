@@ -26,6 +26,10 @@ from schema_fantasy_spark.errors import ERRORS_SCHEMA, errs_to_rows
 from schema_fantasy_spark.compiler.plan import compile_schema
 
 
+def _reject_constant(name: str):
+    raise ValueError(f"non-standard JSON constant: {name}")
+
+
 def json_errors_udf(schema: Any, refs: Optional[Dict[str, Any]] = None):
     """A pandas UDF: json-string column -> errors array<struct> column."""
     compiled = compile_schema(schema, refs=refs)
@@ -39,7 +43,10 @@ def json_errors_udf(schema: Any, refs: Optional[Dict[str, Any]] = None):
                 value = None
             else:
                 try:
-                    value = json.loads(doc)
+                    # reject NaN/Infinity (not JSON): variant's
+                    # try_parse_json rejects them too, keeping the two
+                    # modes oracle-interchangeable on the same documents
+                    value = json.loads(doc, parse_constant=_reject_constant)
                 except (ValueError, RecursionError):
                     # quarantine, don't kill the job: at 10^12 docs one
                     # malformed document must become a violation row, not

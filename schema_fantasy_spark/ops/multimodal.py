@@ -69,7 +69,7 @@ def decode_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
-        return w, h, "png"
+        return _valid_dims(w, h, "png")
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(payload):
@@ -77,10 +77,13 @@ def decode_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte (ISO/IEC 10918-1 allows padding)
+                i += 1
+                continue
             if marker in _JPEG_SOF:
                 h = int.from_bytes(payload[i + 5 : i + 7], "big")
                 w = int.from_bytes(payload[i + 7 : i + 9], "big")
-                return w, h, "jpeg"
+                return _valid_dims(w, h, "jpeg")
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
                 continue
@@ -91,11 +94,20 @@ def decode_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
     if payload[:2] == b"BM" and len(payload) >= 30:
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = abs(int.from_bytes(payload[22:26], "little", signed=True))
-        return w, h, "bmp"
+        return _valid_dims(w, h, "bmp")
     if payload[:2] == b"P6":
         dims = _ppm_header(payload)
         if dims is not None:
-            return dims[0], dims[1], "ppm"
+            return _valid_dims(dims[0], dims[1], "ppm")
+    return None
+
+
+def _valid_dims(w: int, h: int, fmt: str) -> Optional[Tuple[int, int, str]]:
+    """Corrupt headers carry absurd dimensions; anything non-positive or
+    beyond int32 is treated as unrecognized (a crafted 2^31 width would
+    otherwise crash the int32 metadata column)."""
+    if 0 < w < (1 << 31) and 0 < h < (1 << 31):
+        return w, h, fmt
     return None
 
 
@@ -153,7 +165,7 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
         if hdr is None:
             return None
         w, h, maxval, off = hdr
-        if maxval != 255 or len(payload) < off + w * h * 3:
+        if w <= 0 or h <= 0 or maxval != 255 or len(payload) < off + w * h * 3:
             return None
         return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                              offset=off).reshape(h, w, 3).copy()
@@ -197,21 +209,30 @@ def image_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                hdr = decode_image_header(payload)  # REAL for png/jpeg/bmp/ppm
-                w, h, fmt = hdr if hdr else _decode_image_stub(payload)
+                try:
+                    # pixels first (one parse: dims come from the array);
+                    # header-only parse covers compressed formats
+                    px = decode_image_pixels(payload)  # REAL for bmp24/ppm
+                    if px is not None:
+                        h, w = px.shape[:2]
+                        fmt = "bmp" if payload[:2] == b"BM" else "ppm"
+                        phash = ahash64(px)  # REAL perceptual hash
+                    else:
+                        hdr = decode_image_header(payload)  # png/jpeg/bmp/ppm
+                        w, h, fmt = hdr if hdr else _decode_image_stub(payload)
+                        # STUB fallback hash: stable 63-bit payload digest
+                        phash = (
+                            int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+                            >> 1
+                        )
+                except (ValueError, IndexError, OverflowError):
+                    continue  # corrupt container: quarantine the row
                 ids.append(i)
                 widths.append(w)
                 heights.append(h)
                 fmts.append(fmt)
                 sizes.append(len(payload))
-                px = decode_image_pixels(payload)  # REAL for bmp24/ppm
-                if px is not None:
-                    phashes.append(ahash64(px))  # REAL perceptual hash
-                else:
-                    # STUB fallback: stable 63-bit digest of the payload
-                    phashes.append(
-                        int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") >> 1
-                    )
+                phashes.append(phash)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "width": pd.Series(widths, dtype="int32"),
@@ -243,11 +264,16 @@ def image_features(
                     ids.append(i)
                     feats.append(None)
                     continue
-                px = decode_image_pixels(bytes(payload))
-                if px is not None:
-                    grid = _gray_grid(px, side) / 255.0
-                    feats.append([float(x) for x in grid.flatten()])
+                try:
+                    px = decode_image_pixels(bytes(payload))
+                    if px is not None:
+                        grid = _gray_grid(px, side) / 255.0
+                        feats.append([float(x) for x in grid.flatten()])
+                        ids.append(i)
+                        continue
+                except (ValueError, IndexError, OverflowError):
                     ids.append(i)
+                    feats.append(None)  # corrupt container: null feature
                     continue
                 digest = hashlib.sha256(bytes(payload)).digest()
                 arr = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4],
@@ -333,7 +359,7 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 chans.append(nch)
                 frames.append(nfr)
                 durs.append(nfr / sr if sr else 0.0)
-                if width == 2 and raw:
+                if width == 2 and raw and len(raw) % 2 == 0:
                     samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                     rmss.append(
                         round(float(np.sqrt(np.mean((samples / 32768.0) ** 2))), 6)

@@ -360,3 +360,19 @@ def test_enum_on_date_and_timestamp_columns(spark):
     plan = compile_columnar({"properties": {"d": {"enum": ["2024-01-01", "not-a-date"]}}})
     got = {r["rid"]: r["verdict"] for r in plan.apply(df).collect()}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_enum_decimal_and_huge_float_literals(spark):
+    """ANSI trap, part 2: out-of-range literals on DECIMAL columns and
+    JSON ints beyond double range must match nothing, not throw."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, Decimal("5.25"))], "rid: long, m: decimal(10,2)"
+    )
+    plan = compile_columnar(
+        {"properties": {"m": {"enum": [99999999999999999999, 5.25, 10 ** 400]}}}
+    )
+    assert plan.apply(df).collect()[0]["verdict"] is True
+    plan2 = compile_columnar({"properties": {"m": {"enum": [99999999999999999999]}}})
+    assert plan2.apply(df).collect()[0]["verdict"] is False

@@ -433,3 +433,48 @@ def test_audio_decode_wav(spark):
     # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
     assert out[1]["rms"] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
     assert out[2]["rms"] == 0.0
+
+
+def test_multimodal_corrupt_containers_quarantined(spark):
+    """Corrupt containers must quarantine per row, never fail the stage:
+    zero/negative PPM dims, absurd PNG dims, JPEG fill bytes."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    good = _make_ppm(rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    zero_ppm = b"P6\n0 0\n255\n"
+    neg_ppm = b"P6\n-3 5\n255\n" + b"\x00" * 64
+    huge_png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + (2**31 + 5).to_bytes(4, "big") + (10).to_bytes(4, "big") + b"\x00" * 24)
+    fill_jpg = (b"\xff\xd8" + b"\xff\xff\xff\xff"  # fill bytes before marker
+                + b"\xff\xc0\x00\x11\x08" + (9).to_bytes(2, "big")
+                + (11).to_bytes(2, "big") + b"\x00" * 20)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(zero_ppm)), (3, bytearray(neg_ppm)),
+         (4, bytearray(huge_png)), (5, bytearray(fill_jpg))],
+        "id: long, html: binary",
+    )
+    meta = {r["doc_id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert meta[1]["format"] == "ppm" and meta[1]["width"] == 4
+    # corrupt rows fall back to the stub instead of crashing or lying
+    assert 2 in meta and 3 in meta and 4 in meta  # stub metadata, job alive
+    assert meta[5]["format"] == "jpeg" and (meta[5]["width"], meta[5]["height"]) == (11, 9)
+    feats = {r["doc_id"]: r["feature"] for r in multimodal.image_features(df).collect()}
+    assert feats[1] is not None and len(feats) == 5
+
+
+def test_nan_infinity_docs_quarantined_in_both_modes(spark):
+    """NaN/Infinity are not JSON: both kernels must emit $parse, keeping
+    the modes oracle-interchangeable."""
+    from schema_fantasy_spark.dynamic import validate_json
+    from schema_fantasy_spark.variant import compile_variant
+
+    df = spark.createDataFrame(
+        [(1, "NaN"), (2, "Infinity"), (3, "1.5")], "id: long, doc: string"
+    )
+    dyn = {r["id"]: r for r in validate_json(df, "doc", {"maximum": 2}).collect()}
+    var = {r["id"]: r for r in compile_variant({"maximum": 2}).apply(df, "doc").collect()}
+    for i in (1, 2):
+        assert dyn[i]["errors"][0]["keyword"] == "$parse"
+        assert var[i]["errors"][0]["keyword"] == "$parse"
+    assert dyn[3]["verdict"] is True and var[3]["verdict"] is True
