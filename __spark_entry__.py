@@ -613,6 +613,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             corrupted, docs, key_col="doc_id", text_col="text", method="md5"
         )
 
+    def image_metadata_synthetic(spark, sf):
+        # multimodal decode under the oracle gate: a deterministic
+        # two-tone BMP/PPM/PNG corpus generated from md5(doc_id) nibbles
+        # (ops/mm_corpus.py docstring has the derivation); the oracle
+        # recomputes width/height/format and the exact aHash constant
+        # from the same nibbles in SQL — the REAL decoders (incl. the
+        # zlib PNG pixel path, all five scanline filters) run end to end
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        imgs = mm_corpus.synthetic_images(docs)
+        meta = multimodal.image_metadata(imgs, binary_col="payload", id_col="doc_id")
+        return meta.select("doc_id", "width", "height", "format", "phash")
+
+    def image_features_synthetic(spark, sf):
+        # block-mean grid features over the same corpus: dimensionality
+        # and the top-vs-bottom brightness ordering are exact functions
+        # of the generation nibbles (float32 storage cannot flip an
+        # ordering whose gap is >= 1/765)
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        imgs = mm_corpus.synthetic_images(docs)
+        feats = multimodal.image_features(
+            imgs, binary_col="payload", id_col="doc_id", dim=16
+        )
+        return feats.select(
+            "doc_id",
+            F.size("feature").alias("n_dims"),
+            (F.element_at("feature", 1) > F.element_at("feature", 16)).alias(
+                "top_brighter"
+            ),
+        )
+
+    def audio_metadata_synthetic(spark, sf):
+        # PCM-WAV decode under the gate: square-wave payloads make RMS an
+        # exact rational (amp/32768, <= 6 decimals); rows with nibble 13
+        # == 0 are TRUNCATED containers and must be quarantined away
+        # (per-row quarantine, the $parse contract) — the oracle simply
+        # excludes them
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        aud = mm_corpus.synthetic_audio(docs)
+        meta = multimodal.audio_metadata(aud, binary_col="payload", id_col="doc_id")
+        return meta.select(
+            "doc_id",
+            "sample_rate",
+            "n_channels",
+            "n_frames",
+            F.round("duration_sec", 6).alias("duration_sec"),
+            "rms",
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -656,6 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
+        "image_metadata_synthetic": image_metadata_synthetic,
+        "image_features_synthetic": image_features_synthetic,
+        "audio_metadata_synthetic": audio_metadata_synthetic,
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
@@ -968,7 +1031,7 @@ def oracle_sql() -> dict[str, str]:
 
     exact_dedup = """
     SELECT md5(text) AS digest, count(*) AS n_copies,
-           array_to_string(list_sort(list(doc_id)), ',') AS ids
+           array_to_string(list_sort(list(doc_id))[1:100], ',') AS ids
       FROM documents GROUP BY md5(text) HAVING count(*) > 1
     """
 
@@ -1280,6 +1343,51 @@ def oracle_sql() -> dict[str, str]:
       FROM m
     """
 
+    # ---- multimodal: the oracle re-derives every decoded value from the
+    # same md5(doc_id) nibbles the generator used (ops/mm_corpus.py).
+    # aHash of a two-tone image with grid mean exactly 127.5 is one of
+    # two constants: top-32-bits (sum(color_a) >= 383, bits 0..31) or
+    # bottom-31-bits (bits 32..62; bit 63 is dropped by the 63-bit hash
+    # convention): 2^32-1 = 4294967295, 2^63-2^32 = 9223372032559808512.
+
+    def _nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    _mm_cte = f"""
+    WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents WHERE doc_id IS NOT NULL),
+    n AS (SELECT doc_id, {", ".join(f"{_nib(i)} AS n{i}" for i in range(1, 14))}
+            FROM p)
+    """
+
+    image_meta_sql = _mm_cte + """
+    SELECT doc_id,
+           4 + n2 AS width,
+           8 * (1 + n3 % 3) AS height,
+           CASE n1 % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
+           CASE WHEN (n4*16+n5) + (n6*16+n7) + (n8*16+n9) >= 383
+                THEN 4294967295 ELSE 9223372032559808512 END AS phash
+      FROM n
+    """
+
+    image_feat_sql = _mm_cte + """
+    SELECT doc_id, 16 AS n_dims,
+           ((n4*16+n5) + (n6*16+n7) + (n8*16+n9)) >= 383 AS top_brighter
+      FROM n
+    """
+
+    audio_meta_sql = _mm_cte + """
+    SELECT doc_id,
+           8000 * (1 + n10 % 3) AS sample_rate,
+           1 AS n_channels,
+           CAST(400 + 64 * n11 AS BIGINT) AS n_frames,
+           round(CAST(400 + 64 * n11 AS DOUBLE) / (8000 * (1 + n10 % 3)), 6)
+             AS duration_sec,
+           round(CAST(512 * (1 + n12) AS DOUBLE) / 32768, 6) AS rms
+      FROM n
+     WHERE n13 <> 0
+    """
+
     cosine_topk_sql = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1332,6 +1440,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_documents": simhash_sql,
         "ann_lsh_topk_embeddings": ann_lsh_sql,
         "near_dup_embeddings": near_dup_emb_sql,
+        "image_metadata_synthetic": image_meta_sql,
+        "image_features_synthetic": image_feat_sql,
+        "audio_metadata_synthetic": audio_meta_sql,
         "text_consistency_documents": """
     SELECT doc_id, md5(text || '!') AS h_actual, md5(text) AS h_expected
       FROM documents

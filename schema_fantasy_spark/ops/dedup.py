@@ -47,20 +47,26 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_ids: int = 100,
 ) -> DataFrame:
     """Groups of byte-identical texts: digest, group size, member ids.
 
     Only (digest, id) pairs shuffle — at 10^12 docs the full text never
     moves. md5 keeps the digest oracle-comparable; swap for xxhash64 when
     cross-engine parity is not needed.
+
+    ``ids`` is capped at ``max_ids`` members (sorted, so the cap is
+    deterministic): a degenerate all-identical corpus would otherwise
+    build one row holding every id. ``n_copies`` stays exact. The
+    transform variant (``distinct_by_content``) is list-free entirely.
     """
     return (
         df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_ids).alias("ids"),
         )
         .filter(F.col("n_copies") > 1)
     )

@@ -1,0 +1,137 @@
+"""Deterministic multimodal corpus generator for the driver oracle gate.
+
+The sf dirs carry no binary test table, so the gated multimodal queries
+synthesize one ON BOTH SIDES of the gate from the same seed: every
+generation parameter is a nibble of ``md5(str(doc_id))``, which the
+DuckDB oracle recomputes as ``md5(CAST(doc_id AS VARCHAR))`` — so every
+value the decoders emit (dims, format, perceptual hash, sample rate,
+frame count, duration, RMS) is re-derivable in pure SQL with no binary
+data crossing engines.
+
+Payload design makes the DECODED values SQL-expressible:
+
+* images are two-tone: top half ``color_a``, bottom half the exact
+  inverse ``255 - color_a`` — so the 8x8 aHash grid is 32 cells of A
+  over 32 cells of B, the grid mean is exactly 127.5, and the hash is
+  one of two constants selected by ``sum(color_a) >= 383`` (heights are
+  multiples of 8 so grid sampling never straddles the boundary);
+* audio is a full-scale alternating square wave (+amp/-amp), so
+  RMS == amp/32768 exactly, and amp is a multiple of 512 so the value
+  has <= 6 decimal digits (round(x, 6) is an exact no-op in any engine).
+
+A deterministic slice of audio rows (nibble 13 == 0) is truncated mid
+header: the WAV decoder must QUARANTINE those rows (absent from output,
+never a stage failure) — the same per-row quarantine contract the
+validation kernels model with $parse rows (reference semantics: one bad
+document is one violation, src/index.js:56-63 evaluates per value).
+
+Generators run as mapInPandas (partition-preserving, Arrow transport);
+the per-row byte assembly is the unavoidable per-container loop, exactly
+like the decode side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from schema_fantasy_spark.ops.multimodal import (
+    encode_bmp24,
+    encode_png_rgb,
+    encode_ppm6,
+    encode_wav_pcm16,
+)
+
+PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _nibbles(doc_id: int) -> list:
+    """32 md5 nibbles of str(doc_id) — nibble i (0-based) mirrors the SQL
+    ``strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),
+    i+1, 1)) - 1``."""
+    return [int(c, 16) for c in hashlib.md5(str(doc_id).encode()).hexdigest()]
+
+
+def image_params(doc_id: int) -> Tuple[int, int, int, Tuple[int, int, int]]:
+    """(format_selector, width, height, color_a); color_b = inverse.
+    format_selector: 0 = bmp, 1 = ppm, 2 = png."""
+    nib = _nibbles(doc_id)
+    fsel = nib[0] % 3
+    w = 4 + nib[1]                      # 4..19
+    h = 8 * (1 + nib[2] % 3)            # 8, 16, 24 — multiples of 8
+    color_a = (nib[3] * 16 + nib[4], nib[5] * 16 + nib[6], nib[7] * 16 + nib[8])
+    return fsel, w, h, color_a
+
+
+def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
+    """(sample_rate, n_frames, amplitude, corrupt)."""
+    nib = _nibbles(doc_id)
+    sr = 8000 * (1 + nib[9] % 3)        # 8000, 16000, 24000
+    n_frames = 400 + 64 * nib[10]       # 400..1360
+    amp = 512 * (1 + nib[11])           # 512..8192 — rms = (1+nib)/64
+    corrupt = nib[12] == 0              # 1/16 of rows: quarantine path
+    return sr, n_frames, amp, corrupt
+
+
+def _image_payload(doc_id: int) -> bytes:
+    fsel, w, h, color_a = image_params(doc_id)
+    color_b = tuple(255 - c for c in color_a)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[: h // 2] = color_a
+    px[h // 2 :] = color_b
+    if fsel == 0:
+        return encode_bmp24(px)
+    if fsel == 1:
+        return encode_ppm6(px)
+    # vary the PNG filter deterministically so the gate exercises
+    # None/Sub/Up/Average/Paeth unfiltering, not just the trivial path
+    return encode_png_rgb(px, filter_type=_nibbles(doc_id)[13] % 5)
+
+
+def _audio_payload(doc_id: int) -> bytes:
+    sr, n_frames, amp, corrupt = audio_params(doc_id)
+    samples = np.empty(n_frames, dtype="<i2")
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    payload = encode_wav_pcm16(samples, rate=sr)
+    if corrupt:
+        return payload[:13]  # truncated mid-RIFF-header: wave.Error
+    return payload
+
+
+def synthetic_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic two-tone BMP/PPM/PNG images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_image_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic square-wave PCM WAVs; rows with
+    nibble 13 == 0 are truncated containers (the quarantine fixture)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_audio_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)

@@ -6,21 +6,29 @@ Decode coverage WITHOUT external codec libraries (none in the container):
 
 * image METADATA (width/height/format) parses REAL headers for PNG
   (IHDR), JPEG (SOF marker scan), BMP, and binary PPM (P6);
-* image PIXELS decode for the uncompressed formats (24-bit BMP, P6 PPM)
-  via struct+numpy — real average-hash (aHash) and real block-mean
+* image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, and
+  for PNG (8-bit RGB/RGBA, non-interlaced) via stdlib ``zlib`` inflate +
+  scanline unfiltering — real average-hash (aHash) and real block-mean
   features come from those pixels;
 * audio (PCM WAV) decodes with the stdlib ``wave`` module — sample rate,
   channels, duration, RMS energy are real;
-* compressed pixel data (JPEG/PNG) and video keyframes still fall back
-  to clearly-marked deterministic STUBS (real impl: PIL/libvips/ffmpeg —
-  swap the fallback branch; every other line stays).
+* JPEG/WebP pixel data and video keyframes still fall back to
+  clearly-marked deterministic STUBS (their entropy coders genuinely
+  need codec libraries; real impl: PIL/libvips/ffmpeg — swap the
+  fallback branch; every other line stays).
+
+The ``encode_*`` helpers build byte-exact synthetic payloads (used by the
+pytest round-trips and the driver-gate corpus); they are generators for
+test data, not part of the decode surface.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -136,11 +144,97 @@ def _ppm_header(payload: bytes) -> Optional[Tuple[int, int, int, int]]:
     return w, h, maxval, i + 1  # single whitespace after maxval
 
 
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over PNG chunks; stops at truncation."""
+    i, n = 8, len(payload)
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return
+        yield typ, data
+        i += 12 + ln  # length + type + data + crc
+
+
+def _decode_png_pixels(payload: bytes) -> Optional["np.ndarray"]:
+    """REAL PNG pixel decode with stdlib zlib: 8-bit RGB (color type 2)
+    and RGBA (type 6, alpha dropped), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Anything else (palette, 16-bit,
+    Adam7) returns None and takes the header-only path — PNG's DEFLATE
+    needs no codec library, only its entropy-free container."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = depth = ctype = interlace = None
+    idat = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            if data[10] != 0 or data[11] != 0:  # compression/filter method
+                return None
+            interlace = data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or _valid_dims(w, h, "png") is None:
+        return None
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        return None
+    bpp = 3 if ctype == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) < (stride + 1) * h:
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — vectorized; uint8 wrap IS the mod-256 spec
+            line += prev
+        elif ftype == 1:  # Sub — sequential: left neighbor is reconstructed
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = line
+        prev = out[y]
+    return np.ascontiguousarray(out.reshape(h, w, bpp)[:, :, :3])
+
+
 def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
-    """REAL pixel decode for the uncompressed formats -> HxWx3 uint8:
-    24-bit uncompressed BMP (bottom-up, BGR, 4-byte row padding) and
-    binary PPM (P6, maxval 255). None for anything else (compressed
-    formats need codec libraries)."""
+    """REAL pixel decode -> HxWx3 uint8: 24-bit uncompressed BMP
+    (bottom-up, BGR, 4-byte row padding), binary PPM (P6, maxval 255),
+    and PNG (8-bit RGB/RGBA non-interlaced, stdlib zlib). None for
+    anything else (JPEG/WebP entropy coders need codec libraries)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_pixels(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -212,10 +306,15 @@ def image_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 try:
                     # pixels first (one parse: dims come from the array);
                     # header-only parse covers compressed formats
-                    px = decode_image_pixels(payload)  # REAL for bmp24/ppm
+                    px = decode_image_pixels(payload)  # REAL: bmp24/ppm/png
                     if px is not None:
                         h, w = px.shape[:2]
-                        fmt = "bmp" if payload[:2] == b"BM" else "ppm"
+                        if payload[:2] == b"BM":
+                            fmt = "bmp"
+                        elif payload[:1] == b"\x89":
+                            fmt = "png"
+                        else:
+                            fmt = "ppm"
                         phash = ahash64(px)  # REAL perceptual hash
                     else:
                         hdr = decode_image_header(payload)  # png/jpeg/bmp/ppm
@@ -376,3 +475,105 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+# ----------------------------------------------------- synthetic encoders
+#
+# Byte-exact container builders for DETERMINISTIC test/gate corpora (the
+# container has no image/audio libraries, and the driver-gate oracle must
+# recompute every decoded value from generation parameters in SQL).
+# These are data generators, not decoders — the decode surface above is
+# what the engine ships.
+
+
+def encode_bmp24(px: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP (bottom-up, BGR, 4-byte row padding) from
+    an HxWx3 uint8 array. File size = 54 + ((3w+3)&~3)*h exactly."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b"".join(px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    off = 54
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def encode_ppm6(px: "np.ndarray") -> bytes:
+    """Binary PPM (P6, maxval 255) from an HxWx3 uint8 array. File size =
+    len('P6\\n{w} {h}\\n255\\n') + 3wh exactly (no comment lines)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_png_rgb(px: "np.ndarray", filter_type: int = 0) -> bytes:
+    """8-bit RGB non-interlaced PNG (stdlib zlib; one IDAT chunk) from an
+    HxWx3 uint8 array. ``filter_type`` applies the same PNG scanline
+    filter (0..4) to every row — lets tests exercise each unfilter path."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        raw.append(filter_type)
+        if filter_type == 0:  # None
+            enc = line
+        elif filter_type == 1:  # Sub
+            enc = [
+                (int(line[x]) - (int(line[x - 3]) if x >= 3 else 0)) & 0xFF
+                for x in range(len(line))
+            ]
+        elif filter_type == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            enc = [
+                (int(line[x]) - (((int(line[x - 3]) if x >= 3 else 0) + int(prev[x])) >> 1))
+                & 0xFF
+                for x in range(len(line))
+            ]
+        elif filter_type == 4:  # Paeth
+            enc = []
+            for x in range(len(line)):
+                a = int(line[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((int(line[x]) - pred) & 0xFF)
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw += bytes(int(v) & 0xFF for v in enc)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array. File size =
+    44 + 2*len(samples) exactly (stdlib wave writes the canonical
+    44-byte header for mono PCM16)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()

@@ -198,18 +198,31 @@ def repetition_metrics(
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
-    # bigrams/trigrams materialize once each (barriers), then the mode
-    # count is an O(distinct x n) fold — tiny per doc, fully JVM-side
+    # bigrams/trigrams materialize once each (barriers); the mode count is
+    # sort + one linear run-length fold (O(n log n) per doc, fully
+    # JVM-side). The naive distinct x filter formulation is O(distinct x n)
+    # — ~10^10 comparisons for one pathological 100k-word document — a
+    # straggler-task generator at corpus scale.
     based = _barrier(_barrier(base, bg, "_bg"), tg, "_tg")
     bgc, tgc = F.col("_bg"), F.col("_tg")
-    top_bg = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bgc),
-                lambda d: F.size(F.filter(bgc, lambda x: x == d)),
-            )
+
+    def _run_step(acc, x):
+        # run-length over the SORTED array: extend the run while x matches
+        # the previous element, fold the best run length forward
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    top_bg = F.aggregate(
+        F.array_sort(bgc),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        _run_step,
+        lambda acc: acc.best,
     )
     frac_top_bigram = F.round(
         top_bg / F.greatest(F.size(bgc), F.lit(1)), 6

@@ -309,6 +309,31 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[3]["n_words"] == 2 and not out[3]["gopher_pass"]
 
 
+def test_repetition_metrics_adversarial_length(spark):
+    """A 50k-word highly repetitive doc (~25k DISTINCT bigrams, each
+    repeated) completes in bounded time: the mode count is sort + one
+    linear run-length fold, not the O(distinct x n) filter-per-distinct
+    formulation (which needs ~10^9 comparisons here and times out)."""
+    import time
+
+    # 25k distinct words, each appearing twice consecutively: bigrams are
+    # ~25k distinct "wi wi" pairs (count 1 each) + interleavers -> a near
+    # worst case for distinct x n, trivial for sorted run-length
+    words = []
+    for i in range(25_000):
+        words.append(f"w{i}")
+        words.append(f"w{i}")
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "doc_id: long, text: string")
+    t0 = time.time()
+    row = tx.repetition_metrics(df).collect()[0]
+    elapsed = time.time() - t0
+    assert row["n_words"] == 50_000
+    # each "wi wi" bigram occurs once; "wi w{i+1}" also once -> top = 1
+    assert row["frac_top_bigram"] == round(1 / 49_999, 6)
+    assert elapsed < 60, f"repetition_metrics took {elapsed:.1f}s on 50k words"
+
+
 def test_dedup_units_global(spark):
     """C4-style global line dedup: each distinct line survives once
     (earliest doc/pos); docs reconstruct from surviving lines in order."""
@@ -413,6 +438,74 @@ def test_image_decode_real_formats(spark):
     want = (multimodal._gray_grid(px, 4) / 255.0).flatten()
     assert feats[1] == pytest.approx(list(want), abs=1e-6)
     assert feats[1] == feats[2]
+
+
+def test_png_pixel_decode_all_filters(spark):
+    """REAL PNG pixel decode (stdlib zlib): every scanline filter
+    round-trips bit-exactly, and PNG rows flow through image_metadata
+    with real dims + real aHash (equal to the same pixels in BMP)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    for ft in range(5):  # None / Sub / Up / Average / Paeth
+        payload = multimodal.encode_png_rgb(px, filter_type=ft)
+        out = multimodal.decode_image_pixels(payload)
+        assert out is not None and (out == px).all(), f"filter {ft}"
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png_rgb(px, filter_type=4))),
+         (2, bytearray(_make_bmp(px)))],
+        "id: long, html: binary",
+    )
+    meta = {r["doc_id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["format"]) == (6, 8, "png")
+    # identical pixels -> identical perceptual hash across containers
+    assert meta[1]["phash"] == meta[2]["phash"] == multimodal.ahash64(px)
+    # block-mean features are real for PNG now too
+    feats = {r["doc_id"]: r["feature"] for r in multimodal.image_features(df).collect()}
+    assert feats[1] == feats[2]
+    # truncated IDAT: pixel decode refuses, header dims still real
+    trunc = multimodal.encode_png_rgb(px)[:41]
+    assert multimodal.decode_image_pixels(trunc) is None
+
+
+def test_mm_corpus_roundtrip(spark):
+    """The driver-gate corpus generator: payloads decode to exactly the
+    md5-nibble parameters on the Spark path, and truncated WAVs
+    quarantine per row."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops import mm_corpus as mc
+
+    ids = spark.createDataFrame([(i,) for i in range(64)], "doc_id: long")
+    meta = {
+        r["doc_id"]: r
+        for r in multimodal.image_metadata(
+            mc.synthetic_images(ids), binary_col="payload", id_col="doc_id"
+        ).collect()
+    }
+    assert len(meta) == 64
+    for i in range(64):
+        fsel, w, h, ca = mc.image_params(i)
+        assert (meta[i]["width"], meta[i]["height"]) == (w, h)
+        assert meta[i]["format"] == {0: "bmp", 1: "ppm", 2: "png"}[fsel]
+        assert meta[i]["phash"] == (
+            4294967295 if sum(ca) >= 383 else 9223372032559808512
+        )
+    audio = {
+        r["doc_id"]: r
+        for r in multimodal.audio_metadata(
+            mc.synthetic_audio(ids), binary_col="payload", id_col="doc_id"
+        ).collect()
+    }
+    for i in range(64):
+        sr, nf, amp, corrupt = mc.audio_params(i)
+        if corrupt:
+            assert i not in audio  # truncated container -> quarantined row
+        else:
+            r = audio[i]
+            assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (sr, nf, 1)
+            assert r["rms"] == round(amp / 32768.0, 6)
 
 
 def test_audio_decode_wav(spark):
