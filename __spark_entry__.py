@@ -333,6 +333,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, threshold=0.06, num_hashes=16, bands=8, method="md5"
         )
 
+    def near_dup_clusters_documents(spark, sf):
+        # near-dup CLUSTER FORMATION under the gate: connected components
+        # (min-label propagation, O(diameter) rounds of join+min) over the
+        # verified md5-minhash pairs; the oracle replays the same pair
+        # pipeline and closes it transitively with a recursive CTE
+        from schema_fantasy_spark.ops import dedup
+
+        docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        pairs = dedup.minhash_near_duplicates(
+            docs, threshold=0.06, num_hashes=16, bands=8, method="md5"
+        )
+        return dedup.duplicate_clusters(pairs)
+
     def simhash_near_dup_documents(spark, sf):
         # 60-bit md5-prefix simhash (oracle-replayable); the xxhash64
         # 64-bit variant is the scale default with the same plan shape
@@ -416,6 +429,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
         return sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=8)
 
+    def ivf_partial_probe_embeddings(spark, sf):
+        # the PRUNING path end-to-end under the gate: probe only 3 of 8
+        # persisted lists (the exhaustive probe above shares the exact
+        # cosine oracle; this one exercises n_probe < n_lists, reading
+        # 3/8 of the index partitions). An approximate result has no
+        # exact SQL replica, so the query RETURNS ITS OWN quality
+        # verdict — recall vs the exact top-10 and containment in the
+        # exact top-50, both computed in Spark — and the oracle pins the
+        # expected verdict constants (measured: recall 6-8/10 at sf0.01
+        # and sf0.1 with the seeded deterministic k-means; thresholds
+        # hold with margin at both).
+        import tempfile
+
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        rest = emb.filter(F.col("vec_id") != 0)
+        assigned, centroids = sim.ivf_index(
+            rest, n_lists=8, max_iter=5, assign_partitions=32
+        )
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"sfspark_ivfp_{os.path.basename(os.path.abspath(sf))}",
+        )
+        sim.ivf_write(assigned, centroids, index_dir)
+        assigned2, centroids2 = sim.ivf_read(spark, index_dir)
+        partial = sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=3)
+        exact10 = sim.cosine_topk(rest, qvec, 10).select(F.col("vec_id").alias("e10"))
+        exact50 = sim.cosine_topk(rest, qvec, 50).select(F.col("vec_id").alias("e50"))
+        p = partial.select(F.col("vec_id").alias("pid"))
+        agg = (
+            p.join(F.broadcast(exact10), p.pid == F.col("e10"), "left")
+            .join(F.broadcast(exact50), p.pid == F.col("e50"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_returned"),
+                F.sum(F.col("e10").isNotNull().cast("int")).alias("n_in10"),
+                F.sum(F.col("e50").isNotNull().cast("int")).alias("n_in50"),
+            )
+        )
+        return agg.select(
+            F.lit(10).alias("k"),
+            "n_returned",
+            (F.col("n_in50") == F.col("n_returned")).alias("subset_ok"),
+            (F.col("n_in10") >= 5).alias("recall_ok"),
+        )
+
     def streaming_validation_documents(spark, sf):
         # Structured Streaming under the oracle gate: the SAME flagship
         # constraint suite runs as an availableNow stream (file source ->
@@ -467,6 +527,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "expected",
             "actual",
             "depth",
+        )
+
+    def windowed_verdicts_events(spark, sf):
+        # the STATEFUL event-time streaming aggregation under the gate:
+        # windowed_verdicts (watermarked tumbling windows over a
+        # validated stream) runs availableNow against the events table.
+        # Complete output mode + memory sink emits EVERY window so the
+        # batch GROUP BY is an exact oracle; the append-after-watermark
+        # eviction path is pytest-asserted (tests/test_manifest_streaming)
+        import uuid
+
+        from schema_fantasy_spark import streaming as st
+
+        batch = tables.load(spark, sf, "events")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+            # watermarks require TIMESTAMP (with tz); the test table's ts
+            # is TIMESTAMP_NTZ — the cast is wall-clock exact (session tz
+            # is UTC; the target table's warc_ts is already TIMESTAMP)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        schema = {
+            "required": ["event_type"],
+            "properties": {"value": {"maximum": 50}},
+        }
+        validated = st.validate_stream(stream, schema)
+        wv = st.windowed_verdicts(
+            validated, ts_col="ts", window="1 hour", watermark="2 hours"
+        )
+        qname = "wv_" + uuid.uuid4().hex[:10]
+        q = (
+            wv.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qname)
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_rows",
+            "n_invalid",
+            "n_errors",
+            "pass",
         )
 
     def http_linked_validation(spark, sf):
@@ -707,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": exact_dedup_documents,
         "jaccard_pairs_documents": jaccard_pairs_documents,
         "minhash_near_dup_documents": minhash_near_dup_documents,
+        "near_dup_clusters_documents": near_dup_clusters_documents,
         "simhash_near_dup_documents": simhash_near_dup_documents,
         "token_counts_documents": token_counts_documents,
         "quality_scores_documents": quality_scores_documents,
@@ -715,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "ivf_partial_probe_embeddings": ivf_partial_probe_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
         "image_metadata_synthetic": image_metadata_synthetic,
         "image_features_synthetic": image_features_synthetic,
@@ -726,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": snapshot_diff_documents,
         "http_linked_validation": http_linked_validation,
         "streaming_validation_documents": streaming_validation_documents,
+        "windowed_verdicts_events": windowed_verdicts_events,
     }
 
 
@@ -1185,6 +1295,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT id_a, id_b, n_inter, n_union, jaccard FROM scored WHERE jaccard >= 0.06
     """
 
+    clusters_sql = f"""
+    WITH RECURSIVE pairs AS ({minhash_sql}),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    r AS (
+      SELECT DISTINCT u AS id, u AS lab FROM e
+      UNION
+      SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id WHERE r.lab < e.v
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_rep FROM r GROUP BY id
+    """
+
     # 60-bit md5-prefix simhash: token hash = conv of the first 15 hex
     # chars; votes per bit; 4 x 15-bit chunk banding; Hamming <= 3
     _sim_bit_terms = " + ".join(
@@ -1435,8 +1557,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": lang_id,
         "cosine_topk_embeddings": cosine_topk_sql,
         "ivf_topk_embeddings": cosine_topk_sql,
+        "ivf_partial_probe_embeddings": """
+    SELECT 10 AS k, CAST(10 AS BIGINT) AS n_returned,
+           true AS subset_ok, true AS recall_ok
+    """,
         "fingerprint_documents": fingerprint_sql,
         "minhash_near_dup_documents": minhash_sql,
+        "near_dup_clusters_documents": clusters_sql,
         "simhash_near_dup_documents": simhash_sql,
         "ann_lsh_topk_embeddings": ann_lsh_sql,
         "near_dup_embeddings": near_dup_emb_sql,
@@ -1451,6 +1578,19 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_documents": gopher_sql,
         "c4_unit_dedup_documents": c4_sql,
         "streaming_validation_documents": flagship,
+        "windowed_verdicts_events": """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN (value IS NOT NULL AND NOT value <= 50)
+                           OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_invalid,
+           CAST(sum(CASE WHEN value IS NOT NULL AND NOT value <= 50 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           sum(CASE WHEN (value IS NOT NULL AND NOT value <= 50)
+                      OR event_type IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+      FROM events GROUP BY 1
+    """,
         "http_linked_validation": """
     SELECT doc_id, 'text' AS path, 'minLength' AS keyword FROM documents
      WHERE text IS NOT NULL AND length(text) < 100

@@ -494,3 +494,102 @@ def dedup_units_global(
             F.size("us").alias("n_units"),
         )
     )
+
+
+# ------------------------------------------------- near-dup cluster forming
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over (verified) near-duplicate pairs ->
+    ``(doc_id, cluster_rep)`` with rep = min id in the component — the
+    step that turns pairwise near-dup output into dedup GROUPS (keep one
+    representative per cluster, drop the rest).
+
+    Algorithm: min-label propagation. Every round each node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup graphs are overwhelmingly tiny
+    cliques and short chains (diameter 1-3), so a handful of rounds
+    settles real corpora; the loop stops on a converged check (one cheap
+    limit(1) probe per round) and ``localCheckpoint()`` truncates lineage
+    so the plan does not grow across rounds.
+
+    Scale shape per round: one shuffle join on node id + one partial-agg
+    min — both over the PAIR GRAPH only, which at 10^12 docs is the
+    near-duplicate subset, orders of magnitude smaller than the corpus.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .localCheckpoint()
+    )
+    # initial label: min(self, direct neighbors) — one round for free
+    labels = edges.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("label")
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlab")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(prop, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("u", F.col("label").alias("old")), "u")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """The dedup TRANSFORM over cluster output: keep one row per
+    near-dup cluster (plus every unclustered row untouched).
+
+    ``score_col=None`` keeps the cluster representative (min id — matches
+    ``cluster_rep`` exactly). With a score column, keeps the HIGHEST-score
+    member per cluster (ties -> min id), the keep-best-quality policy of
+    production corpus dedup. Window-free: groupBy over the (small)
+    clustered subset + anti/semi joins back."""
+    member_ids = clusters.select(F.col(id_col))
+    if score_col is None:
+        keep_ids = clusters.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
+    else:
+        scored = clusters.join(df.select(id_col, score_col), id_col)
+        best = scored.groupBy("cluster_rep").agg(F.max(score_col).alias("_best"))
+        keep_ids = (
+            scored.join(best, "cluster_rep")
+            .filter(F.col(score_col) == F.col("_best"))
+            .groupBy("cluster_rep")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+    unclustered = df.join(member_ids, id_col, "left_anti")
+    kept = df.join(keep_ids, id_col, "left_semi")
+    return unclustered.unionAll(kept)

@@ -77,6 +77,18 @@ G["enum"] = [
         {"description": "0 is valid", "data": 0, "valid": True},
         {"description": "false is invalid (type-aware equality)", "data": False, "valid": False},
     ]},
+    # R.equals number semantics INSIDE composites (reference
+    # src/v4/enum.js:25): 1 == 1.0 at every nesting level, but numbers
+    # never equal booleans or strings
+    {"description": "composite enum numeric deep equality",
+     "schema": {"enum": [[1], {"a": [2, {"b": 3}]}]}, "tests": [
+        {"description": "float-encoded nested int is equal", "data": [1.0], "valid": True},
+        {"description": "deeply nested float-encoded int is equal",
+         "data": {"a": [2.0, {"b": 3.0}]}, "valid": True},
+        {"description": "nested true is not 1", "data": [True], "valid": False},
+        {"description": "nested string is not 1", "data": ["1"], "valid": False},
+        {"description": "different nested number is invalid", "data": [1.5], "valid": False},
+    ]},
 ]
 
 G["minimum"] = [
@@ -180,6 +192,10 @@ G["uniqueItems"] = [
         {"description": "unique array of ints is valid", "data": [1, 2], "valid": True},
         {"description": "non-unique array is invalid", "data": [1, 1], "valid": False},
         {"description": "numbers are unique if mathematically unequal", "data": [1.0, 1.00, 1], "valid": False},
+        {"description": "nested numbers are compared mathematically", "data": [[1], [1.0]], "valid": False},
+        {"description": "nested objects with float-encoded ints are duplicates",
+         "data": [{"a": 1}, {"a": 1.0}], "valid": False},
+        {"description": "nested true and 1 stay distinct", "data": [[True], [1]], "valid": True},
         {"description": "unique array of objects is valid", "data": [{"foo": "bar"}, {"foo": "baz"}], "valid": True},
         {"description": "non-unique array of objects is invalid", "data": [{"foo": "bar"}, {"foo": "bar"}], "valid": False},
         {"description": "nested objects deep-compared", "data": [{"a": {"b": True}}, {"a": {"b": True}}], "valid": False},

@@ -334,6 +334,45 @@ def test_repetition_metrics_adversarial_length(spark):
     assert elapsed < 60, f"repetition_metrics took {elapsed:.1f}s on 50k words"
 
 
+def test_duplicate_clusters_and_keep_best(spark):
+    """Connected components over near-dup pairs: chains merge into one
+    cluster (min-id rep), disjoint cliques stay separate; the keep
+    transform retains one row per cluster (+ all unclustered rows)."""
+    # graph: chain 1-2, 2-3, 3-4 (one component, rep 1, diameter 3 ->
+    # exercises >1 propagation round); clique 10-11, 10-12, 11-12
+    # (rep 10); isolated pair 20-21 (rep 20)
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (1, 2), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id: long, score: double",
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    # rep policy: keep min id per cluster + untouched unclustered rows
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.keep_cluster_representatives(df, clusters).collect()
+    )
+    assert kept == [1, 10, 20, 99]
+    # keep-best policy: highest score per cluster (ties -> min id):
+    # chain scores 1,2,3,4 -> 4; clique 3,4,5 -> 12; pair 6,0 -> 20
+    kept_best = sorted(
+        r["doc_id"]
+        for r in dedup.keep_cluster_representatives(
+            df, clusters, score_col="score"
+        ).collect()
+    )
+    assert kept_best == [4, 12, 20, 99]
+
+
 def test_dedup_units_global(spark):
     """C4-style global line dedup: each distinct line survives once
     (earliest doc/pos); docs reconstruct from surviving lines in order."""

@@ -188,3 +188,35 @@ def test_resumable_run_prunes_partitioned_input(spark, tmp_path_factory):
     assert "day" in pf, pf
     # and the scan is the pruned one, not a full scan + Filter on day
     assert validated.count() > 0
+
+
+def test_multimodal_decode_no_shuffle(spark):
+    """image/audio decode must stay partition-preserving: generate ->
+    mapInPandas decode is one pipelined stage, no Exchange (at 10^12 docs
+    a decode-stage shuffle would move every payload byte)."""
+    from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+    ids = spark.range(0, 256).select(F.col("id").alias("doc_id"))
+    meta = multimodal.image_metadata(
+        mm_corpus.synthetic_images(ids), binary_col="payload", id_col="doc_id"
+    )
+    plan = plan_of(meta)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_duplicate_clusters_bounded_plan(spark):
+    """the cluster loop's localCheckpoint() must truncate lineage: the
+    final plan depends on the LAST round only (scan of checkpointed RDDs
+    + one join), not a 20-round join tower."""
+    from schema_fantasy_spark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a: long, id_b: long"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    plan = plan_of(clusters, mode="simple")
+    # a checkpointed plan reads "Scan ExistingRDD"; an unbounded one would
+    # nest SortMergeJoin/union towers many levels deep
+    assert "ExistingRDD" in plan
+    assert plan.count("Join") <= 2, plan
