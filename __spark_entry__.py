@@ -693,6 +693,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dedup_units_global(chunked, sep="\n", method="md5")
 
+    def filter_funnel_documents(spark, sf):
+        # corpus-cleaning FUNNEL under the gate: sequential rules with
+        # per-rule drop accounting, all computed in ONE aggregation pass
+        # (n_in of rule i == n_out of rule i-1 by construction)
+        from schema_fantasy_spark.ops import text as tx
+
+        docs = tables.load(spark, sf, "documents")
+        rules = [
+            ("text_present", F.col("text").isNotNull()),
+            ("min_20_words", tx.token_count(F.col("text")) >= 20),
+            ("known_lang", F.col("lang").isin("en", "de", "fr", "es")),
+            ("n_chars_cap", F.col("n_chars") <= 500),
+        ]
+        return tx.filter_funnel(docs, rules)
+
+    def sampled_lang_histogram_documents(spark, sf):
+        # deterministic content-hash sampling under the gate: the SAME
+        # 4/16 of rows survive on any engine/partitioning (md5-nibble
+        # predicate; a pure filter, pushed into the scan — df.sample()
+        # would be partition-layout-dependent and unreproducible)
+        from schema_fantasy_spark import scale
+
+        docs = tables.load(spark, sf, "documents").filter(
+            F.col("doc_id").isNotNull()
+        )
+        samp = scale.deterministic_sample(docs, "doc_id", 4, method="md5")
+        return tc.group_histogram(samp, "lang")
+
     def gopher_quality_documents(spark, sf):
         # Gopher-style repetition filters (top-bigram / duplicate-trigram
         # / no-alpha fractions) — standard pre-training corpus rules
@@ -830,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata_synthetic": audio_metadata_synthetic,
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
+        "filter_funnel_documents": filter_funnel_documents,
+        "sampled_lang_histogram_documents": sampled_lang_histogram_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
         "salted_agg_orders": salted_agg_orders,
         "snapshot_diff_documents": snapshot_diff_documents,
@@ -1432,6 +1462,39 @@ def oracle_sql() -> dict[str, str]:
       FROM k WHERE rn = 1 GROUP BY doc_id
     """
 
+
+    funnel_sql = r"""
+    WITH f AS (
+      SELECT (text IS NOT NULL) AS p0,
+             (text IS NOT NULL AND coalesce(
+                len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) >= 20, false)) AS c1,
+             coalesce(lang IN ('en','de','fr','es'), false) AS c2,
+             coalesce(n_chars <= 500, false) AS c3
+        FROM documents),
+    g AS (SELECT p0, (p0 AND c1) AS p1, (p0 AND c1 AND c2) AS p2,
+                 (p0 AND c1 AND c2 AND c3) AS p3 FROM f),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum(CAST(p0 AS BIGINT)) AS BIGINT) AS o0,
+                 CAST(sum(CAST(p1 AS BIGINT)) AS BIGINT) AS o1,
+                 CAST(sum(CAST(p2 AS BIGINT)) AS BIGINT) AS o2,
+                 CAST(sum(CAST(p3 AS BIGINT)) AS BIGINT) AS o3
+            FROM g)
+    SELECT 0 AS stage, 'text_present' AS rule, n AS n_in, n - o0 AS n_dropped, o0 AS n_out FROM s
+    UNION ALL SELECT 1, 'min_20_words', o0, o0 - o1, o1 FROM s
+    UNION ALL SELECT 2, 'known_lang', o1, o1 - o2, o2 FROM s
+    UNION ALL SELECT 3, 'n_chars_cap', o2, o2 - o3, o3 FROM s
+    """
+
+    sampled_hist_sql = """
+    SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS bucket, count(*) AS n
+      FROM documents
+     WHERE doc_id IS NOT NULL
+       AND (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4
+     GROUP BY 1 ORDER BY bucket
+    """
+
     gopher_sql = r"""
     WITH toks AS (
       SELECT doc_id,
@@ -1576,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
      WHERE text IS NOT NULL AND doc_id % 97 = 0
     """,
         "gopher_quality_documents": gopher_sql,
+        "filter_funnel_documents": funnel_sql,
+        "sampled_lang_histogram_documents": sampled_hist_sql,
         "c4_unit_dedup_documents": c4_sql,
         "streaming_validation_documents": flagship,
         "windowed_verdicts_events": """

@@ -249,3 +249,41 @@ def repetition_metrics(
         & (F.col("frac_dup_trigrams") <= max_dup_trigram_frac)
         & (F.col("frac_no_alpha") <= max_no_alpha_frac),
     )
+
+
+def filter_funnel(df: DataFrame, rules) -> DataFrame:
+    """Sequential quality-filter FUNNEL with per-rule drop accounting —
+    the report every corpus-cleaning pipeline needs ("how many docs did
+    each rule cost?"). ``rules`` is an ordered list of (name, Column
+    predicate); a row must pass every earlier rule to reach rule i.
+
+    Returns one row per rule: (stage, rule, n_in, n_dropped, n_out).
+
+    Scale shape: ONE aggregation job for the whole funnel — the chained
+    survival flags are cheap boolean expressions evaluated in a single
+    scan pass (no per-rule job, no shuffle beyond the final 1-row agg);
+    NULL predicate results drop the row (SQL filter semantics).
+    """
+    flags = []
+    surv = F.lit(True)
+    for name, cond in rules:
+        passed = surv & F.coalesce(cond, F.lit(False))
+        flags.append((name, surv, passed))
+        surv = passed
+    aggs = []
+    for i, (_, s_in, s_out) in enumerate(flags):
+        aggs.append(F.sum(s_in.cast("long")).alias(f"_in{i}"))
+        aggs.append(F.sum(s_out.cast("long")).alias(f"_out{i}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', _in{i}, _out{i}" for i, (name, _, _) in enumerate(flags)
+    )
+    out = row.selectExpr(
+        f"stack({len(flags)}, {stack_args}) AS (stage, rule, n_in, n_out)"
+    )
+    return out.select(
+        "stage", "rule",
+        F.coalesce("n_in", F.lit(0)).alias("n_in"),
+        (F.coalesce("n_in", F.lit(0)) - F.coalesce("n_out", F.lit(0))).alias("n_dropped"),
+        F.coalesce("n_out", F.lit(0)).alias("n_out"),
+    )

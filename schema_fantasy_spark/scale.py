@@ -119,3 +119,31 @@ def prune_days(df: DataFrame, ts_col: str, start: Optional[str], end: Optional[s
     if end is not None:
         out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
     return out
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    rate_sixteenths: int,
+    method: str = "md5",
+) -> DataFrame:
+    """Deterministic, reproducible sampling by content of the id — the
+    training-data-pipeline sampling primitive (holdout carving, debug
+    slices, stratified eval sets). Keeps rows whose first md5 nibble of
+    ``str(id)`` is < ``rate_sixteenths`` (rate = n/16): the SAME rows
+    survive on any engine, any partitioning, any run — unlike
+    ``df.sample()``, whose output depends on partition layout.
+
+    Scale shape: a pure filter — pushes into the scan pipeline, no
+    shuffle, no state. ``method='xxhash64'`` uses
+    ``pmod(xxhash64(id), 16)`` (faster; engine-specific).
+    """
+    if not 0 <= rate_sixteenths <= 16:
+        raise ValueError("rate_sixteenths must be in [0, 16]")
+    if method == "md5":
+        nib = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+        ).cast("int")
+    else:
+        nib = F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))
+    return df.filter(nib < rate_sixteenths)

@@ -610,3 +610,43 @@ def test_nan_infinity_docs_quarantined_in_both_modes(spark):
         assert dyn[i]["errors"][0]["keyword"] == "$parse"
         assert var[i]["errors"][0]["keyword"] == "$parse"
     assert dyn[3]["verdict"] is True and var[3]["verdict"] is True
+
+
+def test_filter_funnel_hand_computed(spark):
+    """Funnel accounting: sequential gating, NULL predicate -> drop, and
+    n_in of each stage == n_out of the previous by construction."""
+    df = spark.createDataFrame(
+        [(1, "good text here", 10), (2, None, 5), (3, "short", None),
+         (4, "x y z", 900), (5, "ok doc", 100)],
+        "doc_id: long, text: string, n: long",
+    )
+    out = {r["rule"]: r for r in tx.filter_funnel(df, [
+        ("has_text", F.col("text").isNotNull()),
+        ("n_known", F.col("n").isNotNull()),   # NULL n -> dropped
+        ("n_cap", F.col("n") <= 500),
+    ]).collect()}
+    assert (out["has_text"]["n_in"], out["has_text"]["n_out"]) == (5, 4)
+    assert (out["n_known"]["n_in"], out["n_known"]["n_out"]) == (4, 3)
+    assert (out["n_cap"]["n_in"], out["n_cap"]["n_dropped"], out["n_cap"]["n_out"]) == (3, 1, 2)
+
+
+def test_deterministic_sample_engine_invariant(spark):
+    """The md5-nibble sample keeps EXACTLY the rows an independent Python
+    md5 predicts (engine/partitioning invariance), and rates are
+    monotonic in the nibble threshold."""
+    import hashlib
+
+    from schema_fantasy_spark import scale
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id: long")
+    got = sorted(r["doc_id"] for r in scale.deterministic_sample(df, "doc_id", 4).collect())
+    want = sorted(
+        i for i in range(400)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 4
+    )
+    assert got == want
+    n16 = scale.deterministic_sample(df, "doc_id", 16).count()
+    n0 = scale.deterministic_sample(df, "doc_id", 0).count()
+    assert (n16, n0) == (400, 0)
+    with pytest.raises(ValueError):
+        scale.deterministic_sample(df, "doc_id", 17)
