@@ -403,6 +403,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         return sim.ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, 10)
 
+    def quantized_cosine_topk_embeddings(spark, sf):
+        # the int8 storage path under the gate: symmetric per-vector
+        # quantization (scales cancel in cosine), BIGINT dot products —
+        # exact integer arithmetic, so the oracle replays the whole
+        # pipeline bit-for-bit including the away-from-zero rounding
+        from schema_fantasy_spark.ops import similarity as sim
+
+        emb = tables.load(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        quant = sim.quantize_embeddings(emb.filter(F.col("vec_id") != 0))
+        return sim.quantized_cosine_topk(quant, sim.quantize_vector_py(qvec), 10)
+
     def ivf_topk_embeddings(spark, sf):
         # IVF index (seeded k-means lists) PERSISTED partitionBy(list_id),
         # read back, and probed EXHAUSTIVELY: must equal the exact
@@ -680,6 +692,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("max_price").cast("double").alias("max_price"),
         )
 
+    def per_host_verdicts_documents(spark, sf):
+        # the north rule's "salted repartitioning for skewed hosts" +
+        # per-partition verdicts, end to end under the gate: a
+        # deterministic Zipf-ish url is synthesized from doc_id (half of
+        # all rows land on host h0 — real skew), the flagship schema
+        # validates, and the SALTED two-phase per-host rollup (parse_url
+        # host extraction + salted_agg) must equal a plain GROUP BY
+        from schema_fantasy_spark import scale
+
+        docs = tables.load(spark, sf, "documents").filter(
+            F.col("doc_id").isNotNull()
+        )
+        hostnum = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+            F.pmod(F.col("doc_id"), F.lit(19))
+        )
+        with_url = docs.withColumn(
+            "url",
+            F.concat(
+                F.lit("https://h"),
+                hostnum.cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        validated = ValidationEngine(DOCUMENTS_SCHEMA).apply(with_url)
+        out = scale.per_host_verdicts(validated, url_col="url", buckets=16)
+        return out.select("host", "n_rows", "n_invalid", "n_errors", "pass")
+
     def c4_unit_dedup_documents(spark, sf):
         # C4-style GLOBAL unit dedup (md5 method -> the oracle replays the
         # exact pipeline). This corpus is single-line, so docs are first
@@ -851,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "quantized_cosine_topk_embeddings": quantized_cosine_topk_embeddings,
         "ivf_partial_probe_embeddings": ivf_partial_probe_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
         "image_metadata_synthetic": image_metadata_synthetic,
@@ -862,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_lang_histogram_documents": sampled_lang_histogram_documents,
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
         "salted_agg_orders": salted_agg_orders,
+        "per_host_verdicts_documents": per_host_verdicts_documents,
         "snapshot_diff_documents": snapshot_diff_documents,
         "http_linked_validation": http_linked_validation,
         "streaming_validation_documents": streaming_validation_documents,
@@ -1573,6 +1615,35 @@ def oracle_sql() -> dict[str, str]:
      WHERE n13 <> 0
     """
 
+    quantized_topk_sql = """
+    WITH qs AS (
+      SELECT list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+               AS s, embedding AS e
+        FROM embeddings WHERE vec_id = 0),
+    qq AS (
+      SELECT list_transform(e, x -> CASE WHEN s = 0 THEN 0
+               ELSE CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT) END) AS qv
+        FROM qs),
+    d AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+               AS s
+        FROM embeddings WHERE vec_id <> 0),
+    dq AS (
+      SELECT vec_id, list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+               ELSE CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT) END) AS dv
+        FROM d),
+    sc AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(list_zip(dv, qv), p -> p[1] * p[2]))
+                  AS DOUBLE) AS num,
+             sqrt(CAST(list_sum(list_transform(dv, x -> x * x)) AS DOUBLE)) AS na,
+             sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nb
+        FROM dq, qq)
+    SELECT vec_id, round(num / (na * nb), 5) AS cosine_sim
+      FROM sc ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """
+
     cosine_topk_sql = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
@@ -1619,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores_documents": quality,
         "lang_id_documents": lang_id,
         "cosine_topk_embeddings": cosine_topk_sql,
+        "quantized_cosine_topk_embeddings": quantized_topk_sql,
         "ivf_topk_embeddings": cosine_topk_sql,
         "ivf_partial_probe_embeddings": """
     SELECT 10 AS k, CAST(10 AS BIGINT) AS n_returned,
@@ -1682,6 +1754,28 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CASE WHEN NOT in_b THEN 'added' WHEN NOT in_n THEN 'removed'
                         WHEN diff THEN 'changed' ELSE 'unchanged' END AS change
       FROM j
+    """,
+        "per_host_verdicts_documents": """
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                              ELSE doc_id % 19 END AS VARCHAR)
+                 || '.example.com' AS host,
+             (CASE WHEN text IS NOT NULL AND length(text) < 60 THEN 1 ELSE 0 END
+              + CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END
+              + CASE WHEN n_chars IS NOT NULL AND n_chars < 50 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars IS NOT NULL AND n_chars > 500 THEN 1 ELSE 0 END
+              + CASE WHEN source IS NOT NULL
+                      AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END
+              + CASE WHEN text IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_err
+        FROM documents WHERE doc_id IS NOT NULL)
+    SELECT host, count(*) AS n_rows,
+           CAST(sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+           CAST(sum(n_err) AS BIGINT) AS n_errors,
+           sum(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) = 0 AS pass
+      FROM d GROUP BY host
     """,
         "salted_agg_orders": """
     SELECT o_orderpriority, count(*) AS n,

@@ -383,3 +383,89 @@ def near_duplicates_by_embedding(
         )
     )
     return out.filter(F.col("cosine_sim") >= threshold)
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max(|x|)/127,
+    element -> round(x/scale) in [-127, 127] — the 4x-smaller storage
+    format for 10^12-row embedding tables (and the shape integer-SIMD
+    rerankers consume). Rounding is away-from-zero on both engines, so
+    the oracle replays it exactly.
+
+    Returns (id, qvec array<int>, qscale double). Cosine between
+    quantized vectors needs NO scale: cos(au, bv) == cos(u, v), so
+    downstream similarity is exact-integer dot products.
+    """
+    from schema_fantasy_spark.ops.dedup import _barrier
+
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    # barrier: the scale (an O(dim) fold) must evaluate once per row, not
+    # once per element of the quantize transform
+    b = _barrier(df.select(id_col, vec_col), scale, "qscale")
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(F.col("qscale") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("qscale"), 0))
+        .cast("int"),
+    )
+    return b.select(F.col(id_col), qv.alias("qvec"), F.col("qscale"))
+
+
+def quantized_cosine_topk(
+    quantized: DataFrame,
+    query_q: Sequence[int],
+    k: int,
+    id_col: str = "vec_id",
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine over int8-quantized vectors: BIGINT dot
+    products and norms (exact integer arithmetic — bit-reproducible on
+    any engine), ONE double division at the end. Same
+    TakeOrderedAndProject shape as the float path."""
+    qq = F.array(*[F.lit(int(x)) for x in query_q])
+    qv = F.col("qvec")
+    num = F.aggregate(
+        F.zip_with(qv, qq, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(qv, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(qq, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    sims = quantized.select(
+        F.col(id_col),
+        F.round(num.cast("double") / (na * nb), round_to).alias("cosine_sim"),
+    )
+    return sims.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_vector_py(vec) -> list:
+    """Driver-side replica of quantize_embeddings for a query vector
+    (away-from-zero rounding, like Spark round() and DuckDB round())."""
+    import math
+
+    scale = max(abs(float(x)) for x in vec) / 127.0
+    if scale == 0:
+        return [0] * len(vec)
+
+    def rnd(v: float) -> int:
+        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+
+    return [rnd(float(x) / scale) for x in vec]

@@ -276,7 +276,8 @@ def filter_funnel(df: DataFrame, rules) -> DataFrame:
         aggs.append(F.sum(s_out.cast("long")).alias(f"_out{i}"))
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"{i}, '{name}', _in{i}, _out{i}" for i, (name, _, _) in enumerate(flags)
+        "{}, '{}', _in{}, _out{}".format(i, name.replace("'", "''"), i, i)
+        for i, (name, _, _) in enumerate(flags)
     )
     out = row.selectExpr(
         f"stack({len(flags)}, {stack_args}) AS (stage, rule, n_in, n_out)"

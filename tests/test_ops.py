@@ -650,3 +650,31 @@ def test_deterministic_sample_engine_invariant(spark):
     assert (n16, n0) == (400, 0)
     with pytest.raises(ValueError):
         scale.deterministic_sample(df, "doc_id", 17)
+
+
+def test_quantized_cosine_matches_float_ranking(emb):
+    """int8 quantization: round-trip error bounded by scale/2 per element,
+    and quantized cosine ranking agrees with the float ranking on a real
+    embedding table (overlap >= 8/10)."""
+    import numpy as np
+
+    rows = emb.collect()
+    q = rows[0]["embedding"]
+    rest = emb.filter(F.col("vec_id") != rows[0]["vec_id"])
+    quant = sim.quantize_embeddings(rest)
+    # round-trip: dequantized elements within scale/2 of the original
+    sample = quant.limit(5).collect()
+    orig = {r["vec_id"]: r["embedding"] for r in rows}
+    for r in sample:
+        s = r["qscale"]
+        for got, want in zip(r["qvec"], orig[r["vec_id"]]):
+            assert abs(got * s - float(want)) <= s / 2 + 1e-9
+        assert max(abs(v) for v in r["qvec"]) <= 127
+    exact = [r["vec_id"] for r in sim.cosine_topk(rest, q, 10).collect()]
+    qtop = [
+        r["vec_id"]
+        for r in sim.quantized_cosine_topk(
+            quant, sim.quantize_vector_py(q), 10
+        ).collect()
+    ]
+    assert len(set(exact) & set(qtop)) >= 8, (exact, qtop)
