@@ -102,3 +102,46 @@ def test_prune_days_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "warc_ts" in plan.split("PushedFilters")[1][:200]
     n = df.count()
     assert 0 < n < 2000
+
+def test_dedup_job_end_to_end(spark, tmp_path, monkeypatch):
+    """jobs/dedup_job.py: the full cleaning composition (exact ->
+    near-dup -> clusters -> keep-best) over a corpus with known
+    duplicates; survivors are content-distinct and near-dup clusters
+    shrink to one member each."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps near the warm fire and the birds sing in the trees")
+    rows = [
+        (0, base), (1, base),                     # exact dup pair
+        (2, base.replace("lazy", "sleepy")),      # near-dup of 0
+        (3, "completely different content about spark shuffle and "
+            "adaptive execution for skewed joins in big clusters"),
+        (4, "short unrelated text that stands alone quite happily"),
+    ]
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "dedup_job.py", "--input", inp, "--output", outp,
+        "--threshold", "0.5", "--num-hashes", "16", "--bands", "8",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_job.main()
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_in"] == 5 and stats["n_after_exact"] == 4
+    assert stats["removed_near_dup"] >= 1  # 0/2 collapse to one survivor
+    out = spark.read.parquet(outp)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 3 in ids and 4 in ids and len(ids) == stats["n_out"]
+    # survivors are pairwise content-distinct
+    assert out.select("text").distinct().count() == out.count()
