@@ -196,6 +196,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "check", "pass", F.round("metric", 6).alias("metric")
         )
 
+    def schema_drift_documents(spark, sf):
+        # TABLE-SCHEMA drift under the gate: the contract deliberately
+        # expects an int n_chars (actual: bigint), a fetch_ts column
+        # (absent), and omits source (unexpected) — both engines derive
+        # the ACTUAL schema from the parquet metadata itself (Spark
+        # schema vs DuckDB DESCRIBE), so this is a real oracle, not a
+        # constant
+        docs = tables.load(spark, sf, "documents")
+        return tc.schema_check(docs, {
+            "doc_id": "bigint",
+            "text": "string",
+            "lang": "string",
+            "n_chars": "int",
+            "fetch_ts": "timestamp",
+        })
+
     def null_rates_documents(spark, sf):
         docs = tables.load(spark, sf, "documents")
         return tc.null_rates(docs, ["doc_id", "lang", "n_chars", "source", "text"])
@@ -866,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_keywords_embeddings": array_keywords_embeddings,
         "props_object_bounds": props_object_bounds,
         "suite_documents": suite_documents,
+        "schema_drift_documents": schema_drift_documents,
         "null_rates_documents": null_rates_documents,
         "column_stats_lineitem": column_stats_lineitem,
         "percentiles_lineitem": percentiles_lineitem,
@@ -1214,7 +1231,8 @@ def oracle_sql() -> dict[str, str]:
     exact_dedup = """
     SELECT md5(text) AS digest, count(*) AS n_copies,
            array_to_string(list_sort(list(doc_id))[1:100], ',') AS ids
-      FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      FROM documents WHERE text IS NOT NULL
+     GROUP BY md5(text) HAVING count(*) > 1
     """
 
     # trigram word-shingle sets, exactly mirroring ops.dedup.shingles_col
@@ -1671,6 +1689,27 @@ def oracle_sql() -> dict[str, str]:
         "array_keywords_embeddings": array_keywords,
         "props_object_bounds": props_bounds,
         "suite_documents": suite_sql,
+        "schema_drift_documents": """
+    WITH actual AS (
+      SELECT column_name AS col_name,
+             CASE column_type WHEN 'BIGINT' THEN 'bigint'
+                              WHEN 'VARCHAR' THEN 'string'
+                              WHEN 'DOUBLE' THEN 'double'
+                              ELSE lower(column_type) END AS actual_type
+        FROM (DESCRIBE SELECT * FROM documents)),
+    expected(col_name, expected_type) AS (
+      VALUES ('doc_id','bigint'), ('text','string'), ('lang','string'),
+             ('n_chars','int'), ('fetch_ts','timestamp')),
+    j AS (SELECT coalesce(e.col_name, a.col_name) AS col_name,
+                 e.expected_type, a.actual_type
+            FROM expected e FULL OUTER JOIN actual a USING (col_name))
+    SELECT col_name, expected_type, actual_type,
+           CASE WHEN expected_type IS NULL THEN 'unexpected'
+                WHEN actual_type IS NULL THEN 'missing'
+                WHEN expected_type = actual_type THEN 'ok'
+                ELSE 'type_changed' END AS status
+      FROM j
+    """,
         "null_rates_documents": null_rates,
         "column_stats_lineitem": col_stats,
         "percentiles_lineitem": percentiles_sql,

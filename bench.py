@@ -136,8 +136,14 @@ def main() -> None:
             log(f"query {name}: {n} rows, runs={['%.2f' % t for t in runs]} "
                 f"-> {dt:.2f}s")
         except Exception as e:  # keep the bench line parseable on failure
-            qtimes[name] = -1.0
-            log(f"query {name}: FAILED {e}")
+            if runs:  # run 1 succeeded: a transient run-2 failure must
+                dt = min(runs)  # not discard a valid measurement
+                qtimes[name] = round(dt, 3)
+                total += dt
+                log(f"query {name}: run 2 FAILED ({e}); keeping {dt:.2f}s")
+            else:
+                qtimes[name] = -1.0
+                log(f"query {name}: FAILED {e}")
 
     out = {
         "metric": "validated_docs_per_sec",

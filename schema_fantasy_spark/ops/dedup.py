@@ -60,9 +60,13 @@ def exact_duplicates(
     deterministic): a degenerate all-identical corpus would otherwise
     build one row holding every id. ``n_copies`` stays exact. The
     transform variant (``distinct_by_content``) is list-free entirely.
+
+    NULL texts are never duplicates of each other (md5(NULL) is NULL and
+    would otherwise collapse every null-text row into one fake group).
     """
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
@@ -76,13 +80,19 @@ def distinct_by_content(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one representative (min id) per distinct content — the actual
-    dedup transform. Window-free: groupBy digest + semi-join back."""
+    dedup transform. Window-free: groupBy digest + semi-join back.
+
+    NULL-text rows all pass through untouched: md5(NULL) is NULL, which
+    would otherwise group every null-text row as one "duplicate" and
+    silently delete all but one of them."""
     keep = (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+    kept = df.join(keep.select(id_col), on=id_col, how="left_semi")
+    return kept.unionAll(df.filter(F.col(text_col).isNull()))
 
 
 # ------------------------------------------------------------- MinHash+LSH
@@ -302,7 +312,14 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     **lsh_kw,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold."""
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard >= threshold.
+
+    NULL texts are excluded up front (a null is a near-duplicate of
+    nothing; its empty shingle set would otherwise pair every null-text
+    row with every other) — same contract as the DuckDB oracle replica
+    and exact_duplicates.
+    """
+    df = df.filter(F.col(text_col).isNotNull())
     cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
     n = lsh_kw.get("shingle_n", 3)
     return jaccard_pairs(df, cands, text_col, id_col, n, threshold)
@@ -433,6 +450,8 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     method: str = "xxhash64",
 ) -> DataFrame:
+    # NULL texts excluded: same contract as minhash_near_duplicates
+    df = df.filter(F.col(text_col).isNotNull())
     return simhash_candidates(df, text_col, id_col, method).filter(
         F.col("hamming") <= max_hamming
     )
@@ -510,18 +529,24 @@ def duplicate_clusters(
     step that turns pairwise near-dup output into dedup GROUPS (keep one
     representative per cluster, drop the rest).
 
-    Algorithm: min-label propagation. Every round each node adopts the
-    minimum label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup graphs are overwhelmingly tiny
-    cliques and short chains (diameter 1-3), so a handful of rounds
-    settles real corpora; the loop stops on a converged check (one cheap
-    limit(1) probe per round) and ``localCheckpoint()`` truncates lineage
-    so the plan does not grow across rounds.
+    Algorithm: min-label propagation WITH pointer jumping. Every round
+    each node adopts the minimum label among itself and its neighbors,
+    then additionally jumps to its label's label (label(u) <-
+    label(label(u))) — the jump halves remaining chain depth every
+    round, so convergence is O(log diameter): ``max_iter=20`` covers
+    components ~2^20 hops deep, far beyond any real near-dup graph
+    (overwhelmingly tiny cliques and short chains). The loop stops on a
+    converged check (one cheap limit(1) probe per round) and
+    ``localCheckpoint()`` truncates lineage so the plan does not grow
+    across rounds; exhausting ``max_iter`` without convergence warns
+    loudly instead of returning silently-partial clusters.
 
-    Scale shape per round: one shuffle join on node id + one partial-agg
-    min — both over the PAIR GRAPH only, which at 10^12 docs is the
-    near-duplicate subset, orders of magnitude smaller than the corpus.
+    Scale shape per round: two shuffle joins on node id + one
+    partial-agg min — all over the PAIR GRAPH only, which at 10^12 docs
+    is the near-duplicate subset, orders of magnitude below the corpus.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -531,6 +556,7 @@ def duplicate_clusters(
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label")
     )
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(
@@ -540,13 +566,27 @@ def duplicate_clusters(
             .groupBy("u")
             .agg(F.min("vlab").alias("nbr_label"))
         )
+        stepped = labels.join(prop, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow the label one more hop (every label IS
+        # a node of the graph, so it has a row); O(diameter) -> O(log)
         new_labels = (
-            labels.join(prop, "u", "left")
+            stepped.join(
+                stepped.select(
+                    F.col("u").alias("label"), F.col("label").alias("_ll")
+                ),
+                "label",
+                "left",
+            )
             .select(
                 "u",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias(
+                    "label"
+                ),
             )
             .localCheckpoint()
         )
@@ -559,7 +599,14 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters: not converged after {max_iter} rounds; "
+            "labels may split one true component — raise max_iter",
+            RuntimeWarning,
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 
@@ -574,18 +621,20 @@ def keep_cluster_representatives(
 
     ``score_col=None`` keeps the cluster representative (min id — matches
     ``cluster_rep`` exactly). With a score column, keeps the HIGHEST-score
-    member per cluster (ties -> min id), the keep-best-quality policy of
-    production corpus dedup. Window-free: groupBy over the (small)
-    clustered subset + anti/semi joins back."""
+    member per cluster (ties -> min id; NULL scores lose to any non-NULL
+    score, and an all-NULL cluster falls back to min id rather than
+    vanishing — max() of all-NULLs is NULL and a naive equality filter
+    would otherwise delete the whole cluster). Window-free: groupBy over
+    the (small) clustered subset + anti/semi joins back."""
     member_ids = clusters.select(F.col(id_col))
     if score_col is None:
         keep_ids = clusters.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
     else:
-        scored = clusters.join(df.select(id_col, score_col), id_col)
+        scored = clusters.join(df.select(id_col, score_col), id_col, "left")
         best = scored.groupBy("cluster_rep").agg(F.max(score_col).alias("_best"))
         keep_ids = (
             scored.join(best, "cluster_rep")
-            .filter(F.col(score_col) == F.col("_best"))
+            .filter(F.col(score_col).eqNullSafe(F.col("_best")))
             .groupBy("cluster_rep")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col)

@@ -81,7 +81,11 @@ def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
 
 
 def _image_payload(doc_id: int) -> bytes:
-    fsel, w, h, color_a = image_params(doc_id)
+    nib = _nibbles(doc_id)  # one md5 per row; params read from it below
+    fsel = nib[0] % 3
+    w = 4 + nib[1]
+    h = 8 * (1 + nib[2] % 3)
+    color_a = (nib[3] * 16 + nib[4], nib[5] * 16 + nib[6], nib[7] * 16 + nib[8])
     color_b = tuple(255 - c for c in color_a)
     px = np.empty((h, w, 3), dtype=np.uint8)
     px[: h // 2] = color_a
@@ -92,7 +96,7 @@ def _image_payload(doc_id: int) -> bytes:
         return encode_ppm6(px)
     # vary the PNG filter deterministically so the gate exercises
     # None/Sub/Up/Average/Paeth unfiltering, not just the trivial path
-    return encode_png_rgb(px, filter_type=_nibbles(doc_id)[13] % 5)
+    return encode_png_rgb(px, filter_type=nib[13] % 5)
 
 
 def _audio_payload(doc_id: int) -> bytes:

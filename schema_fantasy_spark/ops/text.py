@@ -275,8 +275,13 @@ def filter_funnel(df: DataFrame, rules) -> DataFrame:
         aggs.append(F.sum(s_in.cast("long")).alias(f"_in{i}"))
         aggs.append(F.sum(s_out.cast("long")).alias(f"_out{i}"))
     row = df.agg(*aggs)
+    def _sql_str(s: str) -> str:
+        # Spark SQL string literals use backslash escapes (escapedString
+        # Literals=false default): escape backslash first, then quote
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     stack_args = ", ".join(
-        "{}, '{}', _in{}, _out{}".format(i, name.replace("'", "''"), i, i)
+        "{}, '{}', _in{}, _out{}".format(i, _sql_str(name), i, i)
         for i, (name, _, _) in enumerate(flags)
     )
     out = row.selectExpr(

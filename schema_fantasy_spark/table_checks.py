@@ -310,3 +310,32 @@ def ks_stat(
         )
         .agg(F.round(F.max("d"), 6).alias("ks_stat"))
     )
+
+
+def schema_check(df: DataFrame, expected: dict) -> DataFrame:
+    """TABLE-SCHEMA validation (the shape companion to the per-value
+    keyword checks): compare the DataFrame's actual schema against an
+    ``{column: spark_simple_type}`` contract -> one row per column with
+    status ok / type_changed / missing / unexpected.
+
+    A pure METADATA check — no data is scanned (at 10^12 rows a schema
+    check must never cost a pass over the table); the result is a tiny
+    local DataFrame so it composes with the other checks' report shape.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for col in sorted(expected):
+        want = expected[col]
+        if col not in actual:
+            status = "missing"
+        elif actual[col] != want:
+            status = "type_changed"
+        else:
+            status = "ok"
+        rows.append((col, want, actual.get(col), status))
+    for col in sorted(set(actual) - set(expected)):
+        rows.append((col, None, actual[col], "unexpected"))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "col_name string, expected_type string, actual_type string, status string",
+    )

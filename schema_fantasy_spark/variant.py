@@ -125,6 +125,32 @@ def _json_str(k: Column) -> Column:
     return F.substring(kj, 2, F.length(kj) - 2)
 
 
+def _const_canonical(values) -> Optional[List[str]]:
+    """Evaluate canonical_json for CONSTANT JSON values once, driver-side,
+    through Spark itself (a 1-row job) — the number rendering must be
+    Spark's own double->string, so Python-side formatting is not an
+    option. Returns None when no session is active (caller falls back to
+    per-row expressions)."""
+    import json as _json
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                canonical_json(F.parse_json(F.lit(_json.dumps(x)))).alias(f"c{i}")
+                for i, x in enumerate(values)
+            ]
+        )
+        .collect()[0]
+    )
+    return [row[f"c{i}"] for i in range(len(values))]
+
+
 def canonical_json(v: Column, depth: int = CANON_DEPTH) -> Column:
     """Depth-unrolled canonical JSON of a variant for DEEP EQUALITY with
     the reference's R.equals number semantics (src/v4/enum.js:25, the
@@ -403,17 +429,25 @@ def _vk_enum(sch):
             ok = ok | (t == "null")
         if composite:
             # canonical deep equality: both the document value and the
-            # (Spark-side parsed) enum targets render through the same
-            # canonical_json walk, so 1 == 1.0 holds at every nesting
-            # level and key order/escaping can never diverge
-            import json as _json
+            # enum targets render through the same canonical_json walk,
+            # so 1 == 1.0 holds at every nesting level and key
+            # order/escaping can never diverge. The targets are
+            # COMPILE-TIME constants: evaluate them once on a 1-row
+            # frame and embed string literals — the per-row fallback
+            # (no active session at compile time) re-walks N
+            # interpreted depth-6 canonical trees per row
+            target_strs = _const_canonical(composite)
+            if target_strs is not None:
+                targets = F.array(*[F.lit(s) for s in target_strs])
+            else:
+                import json as _json
 
-            targets = F.array(
-                *[
-                    canonical_json(F.parse_json(F.lit(_json.dumps(x))))
-                    for x in composite
-                ]
-            )
+                targets = F.array(
+                    *[
+                        canonical_json(F.parse_json(F.lit(_json.dumps(x))))
+                        for x in composite
+                    ]
+                )
             ok = ok | (
                 t.isin(["array", "object"])
                 & F.array_contains(targets, canonical_json(v))

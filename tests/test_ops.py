@@ -678,3 +678,47 @@ def test_quantized_cosine_matches_float_ranking(emb):
         ).collect()
     ]
     assert len(set(exact) & set(qtop)) >= 8, (exact, qtop)
+
+
+def test_null_text_rows_are_not_duplicates(spark):
+    """md5(NULL) is NULL: null-text rows must all survive the dedup
+    transform untouched and never report as a duplicate group."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id: long, text: string",
+    )
+    assert dedup.exact_duplicates(df).count() == 1  # only the real pair
+    kept = sorted(r["doc_id"] for r in dedup.distinct_by_content(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Pointer jumping: a 40-node chain (diameter 39) converges within
+    the default max_iter — O(log diameter), not O(diameter) — with no
+    non-convergence warning."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a: long, id_b: long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r["doc_id"]: r["cluster_rep"]
+               for r in dedup.duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 40
+
+
+def test_keep_representatives_all_null_scores(spark):
+    """An all-NULL-score cluster keeps its min id instead of vanishing
+    (max of NULLs is NULL; naive equality would drop every member)."""
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "id_a: long, id_b: long")
+    clusters = dedup.duplicate_clusters(pairs)
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (10, 0.5), (11, 0.9), (99, None)],
+        "doc_id: long, score: double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.keep_cluster_representatives(df, clusters, score_col="score").collect()
+    )
+    assert kept == [1, 11, 99]

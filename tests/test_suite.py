@@ -97,3 +97,19 @@ def test_suite_algebraic_checks_fold_into_one_job(spark):
     # algebraic checks must not add ANY: they ride the same aggregation
     assert n_with_checks == n_schema_only, (n_schema_only, n_with_checks)
     assert len(report.results) == 4
+
+
+def test_schema_check_statuses(spark):
+    """Metadata-level schema validation: ok / type_changed / missing /
+    unexpected, with no scan of the data."""
+    from schema_fantasy_spark import table_checks as tc
+
+    df = spark.createDataFrame([(1, "x", 0.5)], "a: long, b: string, c: double")
+    out = {r["col_name"]: r for r in tc.schema_check(df, {
+        "a": "bigint", "b": "int", "d": "string",
+    }).collect()}
+    assert out["a"]["status"] == "ok"
+    assert out["b"]["status"] == "type_changed" and out["b"]["actual_type"] == "string"
+    assert out["d"]["status"] == "missing" and out["d"]["actual_type"] is None
+    assert out["c"]["status"] == "unexpected" and out["c"]["expected_type"] is None
+    assert len(out) == 4
