@@ -59,8 +59,10 @@ def main() -> int:
     df = spark.read.parquet(args.input)
     n_in = df.count()
 
-    # 1. exact dedup (digest-only shuffle)
-    distinct = dedup.distinct_by_content(df, args.text_col, args.id_col)
+    # 1. exact dedup (digest-only shuffle). Persist: four downstream
+    # actions (count, pair generation, scoring, final write) would each
+    # recompute the semi-join otherwise.
+    distinct = dedup.distinct_by_content(df, args.text_col, args.id_col).persist()
     n_distinct = distinct.count()
 
     # 2-3. near-dup pairs -> clusters (pair graph only)
@@ -88,6 +90,7 @@ def main() -> int:
     ).drop("quality_score")
 
     cleaned.write.mode("overwrite").parquet(args.output)
+    distinct.unpersist()
     n_out = spark.read.parquet(args.output).count()
 
     print(json.dumps({

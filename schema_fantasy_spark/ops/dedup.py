@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 # --------------------------------------------------------------- tokenizing
 
 
+def _drop_null_text(df: DataFrame, text_col: str) -> DataFrame:
+    """The shared NULL-text contract of every content-dedup operator:
+    a NULL text is identical to nothing and near nothing (md5(NULL) is
+    NULL; its shingle set is empty) — rows with NULL text never enter
+    digest groups or candidate generation."""
+    return df.filter(F.col(text_col).isNotNull())
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens, lowercased, empty-safe."""
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
@@ -65,7 +73,7 @@ def exact_duplicates(
     would otherwise collapse every null-text row into one fake group).
     """
     return (
-        df.filter(F.col(text_col).isNotNull())
+        _drop_null_text(df, text_col)
         .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(
@@ -86,7 +94,7 @@ def distinct_by_content(
     would otherwise group every null-text row as one "duplicate" and
     silently delete all but one of them."""
     keep = (
-        df.filter(F.col(text_col).isNotNull())
+        _drop_null_text(df, text_col)
         .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
         .groupBy("digest")
         .agg(F.min(id_col).alias(id_col))
@@ -319,7 +327,7 @@ def minhash_near_duplicates(
     row with every other) — same contract as the DuckDB oracle replica
     and exact_duplicates.
     """
-    df = df.filter(F.col(text_col).isNotNull())
+    df = _drop_null_text(df, text_col)
     cands = minhash_lsh_candidates(df, text_col, id_col, **lsh_kw)
     n = lsh_kw.get("shingle_n", 3)
     return jaccard_pairs(df, cands, text_col, id_col, n, threshold)
@@ -451,7 +459,7 @@ def simhash_near_duplicates(
     method: str = "xxhash64",
 ) -> DataFrame:
     # NULL texts excluded: same contract as minhash_near_duplicates
-    df = df.filter(F.col(text_col).isNotNull())
+    df = _drop_null_text(df, text_col)
     return simhash_candidates(df, text_col, id_col, method).filter(
         F.col("hamming") <= max_hamming
     )

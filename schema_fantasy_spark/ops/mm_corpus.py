@@ -59,10 +59,13 @@ def _nibbles(doc_id: int) -> list:
     return [int(c, 16) for c in hashlib.md5(str(doc_id).encode()).hexdigest()]
 
 
-def image_params(doc_id: int) -> Tuple[int, int, int, Tuple[int, int, int]]:
+def image_params(
+    doc_id: int, nib: list | None = None
+) -> Tuple[int, int, int, Tuple[int, int, int]]:
     """(format_selector, width, height, color_a); color_b = inverse.
-    format_selector: 0 = bmp, 1 = ppm, 2 = png."""
-    nib = _nibbles(doc_id)
+    format_selector: 0 = bmp, 1 = ppm, 2 = png. Pass precomputed
+    ``nib`` to avoid re-hashing in per-row loops."""
+    nib = _nibbles(doc_id) if nib is None else nib
     fsel = nib[0] % 3
     w = 4 + nib[1]                      # 4..19
     h = 8 * (1 + nib[2] % 3)            # 8, 16, 24 — multiples of 8
@@ -81,11 +84,8 @@ def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
 
 
 def _image_payload(doc_id: int) -> bytes:
-    nib = _nibbles(doc_id)  # one md5 per row; params read from it below
-    fsel = nib[0] % 3
-    w = 4 + nib[1]
-    h = 8 * (1 + nib[2] % 3)
-    color_a = (nib[3] * 16 + nib[4], nib[5] * 16 + nib[6], nib[7] * 16 + nib[8])
+    nib = _nibbles(doc_id)  # one md5 per row, shared with image_params
+    fsel, w, h, color_a = image_params(doc_id, nib)
     color_b = tuple(255 - c for c in color_a)
     px = np.empty((h, w, 3), dtype=np.uint8)
     px[: h // 2] = color_a

@@ -6,6 +6,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+from schema_fantasy_spark import compile_schema
 from schema_fantasy_spark.variant import compile_variant
 from tests.conftest import load_fixture_cases
 
@@ -96,8 +97,6 @@ def test_variant_agrees_with_columnar_on_typed_corpus(spark):
 def test_variant_malformed_json_quarantined(spark):
     """try_parse_json + null-variant guard: malformed docs become '$parse'
     violation rows; the job never dies on one bad document."""
-    from schema_fantasy_spark.variant import compile_variant
-
     plan = compile_variant({"required": ["a"]})
     df = spark.createDataFrame(
         [(1, '{"a": 1}'), (2, '{"a": '), (3, None)], "id: long, doc: string"
@@ -112,3 +111,58 @@ def test_variant_malformed_json_quarantined(spark):
 
     dyn = {r["id"]: r for r in validate_json(df, "doc", {"required": ["a"]}).collect()}
     assert dyn[2]["errors"][0]["message"] == out[2]["errors"][0]["message"]
+
+
+def test_variant_kernel_agreement_on_random_composite_enums(spark):
+    """Deep-equality fuzz (seeded): for random composite enum targets the
+    variant plan must agree with the Python kernel on the target itself,
+    a numerically-equivalent re-encoding (every int re-encoded as float —
+    must ACCEPT), and structural near-misses (must REJECT)."""
+    import random
+
+    rng = random.Random(7)
+
+    def rand_value(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.35:
+            return rng.choice(
+                [rng.randint(-5, 5), round(rng.uniform(-2, 2), 3),
+                 f"s{rng.randint(0, 3)}", True, False, None]
+            )
+        if r < 0.7:
+            return [rand_value(depth + 1) for _ in range(rng.randint(0, 3))]
+        return {f"k{i}": rand_value(depth + 1) for i in range(rng.randint(0, 3))}
+
+    def float_encode(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, int):
+            return float(v)
+        if isinstance(v, list):
+            return [float_encode(x) for x in v]
+        if isinstance(v, dict):
+            return {k: float_encode(x) for k, x in v.items()}
+        return v
+
+    for _ in range(8):
+        target = rand_value()
+        if not isinstance(target, (list, dict)):
+            target = [target, {"a": target}]
+        schema = {"enum": [target]}
+        kernel = compile_schema(schema)
+        cands = [
+            target,
+            float_encode(target),        # numeric re-encoding: equal
+            [target, "extra-sentinel"],  # structural near-miss
+            {"wrapped": target},
+        ]
+        rows = [(i, json.dumps(c)) for i, c in enumerate(cands)]
+        df = spark.createDataFrame(rows, "i: long, doc: string")
+        plan = compile_variant(schema)
+        got = {
+            r["i"]: r["verdict"]
+            for r in plan.apply(df, "doc").select("i", "verdict").collect()
+        }
+        want = {i: kernel.is_valid(c) for i, c in enumerate(cands)}
+        assert got == want, (target, got, want)
+        assert want[0] and want[1]  # the re-encoding must be accepted
