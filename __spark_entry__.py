@@ -124,6 +124,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
 
+    def rich_props_validation(spark, sf):
+        # patternProperties + additionalProperties(schema form) + tuple
+        # items/additionalItems — the object/array recursion keywords —
+        # under the gate: a richer JSON document is SYNTHESIZED from the
+        # raw events columns (so the oracle can recompute every
+        # violation, incl. the compound additionalProperties row and its
+        # depth-1 child, from the columns directly), then validated by
+        # the Arrow-UDF kernel
+        from schema_fantasy_spark.dynamic import validate_json
+
+        ev = tables.load(spark, sf, "events")
+        kv = (F.col("event_id") % 100).cast("string")
+        etype_json = F.when(F.col("event_type").isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+        )
+        doc = F.concat(
+            F.lit('{"kv": '), kv,
+            F.lit(', "tag_'), (F.col("event_id") % 5).cast("string"),
+            F.lit('": '), etype_json,
+            F.lit(', "arr": ['), kv, F.lit(", "), etype_json, F.lit(", "),
+            F.coalesce(F.col("value").cast("string"), F.lit("null")),
+            F.lit("]"),
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.concat(F.lit(', "extra": '), (F.col("event_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+        schema = {
+            "properties": {
+                "kv": {"type": "integer"},
+                "arr": {
+                    "items": [
+                        {"type": "integer"},
+                        {"type": "string", "minLength": 6},
+                    ],
+                    "additionalItems": {"maximum": 30},
+                },
+            },
+            "patternProperties": {"^tag_": {"type": "string", "minLength": 6}},
+            "additionalProperties": {"multipleOf": 2},
+        }
+        v = validate_json(ev.withColumn("doc", doc), "doc", schema)
+        out = ValidationEngine.violations(v, ["event_id"])
+        return out.select(
+            "event_id",
+            F.array_join("path", "/").alias("path"),
+            "keyword",
+            "message",
+            "depth",
+        )
+
     def dependencies_validation(spark, sf):
         # schema-form dependency: presence of 'source' re-validates the row
         # against a subschema (reference src/v4/dependencies.js:27-29)
@@ -877,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
         "variant_props_validation": variant_props_validation,
+        "rich_props_validation": rich_props_validation,
         "dependencies_validation": dependencies_validation,
         "leaf_suite_lineitem": leaf_suite_lineitem,
         "array_keywords_embeddings": array_keywords_embeddings,
@@ -1684,6 +1737,32 @@ def oracle_sql() -> dict[str, str]:
         "combinator_validation": combinator,
         "json_props_validation": json_props,
         "variant_props_validation": json_props,
+        "rich_props_validation": """
+    WITH e AS (SELECT event_id, event_type, value FROM events)
+    SELECT event_id, 'tag_' || CAST(event_id % 5 AS VARCHAR) AS path,
+           'type' AS keyword, 'Invalid type' AS message, 0 AS depth
+      FROM e WHERE event_type IS NULL
+    UNION ALL
+    SELECT event_id, 'tag_' || CAST(event_id % 5 AS VARCHAR), 'minLength',
+           'shorter than 6 characters', 0
+      FROM e WHERE event_type IS NOT NULL AND length(event_type) < 6
+    UNION ALL
+    SELECT event_id, 'arr/1', 'type', 'Invalid type', 0
+      FROM e WHERE event_type IS NULL
+    UNION ALL
+    SELECT event_id, 'arr/1', 'minLength', 'shorter than 6 characters', 0
+      FROM e WHERE event_type IS NOT NULL AND length(event_type) < 6
+    UNION ALL
+    SELECT event_id, 'arr/2', 'maximum', 'greater than 30', 0
+      FROM e WHERE value IS NOT NULL AND NOT value <= 30
+    UNION ALL
+    SELECT event_id, '', 'additionalProperties',
+           'additional property invalid: extra', 0
+      FROM e WHERE event_id % 4 = 0 AND (event_id % 7) % 2 <> 0
+    UNION ALL
+    SELECT event_id, 'extra', 'multipleOf', 'not a multiple of 2', 1
+      FROM e WHERE event_id % 4 = 0 AND (event_id % 7) % 2 <> 0
+    """,
         "dependencies_validation": dependencies_sql,
         "leaf_suite_lineitem": leaf_suite,
         "array_keywords_embeddings": array_keywords,
