@@ -176,6 +176,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "depth",
         )
 
+    def variant_rich_props_validation(spark, sf):
+        # the SAME recursion-keyword suite through the VARIANT mode
+        # (JVM expressions): shares rich_props_validation's oracle, so
+        # the driver verifies three-mode parity on patternProperties /
+        # additionalProperties / tuple items too
+        from schema_fantasy_spark.variant import compile_variant
+
+        ev = tables.load(spark, sf, "events")
+        kv = (F.col("event_id") % 100).cast("string")
+        etype_json = F.when(F.col("event_type").isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+        )
+        doc = F.concat(
+            F.lit('{"kv": '), kv,
+            F.lit(', "tag_'), (F.col("event_id") % 5).cast("string"),
+            F.lit('": '), etype_json,
+            F.lit(', "arr": ['), kv, F.lit(", "), etype_json, F.lit(", "),
+            F.coalesce(F.col("value").cast("string"), F.lit("null")),
+            F.lit("]"),
+            F.when(
+                F.col("event_id") % 4 == 0,
+                F.concat(F.lit(', "extra": '), (F.col("event_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+        schema = {
+            "properties": {
+                "kv": {"type": "integer"},
+                "arr": {
+                    "items": [
+                        {"type": "integer"},
+                        {"type": "string", "minLength": 6},
+                    ],
+                    "additionalItems": {"maximum": 30},
+                },
+            },
+            "patternProperties": {"^tag_": {"type": "string", "minLength": 6}},
+            "additionalProperties": {"multipleOf": 2},
+        }
+        v = compile_variant(schema).apply(ev.withColumn("doc", doc), "doc")
+        out = ValidationEngine.violations(v, ["event_id"])
+        return out.select(
+            "event_id",
+            F.array_join("path", "/").alias("path"),
+            "keyword",
+            "message",
+            "depth",
+        )
+
     def dependencies_validation(spark, sf):
         # schema-form dependency: presence of 'source' re-validates the row
         # against a subschema (reference src/v4/dependencies.js:27-29)
@@ -930,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_validation": json_props_validation,
         "variant_props_validation": variant_props_validation,
         "rich_props_validation": rich_props_validation,
+        "variant_rich_props_validation": variant_rich_props_validation,
         "dependencies_validation": dependencies_validation,
         "leaf_suite_lineitem": leaf_suite_lineitem,
         "array_keywords_embeddings": array_keywords_embeddings,
@@ -1732,12 +1782,7 @@ def oracle_sql() -> dict[str, str]:
      LIMIT 10
     """
 
-    return {
-        "flagship_validation": flagship,
-        "combinator_validation": combinator,
-        "json_props_validation": json_props,
-        "variant_props_validation": json_props,
-        "rich_props_validation": """
+    rich_props_sql = """
     WITH e AS (SELECT event_id, event_type, value FROM events)
     SELECT event_id, 'tag_' || CAST(event_id % 5 AS VARCHAR) AS path,
            'type' AS keyword, 'Invalid type' AS message, 0 AS depth
@@ -1762,7 +1807,15 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT event_id, 'extra', 'multipleOf', 'not a multiple of 2', 1
       FROM e WHERE event_id % 4 = 0 AND (event_id % 7) % 2 <> 0
-    """,
+    """
+
+    return {
+        "flagship_validation": flagship,
+        "combinator_validation": combinator,
+        "json_props_validation": json_props,
+        "variant_props_validation": json_props,
+        "rich_props_validation": rich_props_sql,
+        "variant_rich_props_validation": rich_props_sql,
         "dependencies_validation": dependencies_sql,
         "leaf_suite_lineitem": leaf_suite,
         "array_keywords_embeddings": array_keywords,
