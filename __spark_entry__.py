@@ -146,6 +146,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(', "arr": ['), kv, F.lit(", "), etype_json, F.lit(", "),
             F.coalesce(F.col("value").cast("string"), F.lit("null")),
             F.lit("]"),
+            F.lit(', "arr2": ['), kv,
+            F.when(F.col("event_id") % 6 == 0, F.concat(F.lit(", "), kv)).otherwise(
+                F.lit("")
+            ),
+            F.lit("]"),
             F.when(
                 F.col("event_id") % 4 == 0,
                 F.concat(F.lit(', "extra": '), (F.col("event_id") % 7).cast("string")),
@@ -161,6 +166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"type": "string", "minLength": 6},
                     ],
                     "additionalItems": {"maximum": 30},
+                },
+                # bool-form additionalItems: any element past the tuple
+                # is an 'additional item found' violation
+                "arr2": {
+                    "items": [{"type": "integer"}],
+                    "additionalItems": False,
                 },
             },
             "patternProperties": {"^tag_": {"type": "string", "minLength": 6}},
@@ -199,6 +210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(', "arr": ['), kv, F.lit(", "), etype_json, F.lit(", "),
             F.coalesce(F.col("value").cast("string"), F.lit("null")),
             F.lit("]"),
+            F.lit(', "arr2": ['), kv,
+            F.when(F.col("event_id") % 6 == 0, F.concat(F.lit(", "), kv)).otherwise(
+                F.lit("")
+            ),
+            F.lit("]"),
             F.when(
                 F.col("event_id") % 4 == 0,
                 F.concat(F.lit(', "extra": '), (F.col("event_id") % 7).cast("string")),
@@ -214,6 +230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"type": "string", "minLength": 6},
                     ],
                     "additionalItems": {"maximum": 30},
+                },
+                # bool-form additionalItems: any element past the tuple
+                # is an 'additional item found' violation
+                "arr2": {
+                    "items": [{"type": "integer"}],
+                    "additionalItems": False,
                 },
             },
             "patternProperties": {"^tag_": {"type": "string", "minLength": 6}},
@@ -1804,6 +1826,9 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT event_id, 'arr/2', 'maximum', 'greater than 30', 0
       FROM e WHERE value IS NOT NULL AND NOT value <= 30
+    UNION ALL
+    SELECT event_id, 'arr2/1', 'items', 'additional item found', 0
+      FROM e WHERE event_id % 6 = 0
     UNION ALL
     SELECT event_id, '', 'additionalProperties',
            'additional property invalid: extra', 0
