@@ -7,9 +7,10 @@ Decode coverage WITHOUT external codec libraries (none in the container):
 * image METADATA (width/height/format) parses REAL headers for PNG
   (IHDR), JPEG (SOF marker scan), BMP, and binary PPM (P6);
 * image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, and
-  for PNG (8-bit RGB/RGBA, non-interlaced) via stdlib ``zlib`` inflate +
-  scanline unfiltering — real average-hash (aHash) and real block-mean
-  features come from those pixels;
+  for PNG — the full still-image feature set: color types 0/2/3/4/6,
+  bit depths 1/2/4/8/16, all five scanline filters, Adam7 interlacing —
+  via stdlib ``zlib`` inflate + numpy unfiltering; real average-hash
+  (aHash) and real block-mean features come from those pixels;
 * audio (PCM WAV) decodes with the stdlib ``wave`` module — sample rate,
   channels, duration, RMS energy are real;
 * JPEG/WebP pixel data and video keyframes still fall back to
@@ -157,46 +158,27 @@ def _png_chunks(payload: bytes):
         i += 12 + ln  # length + type + data + crc
 
 
-def _decode_png_pixels(payload: bytes) -> Optional["np.ndarray"]:
-    """REAL PNG pixel decode with stdlib zlib: 8-bit RGB (color type 2)
-    and RGBA (type 6, alpha dropped), non-interlaced, all five scanline
-    filters (None/Sub/Up/Average/Paeth). Anything else (palette, 16-bit,
-    Adam7) returns None and takes the header-only path — PNG's DEFLATE
-    needs no codec library, only its entropy-free container."""
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+#: channel counts per PNG color type (0 gray, 2 RGB, 3 palette index,
+#: 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass origins/steps: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, stride: int, height: int, bpp: int):
+    """Reconstruct ``height`` filtered scanlines of ``stride`` bytes
+    starting at ``pos`` -> (H x stride uint8, new_pos); None on a bad
+    filter byte or truncation. ``bpp`` is the filter's byte offset to the
+    left neighbor (channels x bytes-per-sample, min 1)."""
+    if len(raw) < pos + (stride + 1) * height:
         return None
-    w = h = depth = ctype = interlace = None
-    idat = []
-    for typ, data in _png_chunks(payload):
-        if typ == b"IHDR":
-            if len(data) < 13:
-                return None
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            depth, ctype = data[8], data[9]
-            if data[10] != 0 or data[11] != 0:  # compression/filter method
-                return None
-            interlace = data[12]
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None or _valid_dims(w, h, "png") is None:
-        return None
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        return None
-    bpp = 3 if ctype == 2 else 4
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    stride = w * bpp
-    if len(raw) < (stride + 1) * h:
-        return None
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    for y in range(height):
         ftype = raw[pos]
         pos += 1
         line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
@@ -225,14 +207,127 @@ def _decode_png_pixels(payload: bytes) -> Optional["np.ndarray"]:
             return None
         out[y] = line
         prev = out[y]
-    return np.ascontiguousarray(out.reshape(h, w, bpp)[:, :, :3])
+    return out, pos
+
+
+def _png_samples(rows: "np.ndarray", w: int, channels: int, depth: int):
+    """Unfiltered scanline bytes -> H x w x channels uint8 samples.
+    16-bit samples keep their high byte (the standard 16->8 downsample);
+    sub-byte depths (1/2/4, gray or palette index) unpack MSB-first."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return (
+            rows[:, : w * channels * 2]
+            .reshape(h, w * channels, 2)[:, :, 0]
+            .reshape(h, w, channels)
+        )
+    # depths 1/2/4 are single-channel (gray or palette) per the spec
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    packed = (vals * weights).sum(axis=2).astype(np.uint8)
+    return packed[:, :w].reshape(h, w, 1)
+
+
+def _decode_png_pixels(payload: bytes) -> Optional["np.ndarray"]:
+    """REAL PNG pixel decode with stdlib zlib — the full still-image
+    feature set: color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
+    RGBA — alpha dropped), bit depths 1/2/4/8/16 (16-bit keeps the high
+    byte), all five scanline filters, and both interlace methods
+    (none + Adam7 seven-pass). PNG's DEFLATE needs no codec library,
+    only its entropy-free container — the remaining stubs are JPEG/WebP,
+    whose entropy coders genuinely do."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = depth = ctype = interlace = None
+    idat, palette = [], None
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype = data[8], data[9]
+            if data[10] != 0 or data[11] != 0:  # compression/filter method
+                return None
+            interlace = data[12]
+        elif typ == b"PLTE":
+            if len(data) % 3 != 0 or not data:
+                return None
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or _valid_dims(w, h, "png") is None:
+        return None
+    if ctype not in _PNG_CHANNELS or interlace not in (0, 1):
+        return None
+    # legal (depth, type) pairs per the spec
+    if depth in (1, 2, 4):
+        if ctype not in (0, 3):
+            return None
+    elif depth == 16:
+        if ctype == 3:
+            return None
+    elif depth != 8:
+        return None
+    if ctype == 3 and palette is None:
+        return None
+    channels = _PNG_CHANNELS[ctype]
+    bpp = max(1, channels * (2 if depth == 16 else 1))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+
+    def stride_of(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if interlace == 0:
+        got = _png_unfilter(raw, 0, stride_of(w), h, bpp)
+        if got is None:
+            return None
+        samples = _png_samples(got[0], w, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images, reassembled
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            got = _png_unfilter(raw, pos, stride_of(pw), ph, bpp)
+            if got is None:
+                return None
+            sub, pos = got
+            samples[y0::dy, x0::dx] = _png_samples(sub, pw, channels, depth)
+
+    # channel conversion -> HxWx3 RGB
+    if ctype == 2:
+        return np.ascontiguousarray(samples)
+    if ctype == 6:
+        return np.ascontiguousarray(samples[:, :, :3])
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            return None  # corrupt: index beyond PLTE
+        return np.ascontiguousarray(palette[idx])
+    # gray (0) / gray+alpha (4): scale sub-byte depths to full range
+    g = samples[:, :, 0]
+    if depth in (1, 2, 4):
+        g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
 
 
 def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     """REAL pixel decode -> HxWx3 uint8: 24-bit uncompressed BMP
     (bottom-up, BGR, 4-byte row padding), binary PPM (P6, maxval 255),
-    and PNG (8-bit RGB/RGBA non-interlaced, stdlib zlib). None for
-    anything else (JPEG/WebP entropy coders need codec libraries)."""
+    and PNG (all color types 0/2/3/4/6, depths 1-16, all filters,
+    Adam7 — stdlib zlib). None for anything else (JPEG/WebP entropy
+    coders need codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:

@@ -722,3 +722,111 @@ def test_keep_representatives_all_null_scores(spark):
         for r in dedup.keep_cluster_representatives(df, clusters, score_col="score").collect()
     )
     assert kept == [1, 11, 99]
+
+
+def _build_png(w, h, depth, ctype, interlace, raw, plte=None):
+    """Independent PNG container builder for decoder tests."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    parts = [b"\x89PNG\r\n\x1a\n",
+             chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))]
+    if plte is not None:
+        parts.append(chunk(b"PLTE", plte))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def _pack_row(samples, depth):
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        return b"".join(bytes([s, (s * 7) % 256]) for s in samples)  # low byte dropped
+    out, acc, nb = bytearray(), 0, 0
+    for s in samples:
+        acc = (acc << depth) | s
+        nb += depth
+        if nb == 8:
+            out.append(acc)
+            acc, nb = 0, 0
+    if nb:
+        out.append(acc << (8 - nb))
+    return bytes(out)
+
+
+def test_png_full_feature_decode():
+    """PNG decode across the whole still-image feature set: gray depths
+    1/2/4/8/16 (sub-byte scaled to full range, 16-bit high byte kept),
+    palette depths 1/2/4/8, gray+alpha, 16-bit RGB/RGBA, and Adam7
+    interlacing at awkward dimensions — every container built by an
+    independent test-side writer. The Adam7 pass layout is also checked
+    against the PNG spec's canonical 8x8 pass-number grid."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.multimodal import _ADAM7
+
+    rng = np.random.RandomState(5)
+    # gray, all depths
+    for depth in (1, 2, 4, 8, 16):
+        w, h = 7, 5
+        maxv = (1 << min(depth, 8)) - 1
+        g = rng.randint(0, maxv + 1, (h, w))
+        raw = b"".join(b"\x00" + _pack_row(list(g[y]), depth) for y in range(h))
+        out = multimodal.decode_image_pixels(_build_png(w, h, depth, 0, 0, raw))
+        want = (g * 255 // maxv if depth < 8 else g).astype(np.uint8)
+        assert out is not None and (out == np.repeat(want[:, :, None], 3, 2)).all(), depth
+    # palette, all legal depths
+    for depth in (1, 2, 4, 8):
+        w, h = 6, 4
+        n_pal = (1 << depth) if depth < 8 else 13
+        pal = rng.randint(0, 256, (n_pal, 3), dtype=np.uint8)
+        idx = rng.randint(0, n_pal, (h, w))
+        raw = b"".join(b"\x00" + _pack_row(list(idx[y]), depth) for y in range(h))
+        out = multimodal.decode_image_pixels(
+            _build_png(w, h, depth, 3, 0, raw, plte=pal.tobytes())
+        )
+        assert out is not None and (out == pal[idx]).all(), depth
+    # gray+alpha and 16-bit RGB/RGBA
+    for depth, ctype, ch in [(8, 4, 2), (16, 4, 2), (16, 2, 3), (16, 6, 4)]:
+        w, h = 5, 3
+        s = rng.randint(0, 256, (h, w, ch))
+        raw = b"".join(
+            b"\x00" + _pack_row(list(s[y].reshape(-1)), depth) for y in range(h)
+        )
+        out = multimodal.decode_image_pixels(_build_png(w, h, depth, ctype, 0, raw))
+        want = (np.repeat(s[:, :, 0:1], 3, 2) if ctype == 4 else s[:, :, :3]).astype(
+            np.uint8
+        )
+        assert out is not None and (out == want).all(), (depth, ctype)
+    # Adam7 at dimensions exercising empty and partial passes
+    for (w, h) in [(8, 8), (11, 5), (1, 1), (3, 9), (2, 2)]:
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue  # empty passes contribute no scanlines (spec)
+            for row in sub:
+                raw += b"\x00" + row.reshape(-1).tobytes()
+        out = multimodal.decode_image_pixels(_build_png(w, h, 8, 2, 1, bytes(raw)))
+        assert out is not None and (out == px).all(), (w, h)
+    # pass-number grid vs the spec's canonical pattern
+    grid = np.zeros((8, 8), dtype=int)
+    for i, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        region = grid[y0::dy, x0::dx]
+        grid[y0::dy, x0::dx] = np.where(region == 0, i, region)
+    spec = np.array(
+        [[1, 6, 4, 6, 2, 6, 4, 6], [7] * 8, [5, 6, 5, 6, 5, 6, 5, 6], [7] * 8,
+         [3, 6, 4, 6, 3, 6, 4, 6], [7] * 8, [5, 6, 5, 6, 5, 6, 5, 6], [7] * 8]
+    )
+    assert (grid == spec).all()
+    # corrupt: palette index beyond PLTE quarantines (None), never crashes
+    raw = b"".join(b"\x00" + _pack_row(r, 8) for r in [[5, 1], [0, 2]])
+    assert multimodal.decode_image_pixels(
+        _build_png(2, 2, 8, 3, 0, raw, plte=bytes(range(9)))
+    ) is None
