@@ -145,11 +145,23 @@ def main() -> None:
                 qtimes[name] = -1.0
                 log(f"query {name}: FAILED {e}")
 
+    # inline names drop the table suffix (full names in BENCH_QUERIES.json):
+    # 48 full names alone overflow the driver's ~2 KB stdout tail window
+    def short(name: str) -> str:
+        for suf in ("_documents", "_embeddings", "_lineitem", "_events",
+                    "_orders_customer", "_orders", "_synthetic"):
+            if name.endswith(suf):
+                return name[: -len(suf)]
+        return name
+
+    shorts = {k: short(k) for k in qtimes}
+    if len(set(shorts.values())) != len(shorts):  # collision: keep full names
+        shorts = {k: k for k in qtimes}
     out = {
         "metric": "validated_docs_per_sec",
         "value": round(docs_per_sec, 1),
         "unit": "docs/sec",
-        "queries": qtimes,
+        "queries": {shorts[k]: round(v, 2) for k, v in qtimes.items()},
         "sf": sf_dir,
         "headline_docs": agg["n"],
         "headline_sec": round(headline_sec, 3),
@@ -158,7 +170,32 @@ def main() -> None:
         # ambient host speed at bench time — normalize across runs with it
         "host_calibration": host_calibration(),
     }
-    print(json.dumps(out), flush=True)
+    # The driver records only a bounded tail of stdout (~2 KB): round 3's
+    # line outgrew it and the artifact of record went unparsed. Keep the
+    # emitted line comfortably inside the window — compact separators,
+    # 2-decimal times, and if it still would not fit, keep only the
+    # slowest queries inline (the full map always lands in the sidecar).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as fh:
+        json.dump({**out, "queries": qtimes}, fh, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    # the driver's recorded tail is exactly 2000 chars (measured in
+    # BENCH_r03.json); 1700 leaves real headroom for the trailing newline
+    # and any stray runtime warning sharing the window
+    budget = 1700
+    if len(line) > budget:
+        ranked = sorted(qtimes, key=qtimes.get, reverse=True)
+        kept = dict(out)
+        for n_keep in range(len(ranked), 0, -1):
+            kept["queries"] = {shorts[k]: round(qtimes[k], 2) for k in ranked[:n_keep]}
+            kept["queries_omitted"] = len(ranked) - n_keep
+            line = json.dumps(kept, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+        log(f"bench line over budget: kept slowest {len(kept['queries'])} "
+            f"queries inline; full map in BENCH_QUERIES.json")
+    log(f"bench line: {len(line)} bytes")
+    print(line, flush=True)
     spark.stop()
 
 

@@ -543,11 +543,14 @@ def duplicate_clusters(
     label(label(u))) — the jump halves remaining chain depth every
     round, so convergence is O(log diameter): ``max_iter=20`` covers
     components ~2^20 hops deep, far beyond any real near-dup graph
-    (overwhelmingly tiny cliques and short chains). The loop stops on a
-    converged check (one cheap limit(1) probe per round) and
-    ``localCheckpoint()`` truncates lineage so the plan does not grow
-    across rounds; exhausting ``max_iter`` without convergence warns
-    loudly instead of returning silently-partial clusters.
+    (overwhelmingly tiny cliques and short chains). Each round runs
+    exactly ONE Spark action: the changed-label count doubles as the
+    materialization of a LAZY ``localCheckpoint()`` (which truncates
+    lineage so the plan does not grow across rounds) — a separate
+    convergence probe per round would double the per-round job count,
+    pure scheduling overhead on a cold cluster. Exhausting ``max_iter``
+    without convergence warns loudly instead of returning
+    silently-partial clusters.
 
     Scale shape per round: two shuffle joins on node id + one
     partial-agg min — all over the PAIR GRAPH only, which at 10^12 docs
@@ -579,9 +582,14 @@ def duplicate_clusters(
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_old"),
         )
         # pointer jumping: follow the label one more hop (every label IS
-        # a node of the graph, so it has a row); O(diameter) -> O(log)
+        # a node of the graph, so it has a row); O(diameter) -> O(log).
+        # The convergence flag rides along as a column; the count below is
+        # the round's ONLY action — it materializes the lazy checkpoint
+        # (every partition: a full count, no limit short-circuit) and
+        # returns the number of labels that moved in the same job.
         new_labels = (
             stepped.join(
                 stepped.select(
@@ -595,17 +603,13 @@ def duplicate_clusters(
                 F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias(
                     "label"
                 ),
+                "_old",
             )
-            .localCheckpoint()
+            .withColumn("_chg", F.col("label") != F.col("_old"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("u", F.col("label").alias("old")), "u")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             converged = True
             break

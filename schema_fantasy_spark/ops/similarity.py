@@ -310,6 +310,7 @@ def near_duplicates_by_embedding(
     bands: int = 4,
     seed: int = 42,
     round_to: int = 5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: RP-LSH banding for candidates,
     exact cosine verification >= threshold. Shuffles (band, bucket, id).
@@ -319,7 +320,15 @@ def near_duplicates_by_embedding(
     ~25% of ALL pairs candidates — near-quadratic; the 8-bit default is
     ~1.6%, and 16-bit buckets at n_planes=64 reach ~0.006% for 10^9+
     corpora). Recall for true near-dups (cos >= 0.9) stays high because
-    their per-bit agreement ~0.9 -> ~0.43/band at 8 bits."""
+    their per-bit agreement ~0.9 -> ~0.43/band at 8 bits.
+
+    ``max_bucket`` guards the degenerate corpus (many zero or identical
+    vectors collapse to ONE signature, making a single bucket quadratic):
+    buckets larger than it are dropped before pair generation, the same
+    fanout cap the minhash LSH path applies. Members of an over-cap
+    bucket still pair through their OTHER bands unless those are
+    degenerate too — i.e. the cap only suppresses the pathological
+    all-alike mass."""
     dim_probe = None  # signature needs dim; take it from the first row lazily
     # Spark-side: compute signature per row (dim from array size is not
     # expressible for the hyperplane constants, so dim must be known)
@@ -357,15 +366,34 @@ def near_duplicates_by_embedding(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    # dedupe on the id pair BEFORE fetching vectors (distinct over float
-    # arrays shuffles and compares the vectors themselves — measured 15.7s
-    # -> ~4s on 5k x 64-dim)
+    # one groupBy replaces the per-bucket self-join: collect ids per
+    # (band, bucket), drop singleton AND over-cap buckets, explode the
+    # in-bucket pairs. Pair dedup happens BEFORE fetching vectors
+    # (distinct over float arrays shuffles and compares the vectors
+    # themselves — measured 15.7s -> ~4s on 5k x 64-dim).
+    sized = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        sized.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

@@ -180,6 +180,22 @@ def test_near_duplicates_by_embedding(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_near_dup_embedding_degenerate_bucket_capped(spark):
+    # 1k identical vectors collapse to ONE RP-LSH signature: without the
+    # bucket cap the band join is quadratic (~500k pairs); with the
+    # minhash-style cap (64 members) the degenerate buckets are dropped
+    # entirely and the pair count is bounded
+    base = [0.5, -0.25, 1.0, 0.125] * 16
+    rows = [(i, base) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = sim.near_duplicates_by_embedding(df, threshold=0.9).collect()
+    assert len(pairs) == 0  # every bucket is over-cap -> suppressed
+    # a smaller same-signature clique under the cap still pairs fully
+    small = spark.createDataFrame(rows[:10], "vec_id: long, embedding: array<float>")
+    got = sim.near_duplicates_by_embedding(small, threshold=0.9).count()
+    assert got == 45  # C(10,2)
+
+
 # ------------------------------------------------------------------- text
 
 

@@ -220,3 +220,35 @@ def test_duplicate_clusters_bounded_plan(spark):
     # nest SortMergeJoin/union towers many levels deep
     assert "ExistingRDD" in plan
     assert plan.count("Join") <= 2, plan
+
+
+def test_duplicate_clusters_one_action_per_round(spark):
+    """each propagation round must run exactly ONE Spark job: the
+    changed-label count doubles as the lazy-checkpoint materialization
+    (a separate convergence probe would double the round count — pure
+    scheduler overhead on a cold cluster). Chain graph 0-2-4-...-38:
+    pointer jumping converges in ~4 rounds + 1 confirming round."""
+    from schema_fantasy_spark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 2) for i in range(0, 38, 2)], "id_a: long, id_b: long"
+    )
+    sc = spark.sparkContext
+    group = "cluster-job-audit"
+    # AQE splits one action into a job per query stage, which would make
+    # the job count measure shuffle depth, not action count — disable it
+    # for the audit so 1 action == 1 job
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "count jobs per cluster round")
+    try:
+        out = dedup.duplicate_clusters(pairs)
+        n = out.count()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert n == 20
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # budget: 1 edges-checkpoint + <=6 rounds + 1 final count; the old
+    # two-actions-per-round shape lands at ~14 and must fail this
+    assert len(jobs) <= 8, f"{len(jobs)} jobs: {sorted(jobs)}"
