@@ -136,8 +136,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = tables.load(spark, sf, "events")
         kv = (F.col("event_id") % 100).cast("string")
+        # JSON-escape the string leg (backslash first, then quote — literal
+        # replace, not regex): an unescaped quote/backslash in event_type
+        # would synthesize malformed JSON and surface $parse rows the
+        # oracle does not model. Escaping is length-preserving under JSON
+        # decode, so the oracle's length(event_type) stays exact.
+        etype_esc = F.replace(
+            F.replace(F.col("event_type"), F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
         etype_json = F.when(F.col("event_type").isNull(), F.lit("null")).otherwise(
-            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+            F.concat(F.lit('"'), etype_esc, F.lit('"'))
         )
         doc = F.concat(
             F.lit('{"kv": '), kv,
@@ -200,8 +210,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = tables.load(spark, sf, "events").filter(F.col("event_id") % 10 == 0)
         kv = (F.col("event_id") % 100).cast("string")
+        # JSON-escape the string leg (backslash first, then quote — literal
+        # replace, not regex): an unescaped quote/backslash in event_type
+        # would synthesize malformed JSON and surface $parse rows the
+        # oracle does not model. Escaping is length-preserving under JSON
+        # decode, so the oracle's length(event_type) stays exact.
+        etype_esc = F.replace(
+            F.replace(F.col("event_type"), F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
         etype_json = F.when(F.col("event_type").isNull(), F.lit("null")).otherwise(
-            F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+            F.concat(F.lit('"'), etype_esc, F.lit('"'))
         )
         doc = F.concat(
             F.lit('{"kv": '), kv,

@@ -66,8 +66,10 @@ def exact_duplicates(
 
     ``ids`` is capped at ``max_ids`` members (sorted, so the cap is
     deterministic): a degenerate all-identical corpus would otherwise
-    build one row holding every id. ``n_copies`` stays exact. The
-    transform variant (``distinct_by_content``) is list-free entirely.
+    build one row holding every id. ``n_copies`` stays exact — the
+    CONTRACT for detecting truncation is ``n_copies > size(ids)``
+    (consumers must not assume ``ids`` is exhaustive). The transform
+    variant (``distinct_by_content``) is list-free entirely.
 
     NULL texts are never duplicates of each other (md5(NULL) is NULL and
     would otherwise collapse every null-text row into one fake group).

@@ -486,14 +486,18 @@ def quantized_cosine_topk(
 
 def quantize_vector_py(vec) -> list:
     """Driver-side replica of quantize_embeddings for a query vector
-    (away-from-zero rounding, like Spark round() and DuckDB round())."""
-    import math
+    (away-from-zero HALF_UP rounding, like Spark round() and DuckDB
+    round()). Rounds via Decimal on the shortest repr of the double:
+    floor(v + 0.5) would round UP for doubles just below .5 (e.g.
+    0.49999999999999994 + 0.5 == 1.0 in IEEE754), diverging from both
+    engines on pathological inputs."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     scale = max(abs(float(x)) for x in vec) / 127.0
     if scale == 0:
         return [0] * len(vec)
 
     def rnd(v: float) -> int:
-        return int(math.floor(v + 0.5)) if v >= 0 else -int(math.floor(-v + 0.5))
+        return int(Decimal(repr(v)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
     return [rnd(float(x) / scale) for x in vec]

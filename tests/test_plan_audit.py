@@ -14,6 +14,7 @@ What each assertion buys at scale:
 
 import contextlib
 import io
+import re
 
 import pyspark.sql.functions as F
 import pytest
@@ -155,14 +156,29 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path_factory):
     ]
 
     q = emb.filter("vec_id = 0").collect()[0]["embedding"]
-    topk = sim.ivf_topk(assigned2, cents2, q, 5, n_probe=2)
+    # n_probe=3 of 8 mirrors the gated ivf_partial_probe_embeddings query,
+    # whose recall-floor oracle cannot itself detect a pruning regression
+    topk = sim.ivf_topk(assigned2, cents2, q, 5, n_probe=3)
     plan = plan_of(topk)
     assert "PartitionFilters" in plan
-    pf = plan.split("PartitionFilters", 1)[1][:120]
+    pf = plan.split("PartitionFilters", 1)[1][:160]
     assert "list_id" in pf and " IN (" in pf, pf
+    in_list = pf.split(" IN (", 1)[1].split(")", 1)[0]
+    probed = [int(x) for x in re.findall(r"\d+", in_list)]
+    assert len(probed) == 3, pf
+    # physical pruning: the probe's scan must touch only the probed lists'
+    # files — 3 of the 8 list_id=... partition dirs
+    files_probed = (
+        assigned2.filter(F.col("list_id").isin(probed))
+        .select(F.input_file_name()).distinct().count()
+    )
+    files_all = assigned2.select(F.input_file_name()).distinct().count()
+    assert files_all >= 8 and files_probed <= (files_all * 3) // 8 + 1, (
+        files_probed, files_all,
+    )
 
     # probe over the persisted index == probe over the live assignment
-    live = sim.ivf_topk(assigned, cents, q, 5, n_probe=2)
+    live = sim.ivf_topk(assigned, cents, q, 5, n_probe=3)
     assert [tuple(r) for r in topk.collect()] == [tuple(r) for r in live.collect()]
 
 
