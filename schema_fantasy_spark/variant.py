@@ -203,6 +203,32 @@ class VariantNode:
         self.emit = emit  # (variant_value, path) -> errors array
 
 
+def _literal_depth(v: Any) -> int:
+    """Nesting depth of a JSON literal: scalars 0, each list/dict level 1."""
+    if isinstance(v, list):
+        return 1 + max((_literal_depth(x) for x in v), default=0)
+    if isinstance(v, dict):
+        return 1 + max((_literal_depth(x) for x in v.values()), default=0)
+    return 0
+
+
+def _max_enum_depth(schema: Any) -> int:
+    """Max literal depth across every ``enum`` in the schema tree. The
+    walk is generic over dicts/lists, so an enum VALUE that happens to
+    contain an "enum" key is counted too — over-counting only routes a
+    schema to the (always-correct) kernel, never the reverse."""
+    if isinstance(schema, dict):
+        best = 0
+        for k, v in schema.items():
+            if k == "enum" and isinstance(v, list):
+                best = max(best, max((_literal_depth(x) for x in v), default=0))
+            best = max(best, _max_enum_depth(v))
+        return best
+    if isinstance(schema, list):
+        return max((_max_enum_depth(x) for x in schema), default=0)
+    return 0
+
+
 def compile_variant(
     schema: Any,
     refs: Optional[Dict[str, Any]] = None,
@@ -210,9 +236,19 @@ def compile_variant(
     max_depth: int = 6,
 ):
     """Compile to a VariantPlan. Recursive schemas unroll ``max_depth``
-    levels; deeper subtrees vacuously pass (recorded in plan.warning)."""
+    levels; deeper subtrees vacuously pass (recorded in plan.warning).
+
+    Schemas whose enum literals nest deeper than ``CANON_DEPTH`` are
+    AUTO-ROUTED to the Arrow-UDF kernel at compile time: below that
+    unroll depth variant deep-equality would compare subtrees textually
+    via to_json, diverging from the reference's R.equals number
+    semantics (src/v4/enum.js:24-28) when e.g. ``1`` vs ``1.0`` sits at
+    depth 7 — the compiler knows the literal depth, so the divergence is
+    routed away instead of documented. ``plan.kernel_routed`` records it."""
     refs = refs or {}
     warning = VariantCompileWarning()
+    if _max_enum_depth(schema) > CANON_DEPTH:
+        return VariantPlan(None, schema, warning, refs=refs, kernel_routed=True)
 
     def compile_node(cur_base: str, cur_doc: Any, node: Any, depth: int, spath: str) -> VariantNode:
         cur_base, cur_doc, node = resolve_ref(refs, cur_base, cur_doc, node)
@@ -234,18 +270,36 @@ def compile_variant(
         return VariantNode(emit)
 
     root = compile_node(base, schema, schema, 0, "#")
-    return VariantPlan(root, schema, warning)
+    return VariantPlan(root, schema, warning, refs=refs)
 
 
 class VariantPlan:
-    def __init__(self, root: VariantNode, schema: Any, warning: VariantCompileWarning):
+    def __init__(
+        self,
+        root: Optional[VariantNode],
+        schema: Any,
+        warning: VariantCompileWarning,
+        refs: Optional[Dict[str, Any]] = None,
+        kernel_routed: bool = False,
+    ):
         self._root = root
         self.schema = schema
         self.warning = warning
+        self.refs = refs or {}
+        #: True when compile_variant routed this schema to the Arrow-UDF
+        #: kernel (enum literals deeper than CANON_DEPTH)
+        self.kernel_routed = kernel_routed
 
     def errors_for_variant(self, v: Column) -> Column:
         """errors for an already-materialized VariantType column (e.g. a
         VARIANT table column at rest — the preferred input)."""
+        if self.kernel_routed:
+            # kernel over the variant's JSON rendering: to_json preserves
+            # the stored int-vs-double distinction, json.loads restores
+            # it, and the kernel's deep equality is depth-unbounded
+            from schema_fantasy_spark.dynamic import json_errors_udf
+
+            return json_errors_udf(self.schema, refs=self.refs)(F.to_json(v))
         return self._root.emit(v, F.array().cast("array<string>"))
 
     def apply(
@@ -260,6 +314,16 @@ class VariantPlan:
         the document is parsed ONCE per row instead of once per keyword
         (CollapseProject would otherwise inline parse_json into every
         check expression — measured 3.8x slower)."""
+        if self.kernel_routed:
+            # compile-time auto-route (deep enum literals): the Arrow-UDF
+            # kernel IS the faithful semantics, same output contract
+            # including the '$parse' quarantine rows
+            from schema_fantasy_spark.dynamic import validate_json
+
+            return validate_json(
+                df, doc_col, self.schema, refs=self.refs,
+                errors_col=errors_col, verdict_col=verdict_col,
+            )
         # try_parse_json: a malformed document becomes a '$parse' error
         # row instead of failing the whole job (quarantine semantics; the
         # Arrow-UDF kernel in dynamic.py does the same)

@@ -166,3 +166,46 @@ def test_variant_kernel_agreement_on_random_composite_enums(spark):
         want = {i: kernel.is_valid(c) for i, c in enumerate(cands)}
         assert got == want, (target, got, want)
         assert want[0] and want[1]  # the re-encoding must be accepted
+
+
+def test_deep_enum_auto_routes_to_kernel(spark):
+    """enum literals nested past CANON_DEPTH auto-route the whole plan to
+    the Arrow-UDF kernel at compile time: ``enum: [[[[[[[1]]]]]]]`` must
+    accept the float re-encoding ``[[[[[[[1.0]]]]]]]`` (reference R.equals
+    number semantics, src/v4/enum.js:24-28) — below the unroll depth the
+    pure variant expressions would compare '1' vs '1.0' textually."""
+    from schema_fantasy_spark.dynamic import validate_json
+    from schema_fantasy_spark.variant import CANON_DEPTH, _max_enum_depth
+
+    target = 1
+    for _ in range(CANON_DEPTH + 1):
+        target = [target]
+    schema = {"enum": [target]}
+    assert _max_enum_depth(schema) == CANON_DEPTH + 1
+
+    def reencode(v):
+        return [reencode(x) for x in v] if isinstance(v, list) else float(v)
+
+    plan = compile_variant(schema)
+    assert plan.kernel_routed
+    cands = [target, reencode(target), [target], "nope"]
+    df = spark.createDataFrame(
+        [(i, json.dumps(c)) for i, c in enumerate(cands)], "i: long, doc: string"
+    )
+    got = {r["i"]: r["verdict"]
+           for r in plan.apply(df, "doc").select("i", "verdict").collect()}
+    kernel = {r["i"]: r["verdict"]
+              for r in validate_json(df, "doc", schema)
+              .select("i", "verdict").collect()}
+    assert got == kernel == {0: True, 1: True, 2: False, 3: False}
+
+    # errors_for_variant routes too (variant column at rest)
+    vdf = df.select("i", F.parse_json("doc").alias("v"))
+    ec = plan.errors_for_variant(F.col("v"))
+    got_v = {r["i"]: r["n"] == 0
+             for r in vdf.select("i", F.size(ec).alias("n")).collect()}
+    assert got_v == {0: True, 1: True, 2: False, 3: False}
+
+    # a depth-6 enum still compiles to pure variant expressions
+    shallow = {"enum": [[[1]]]}
+    assert not compile_variant(shallow).kernel_routed
