@@ -926,15 +926,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tx.filter_funnel(docs, rules)
 
     def gopher_quality_documents(spark, sf):
-        # Gopher-style repetition filters (top-bigram / duplicate-trigram
-        # / no-alpha fractions) — standard pre-training corpus rules
+        # the FULL Gopher repetition/quality rule family (Rae et al. 2021
+        # table A1): top 2/3/4-gram fractions, duplicate 5-10-gram
+        # character fractions, no-alpha words, symbol-to-word ratio,
+        # bullet/ellipsis line fractions — standard pre-training filters
         from schema_fantasy_spark.ops import text as tx
 
         docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
         out = tx.repetition_metrics(docs)
         return out.select(
-            "doc_id", "n_words", "frac_top_bigram", "frac_dup_trigrams",
-            "frac_no_alpha", "gopher_pass",
+            "doc_id", "n_words", "frac_top_bigram", "frac_top_trigram",
+            "frac_top_fourgram", "frac_dup_trigrams",
+            *[f"frac_dup_{g}gram_chars" for g in range(5, 11)],
+            "frac_no_alpha", "symbol_word_ratio", "frac_bullet_lines",
+            "frac_ellipsis_lines", "gopher_pass",
         )
 
     def text_consistency_documents(spark, sf):
@@ -1689,36 +1694,73 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT 3, 'n_chars_cap', o2, o2 - o3, o3 FROM s
     """
 
-    gopher_sql = r"""
+    # word n-gram list for n: DuckDB 1-based inclusive slices, mirrors
+    # ops.text._gram_run_stats (concat_ws over token slices)
+    def _grams(n: int) -> str:
+        return (
+            f"CASE WHEN len(tk) >= {n} THEN list_transform("
+            f"range(1, len(tk) - {n} + 2), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) ELSE [] END"
+        )
+
+    _top_fracs = ",\n             ".join(
+        f"round(CAST(coalesce(list_max(list_transform(list_distinct(g{n}),"
+        f" d -> len(list_filter(g{n}, x -> x = d)))), 0) AS DOUBLE)"
+        f" / greatest(len(g{n}), 1), 6) AS frac_top_{name}"
+        for n, name in [(2, "bigram"), (3, "trigram"), (4, "fourgram")]
+    )
+    _dup_char_fracs = ",\n             ".join(
+        f"round(CAST(coalesce(list_sum(list_transform(list_distinct(g{n}),"
+        f" d -> (len(list_filter(g{n}, x -> x = d)) - 1) * length(d))), 0) AS DOUBLE)"
+        f" / greatest(coalesce(list_sum(list_transform(g{n}, x -> length(x))), 0), 1), 6)"
+        f" AS frac_dup_{n}gram_chars"
+        for n in range(5, 11)
+    )
+    _dup_char_cols = ", ".join(f"frac_dup_{n}gram_chars" for n in range(5, 11))
+    _dup_char_checks = "\n            AND ".join(
+        f"frac_dup_{n}gram_chars <= {t}"
+        for n, t in [(5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)]
+    )
+    gopher_sql = rf"""
     WITH toks AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
         FROM documents WHERE text IS NOT NULL),
     g AS (
-      SELECT doc_id, len(tk) AS n_words,
-             CASE WHEN len(tk) >= 2
-               THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-               ELSE [] END AS bg,
-             CASE WHEN len(tk) >= 3
-               THEN list_transform(range(1, len(tk) - 1),
-                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-               ELSE [] END AS tg,
-             len(list_filter(tk, w -> NOT regexp_matches(w, '[a-z]'))) AS n_noalpha
+      SELECT doc_id, text, len(tk) AS n_words,
+             {", ".join(f"{_grams(n)} AS g{n}" for n in range(2, 11))},
+             len(list_filter(tk, w -> NOT regexp_matches(w, '[a-z]'))) AS n_noalpha,
+             string_split(text, chr(10)) AS lines
         FROM toks),
     m AS (
       SELECT doc_id, n_words,
-             round(CAST(coalesce(list_max(list_transform(list_distinct(bg),
-                         d -> len(list_filter(bg, x -> x = d)))), 0) AS DOUBLE)
-                   / greatest(len(bg), 1), 6) AS frac_top_bigram,
-             round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
-                   / greatest(len(tg), 1), 6) AS frac_dup_trigrams,
-             round(CAST(n_noalpha AS DOUBLE) / greatest(n_words, 1), 6) AS frac_no_alpha
+             {_top_fracs},
+             round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                   / greatest(len(g3), 1), 6) AS frac_dup_trigrams,
+             {_dup_char_fracs},
+             round(CAST(n_noalpha AS DOUBLE) / greatest(n_words, 1), 6) AS frac_no_alpha,
+             round(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+                   / greatest(n_words, 1), 6) AS symbol_word_ratio,
+             round(CAST(len(list_filter(lines,
+                     l -> regexp_matches(l, '^\s*[-*•‣▪]'))) AS DOUBLE)
+                   / greatest(len(lines), 1), 6) AS frac_bullet_lines,
+             round(CAST(len(list_filter(lines,
+                     l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+                   / greatest(len(lines), 1), 6) AS frac_ellipsis_lines
         FROM g)
-    SELECT doc_id, n_words, frac_top_bigram, frac_dup_trigrams, frac_no_alpha,
+    SELECT doc_id, n_words, frac_top_bigram, frac_top_trigram, frac_top_fourgram,
+           frac_dup_trigrams, {_dup_char_cols},
+           frac_no_alpha, symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
            (n_words BETWEEN 20 AND 100000
             AND frac_top_bigram <= 0.20
+            AND frac_top_trigram <= 0.18
+            AND frac_top_fourgram <= 0.16
             AND frac_dup_trigrams <= 0.30
-            AND frac_no_alpha <= 0.20) AS gopher_pass
+            AND {_dup_char_checks}
+            AND frac_no_alpha <= 0.20
+            AND symbol_word_ratio <= 0.10
+            AND frac_bullet_lines <= 0.90
+            AND frac_ellipsis_lines <= 0.30) AS gopher_pass
       FROM m
     """
 

@@ -145,6 +145,69 @@ def fingerprint(
     )
 
 
+#: Rae et al. 2021 table-A1 thresholds (word-fraction variants documented
+#: per metric below): most-common n-gram fraction for n=2,3,4 and
+#: duplicate n-gram CHARACTER fraction for n=5..10
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_CHARS_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gram_run_stats(tk: Column, n_tokens: Column, n: int) -> Column:
+    """struct(best, dupn, dupchars, totchars) for word ``n``-grams of the
+    token array, from ONE sort + linear run-length fold (O(w log w) per
+    doc, fully JVM-side):
+
+    * ``best``     — occurrences of the most frequent n-gram (the mode);
+    * ``dupn``     — n-gram occurrences beyond each first (== len -
+      distinct);
+    * ``dupchars`` — characters in those duplicate occurrences;
+    * ``totchars`` — characters across all n-gram occurrences.
+
+    The naive distinct x filter mode count is O(distinct x n) — ~10^10
+    comparisons for one pathological 100k-word document, a
+    straggler-task generator at corpus scale (measured in round 2)."""
+    grams = F.when(
+        n_tokens >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
+        is_dup = run > 1
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+            (acc.dupn + F.when(is_dup, 1).otherwise(0)).alias("dupn"),
+            (acc.dupchars + F.when(is_dup, F.length(x)).otherwise(F.lit(0))).alias(
+                "dupchars"
+            ),
+            (acc.totchars + F.length(x)).alias("totchars"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dupn"),
+            F.lit(0).alias("dupchars"),
+            F.lit(0).alias("totchars"),
+        ),
+        step,
+        lambda acc: F.struct(
+            acc.best.alias("best"),
+            acc.dupn.alias("dupn"),
+            acc.dupchars.alias("dupchars"),
+            acc.totchars.alias("totchars"),
+        ),
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
@@ -154,22 +217,33 @@ def repetition_metrics(
     max_no_alpha_frac: float = 0.20,
     min_words: int = 20,
     max_words: int = 100_000,
+    max_symbol_word_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
 ) -> DataFrame:
-    """Gopher-style repetition/quality rules over word n-grams — the
-    standard pre-training corpus filters (Rae et al. 2021, "Scaling
-    Language Models", table A1 family), re-expressed as one pass of
-    native higher-order functions:
+    """Gopher repetition/quality rules over word n-grams — the full
+    pre-training corpus filter family (Rae et al. 2021, "Scaling
+    Language Models", table A1), re-expressed as one pass of native
+    higher-order functions:
 
-    * ``frac_top_bigram``  — occurrences of the most frequent 2-gram over
-      all 2-grams (repetitive boilerplate scores high);
+    * ``frac_top_{bigram,trigram,fourgram}`` — occurrences of the most
+      frequent 2/3/4-gram over all such n-grams (repetitive boilerplate
+      scores high);
     * ``frac_dup_trigrams`` — fraction of 3-grams that are duplicates;
+    * ``frac_dup_{5..10}gram_chars`` — fraction of n-gram CHARACTERS
+      sitting in duplicate occurrences (each occurrence beyond a gram's
+      first), the table-A1 duplicate-n-gram rule;
     * ``frac_no_alpha``    — fraction of words with no ASCII letter;
-    * ``gopher_pass``      — all thresholds hold and the word count is in
-      [min_words, max_words].
+    * ``symbol_word_ratio`` — '#' / '...' / U+2026 occurrences per word;
+    * ``frac_bullet_lines`` / ``frac_ellipsis_lines`` — lines starting
+      with a bullet glyph / ending with an ellipsis;
+    * ``gopher_pass``      — every threshold holds and the word count is
+      in [min_words, max_words].
 
     One shuffle-free pass; tokens materialize once behind a Generate
-    barrier. At 10^12 docs this runs at scan bandwidth like the other
-    text ops."""
+    barrier, then each n runs one sort + run-length fold (9 folds/doc,
+    all O(w log w)). At 10^12 docs this runs at scan bandwidth like the
+    other text ops."""
     from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism, tokens_col
 
     base = _barrier(
@@ -179,76 +253,71 @@ def repetition_metrics(
     )
     tk = F.col("_tk")
     n = F.size(tk)
-    bg = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    tg = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tk, i),
-                F.element_at(tk, i + 1),
-                F.element_at(tk, i + 2),
-            ),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    # bigrams/trigrams materialize once each (barriers); the mode count is
-    # sort + one linear run-length fold (O(n log n) per doc, fully
-    # JVM-side). The naive distinct x filter formulation is O(distinct x n)
-    # — ~10^10 comparisons for one pathological 100k-word document — a
-    # straggler-task generator at corpus scale.
-    based = _barrier(_barrier(base, bg, "_bg"), tg, "_tg")
-    bgc, tgc = F.col("_bg"), F.col("_tg")
 
-    def _run_step(acc, x):
-        # run-length over the SORTED array: extend the run while x matches
-        # the previous element, fold the best run length forward
-        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+    # each stats struct is consumed by >1 output column: materialize them
+    # behind barriers (HOF folds get no common-subexpression elimination)
+    based = base
+    for g in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        based = _barrier(based, _gram_run_stats(tk, n, g), f"_g{g}")
+
+    def n_grams(g: int) -> Column:
+        return F.greatest(n - (g - 1), F.lit(0))
+
+    def top_frac(g: int) -> Column:
+        return F.round(F.col(f"_g{g}.best") / F.greatest(n_grams(g), F.lit(1)), 6)
+
+    def dup_chars_frac(g: int) -> Column:
+        return F.round(
+            F.col(f"_g{g}.dupchars")
+            / F.greatest(F.col(f"_g{g}.totchars"), F.lit(1)),
+            6,
         )
 
-    top_bg = F.aggregate(
-        F.array_sort(bgc),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        _run_step,
-        lambda acc: acc.best,
-    )
-    frac_top_bigram = F.round(
-        top_bg / F.greatest(F.size(bgc), F.lit(1)), 6
-    )
-    frac_dup_trigrams = F.round(
-        (F.size(tgc) - F.size(F.array_distinct(tgc)))
-        / F.greatest(F.size(tgc), F.lit(1)),
-        6,
-    )
+    t = F.col(text_col)
     no_alpha = F.size(F.filter(tk, lambda w: ~w.rlike("[a-z]")))
-    frac_no_alpha = F.round(no_alpha / F.greatest(n, F.lit(1)), 6)
-    out = based.select(
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    cols = [
         F.col(id_col),
         n.alias("n_words"),
-        frac_top_bigram.alias("frac_top_bigram"),
-        frac_dup_trigrams.alias("frac_dup_trigrams"),
-        frac_no_alpha.alias("frac_no_alpha"),
-    )
-    return out.withColumn(
-        "gopher_pass",
+        top_frac(2).alias("frac_top_bigram"),
+        top_frac(3).alias("frac_top_trigram"),
+        top_frac(4).alias("frac_top_fourgram"),
+        F.round(
+            F.col("_g3.dupn") / F.greatest(n_grams(3), F.lit(1)), 6
+        ).alias("frac_dup_trigrams"),
+        *[dup_chars_frac(g).alias(f"frac_dup_{g}gram_chars") for g in range(5, 11)],
+        F.round(no_alpha / F.greatest(n, F.lit(1)), 6).alias("frac_no_alpha"),
+        F.round(
+            F.regexp_count(t, F.lit(r"#|\.\.\.|…")) / F.greatest(n, F.lit(1)), 6
+        ).alias("symbol_word_ratio"),
+        F.round(bullet_lines / F.greatest(n_lines, F.lit(1)), 6).alias(
+            "frac_bullet_lines"
+        ),
+        F.round(ellipsis_lines / F.greatest(n_lines, F.lit(1)), 6).alias(
+            "frac_ellipsis_lines"
+        ),
+    ]
+    out = based.select(*cols)
+    checks = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
         & (F.col("frac_top_bigram") <= max_top_bigram_frac)
+        & (F.col("frac_top_trigram") <= GOPHER_TOP_NGRAM_MAX[3])
+        & (F.col("frac_top_fourgram") <= GOPHER_TOP_NGRAM_MAX[4])
         & (F.col("frac_dup_trigrams") <= max_dup_trigram_frac)
-        & (F.col("frac_no_alpha") <= max_no_alpha_frac),
+        & (F.col("frac_no_alpha") <= max_no_alpha_frac)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("frac_bullet_lines") <= max_bullet_line_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_line_frac)
     )
+    for g in range(5, 11):
+        checks = checks & (
+            F.col(f"frac_dup_{g}gram_chars") <= GOPHER_DUP_NGRAM_CHARS_MAX[g]
+        )
+    return out.withColumn("gopher_pass", checks)
 
 
 def filter_funnel(df: DataFrame, rules) -> DataFrame:

@@ -325,6 +325,45 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[3]["n_words"] == 2 and not out[3]["gopher_pass"]
 
 
+def test_repetition_metrics_extended_rules_hand_computed(spark):
+    """Rae-et-al extended family: top 3/4-gram, dup n-gram char
+    fractions, symbol-to-word ratio, bullet/ellipsis line fractions."""
+    base = " ".join(f"w{i}" for i in range(10))  # 10 distinct words
+    df = spark.createDataFrame(
+        [
+            # doc 0: base repeated 3x -> 30 words; every 5-gram occurs
+            # >= 2x (26 5-grams, 10 distinct patterns around the seam...)
+            (0, " ".join([base] * 3)),
+            # doc 1: heavy symbols: 25 words + 5 '#'-only tokens
+            (1, " ".join(f"w{i}" for i in range(25)) + " # # # # #"),
+            # doc 2: bullet lines
+            (2, "- item one two three\n- item four five six\nplain line here now"),
+            # doc 3: ellipsis-terminated lines
+            (3, "first line trails off...\nsecond stays\nthird trails too…"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_metrics(df, min_words=3).collect()}
+    # doc 0: 30 words; trigram mode: each of the 8 "wi wi+1 wi+2" windows
+    # inside a period repeats 3x except seam-spanning ones (2x); the
+    # in-period trigrams like 'w0 w1 w2' occur 3 times -> best 3 of 28
+    assert out[0]["frac_top_trigram"] == round(3 / 28, 6)
+    # 26 5-grams over 10 distinct patterns, all equal length (period 10):
+    # duplicate occurrences beyond each first = 26 - 10 = 16
+    assert out[0]["frac_dup_5gram_chars"] == round(16 / 26, 6)
+    assert not out[0]["gopher_pass"]  # frac_dup_trigrams 18/28 > 0.30
+    # doc 1: 30 tokens, 5 '#' occurrences -> ratio 5/30
+    assert out[1]["symbol_word_ratio"] == round(5 / 30, 6)
+    assert out[1]["frac_no_alpha"] == round(5 / 30, 6)
+    assert not out[1]["gopher_pass"]  # symbol ratio 0.167 > 0.10
+    # doc 2: 2 of 3 lines bulleted -> 0.666667 <= 0.90 passes that rule
+    assert out[2]["frac_bullet_lines"] == round(2 / 3, 6)
+    assert out[2]["gopher_pass"]
+    # doc 3: 2 of 3 lines end with an ellipsis -> 0.666667 > 0.30 fails
+    assert out[3]["frac_ellipsis_lines"] == round(2 / 3, 6)
+    assert not out[3]["gopher_pass"]
+
+
 def test_repetition_metrics_adversarial_length(spark):
     """A 50k-word highly repetitive doc (~25k DISTINCT bigrams, each
     repeated) completes in bounded time: the mode count is sort + one
