@@ -990,6 +990,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
         )
 
+    def jpeg_decode_synthetic(spark, sf):
+        # the ENTROPY-CODED image format under the gate: deterministic
+        # two-tone grayscale baseline JPEGs (ops/jpeg.py encoder, all-ones
+        # quant, MCU-aligned tones -> bit-exact round trip by
+        # construction), decoded by the pure-numpy huffman+IDCT decoder;
+        # the oracle recomputes width/format and the exact aHash constant
+        # from the same md5(doc_id) nibbles in SQL
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        imgs = mm_corpus.synthetic_jpegs(docs)
+        meta = multimodal.image_metadata(imgs, binary_col="payload", id_col="doc_id")
+        return meta.select("doc_id", "width", "height", "format", "phash")
+
     def audio_metadata_synthetic(spark, sf):
         # PCM-WAV decode under the gate: square-wave payloads make RMS an
         # exact rational (amp/32768, <= 6 decimals); rows with nibble 13
@@ -1066,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_partial_probe_embeddings": ivf_partial_probe_embeddings,
         "near_dup_embeddings": near_dup_embeddings,
         "image_decode_synthetic": image_decode_synthetic,
+        "jpeg_decode_synthetic": jpeg_decode_synthetic,
         "audio_metadata_synthetic": audio_metadata_synthetic,
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
@@ -1793,6 +1810,16 @@ def oracle_sql() -> dict[str, str]:
       FROM n
     """
 
+    jpeg_decode_sql = _mm_cte + """
+    SELECT doc_id,
+           4 + n2 AS width,
+           16 AS height,
+           'jpeg' AS format,
+           CASE WHEN n4 * 16 + n5 >= 128
+                THEN 4294967295 ELSE 9223372032559808512 END AS phash
+      FROM n
+    """
+
     audio_meta_sql = _mm_cte + """
     SELECT doc_id,
            8000 * (1 + n10 % 3) AS sample_rate,
@@ -1943,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk_embeddings": ann_lsh_sql,
         "near_dup_embeddings": near_dup_emb_sql,
         "image_decode_synthetic": image_decode_sql,
+        "jpeg_decode_synthetic": jpeg_decode_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         "text_consistency_documents": """
     SELECT doc_id, md5(text || '!') AS h_actual, md5(text) AS h_expected

@@ -1,0 +1,533 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no codec library.
+
+Decoder: sequential baseline huffman JPEG (SOF0/SOF1) — DQT/DHT/DRI/SOS
+marker parse, canonical huffman decode with byte-destuffing and restart
+markers, dequantize, orthonormal 8x8 IDCT, generic h/v chroma
+subsampling (4:4:4 / 4:2:2 / 4:2:0 via repeat-upsample), YCbCr->RGB
+(JFIF/BT.601), crop to the SOF dims. Returns HxWx3 uint8; None for
+progressive (SOF2), arithmetic, hierarchical, or 12-bit streams — the
+remaining genuinely-stubbed image formats are WebP and video.
+
+Encoder: baseline grayscale or YCbCr 4:4:4 / 4:2:0, all-ones
+quantization tables (quality-100-exact), Annex-K-style huffman tables
+emitted IN the stream (the codec pair is self-consistent regardless of
+table constants). With q == 1, an 8x8-constant block quantizes to a
+lone integral DC coefficient (DC = 8*(v-128)), so MCU-aligned two-tone
+images ROUND-TRIP EXACTLY — the property the driver-gate corpus
+(mm_corpus.synthetic_jpegs) is built on.
+
+The reference validates documents and never decodes media; this module
+exists for the engine's multimodal-pipeline surface (SURVEY.md §2.4
+category sweep), same role as the PNG decoder beside it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+# ------------------------------------------------------------- constants
+
+#: zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+#: DC table (Annex-K luminance shape): counts per code length 1..16, then
+#: symbols (categories 0..11)
+DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_SYMBOLS = list(range(12))
+
+#: AC table (Annex-K luminance shape): 162 run/size symbols
+AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _idct_matrix() -> "np.ndarray":
+    """Orthonormal 8x8 DCT basis M with M[u, x] = C(u)/2 * cos((2x+1)u
+    pi/16): spatial = M.T @ coeffs @ M, coeffs = M @ spatial @ M.T."""
+    m = np.empty((8, 8))
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+_M = _idct_matrix()
+
+
+# ---------------------------------------------------------- huffman build
+
+
+def _build_codes(counts, symbols):
+    """Canonical huffman: {symbol: (code, length)} from DHT counts."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode(counts, symbols):
+    """Canonical huffman decode map {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# -------------------------------------------------------------- bit I/O
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG sign extension of an s-bit magnitude."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill padding per spec
+        return bytes(self.out)
+
+
+# --------------------------------------------------------------- decoder
+
+
+def decode_jpeg_pixels(payload: bytes) -> Optional["np.ndarray"]:
+    """Decode a baseline sequential huffman JPEG -> HxWx3 uint8, or None
+    for streams this decoder does not cover (progressive SOF2,
+    arithmetic coding, hierarchical, 12-bit precision, malformed)."""
+    try:
+        return _decode(payload)
+    except (ValueError, EOFError, IndexError, KeyError, ZeroDivisionError):
+        return None
+
+
+def _decode(payload: bytes) -> Optional["np.ndarray"]:
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    qt = {}
+    huff = {}
+    sof = None
+    dri = 0
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return None  # EOI before any scan
+        length = int.from_bytes(payload[i : i + 2], "big")
+        seg = payload[i + 2 : i + length]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec = seg[p] >> 4
+                tid = seg[p] & 0x0F
+                p += 1
+                if prec == 0:
+                    qt[tid] = np.frombuffer(seg[p : p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    qt[tid] = np.frombuffer(
+                        seg[p : p + 128], ">u2"
+                    ).astype(np.int32)
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls = seg[p] >> 4
+                tid = seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + nsym])
+                huff[(cls, tid)] = _build_decode(counts, symbols)
+                p += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = seg[0]
+            if prec != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            if sof is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            return _decode_scan(payload, i + length, sof, scan, qt, huff, dri)
+        i += length
+    return None
+
+
+def _destuff(payload: bytes, start: int):
+    """Entropy bytes destuffed into restart segments; stops at EOI."""
+    segs = [bytearray()]
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            segs[-1].append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            i += 2
+        elif m == 0xFF:  # fill byte before a marker
+            i += 1
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytearray())
+            i += 2
+        else:  # EOI or next marker
+            break
+    return [bytes(s) for s in segs]
+
+
+def _decode_scan(payload, start, sof, scan, qt, huff, dri):
+    h, w, comps = sof
+    if not comps or h == 0 or w == 0:
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    tabs = {cid: (td, ta) for cid, td, ta in scan}
+    # dequant tables in natural (row, col) order
+    deq = {}
+    for c in comps:
+        q = qt[c["tq"]]
+        nat = np.zeros((8, 8), np.int32)
+        for k, (r, cc) in enumerate(ZIGZAG):
+            nat[r, cc] = q[k]
+        deq[c["id"]] = nat
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in comps
+    }
+    segs = _destuff(payload, start)
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    preds = {c["id"]: 0 for c in comps}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise EOFError
+                reader = _BitReader(segs[seg_i])
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                td, ta = tabs[c["id"]]
+                dc_tab = huff[(0, td)]
+                ac_tab = huff[(1, ta)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros((8, 8), np.int32)
+                        s = reader.decode_huff(dc_tab)
+                        diff = _extend(reader.receive(s), s) if s else 0
+                        preds[c["id"]] += diff
+                        coef[0, 0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_tab)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            sbits = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("AC overrun")
+                            r, cc = ZIGZAG[k]
+                            coef[r, cc] = _extend(reader.receive(sbits), sbits)
+                            k += 1
+                        block = (coef * deq[c["id"]]).astype(np.float64)
+                        spatial = _M.T @ block @ _M
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu += 1
+    # upsample, level-shift, color-convert, crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return None
+
+
+# --------------------------------------------------------------- encoder
+
+
+def _encode_block(writer, block, pred, dc_codes, ac_codes):
+    """Quantized 8x8 int block (natural order) -> entropy bits. Returns
+    the new DC predictor."""
+    dc = int(block[0, 0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    zz = [int(block[r, c]) for r, c in ZIGZAG]
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        writer.write(code, length)
+    return dc
+
+
+def _pad_to_blocks(plane: "np.ndarray", bh: int, bw: int) -> "np.ndarray":
+    """Edge-replicate pad to multiples of (8*bh_factor) handled by the
+    caller; here simply to (ceil/8)*8 on both axes."""
+    h, w = plane.shape
+    ph = (h + bh - 1) // bh * bh
+    pw = (w + bw - 1) // bw * bw
+    if ph == h and pw == w:
+        return plane
+    out = np.empty((ph, pw), plane.dtype)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg_baseline(
+    px: "np.ndarray", subsample: bool = False
+) -> bytes:
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 as baseline JPEG with
+    all-ones quantization (quality-100-exact). ``subsample=True`` uses
+    4:2:0 chroma (2x2 mean), else 4:4:4. Quantized AC coefficients are
+    clamped to +-1023 (category 10, the largest the AC table encodes);
+    only adversarial checkerboard blocks can reach beyond it."""
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("bad dims")
+    if gray:
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        y, cb, cr = (np.clip(np.rint(p), 0, 255) for p in (y, cb, cr))
+        if subsample:
+            # pad to even dims (edge replicate) then 2x2 mean, rounded
+            def down(p):
+                pe = _pad_to_blocks(p, 2, 2)
+                return np.rint(
+                    (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2])
+                    / 4.0
+                )
+
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad every plane to its full MCU coverage
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        padded.append(_pad_to_blocks(p, mcuy * sv * 8, mcux * sh * 8))
+
+    dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _build_codes(AC_COUNTS, AC_SYMBOLS)
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.rint(_M @ blk @ _M.T).astype(np.int64)
+                        ac_clip = np.clip(coef, -1023, 1023)
+                        ac_clip[0, 0] = np.clip(coef[0, 0], -2047, 2047)
+                        preds[ci] = _encode_block(
+                            writer, ac_clip, preds[ci], dc_codes, ac_codes
+                        )
+    data = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all ones
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof_body += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof_body)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMBOLS),
+    )
+    sos_body = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += bytes([0, 63, 0])  # spectral selection (baseline fixed)
+    out += seg(0xDA, sos_body)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)

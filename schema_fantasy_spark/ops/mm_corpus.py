@@ -73,6 +73,46 @@ def image_params(
     return fsel, w, h, color_a
 
 
+def jpeg_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int]:
+    """(width, height, tone_a) for the JPEG corpus: GRAYSCALE two-tone
+    with the tone split on the 8-row MCU boundary (height fixed at 16,
+    halves of 8) — every 8x8 block is CONSTANT, so the all-ones-quant
+    baseline encode round-trips bit-exactly (DC = 8*(v-128) is integral,
+    AC all zero) and the decoded aHash is one of the same two constants
+    as the two-tone RGB corpus, selected by ``tone_a >= 128`` (grid mean
+    exactly 127.5 since tone_b = 255 - tone_a)."""
+    nib = _nibbles(doc_id) if nib is None else nib
+    return 4 + nib[1], 16, nib[3] * 16 + nib[4]
+
+
+def _jpeg_payload(doc_id: int) -> bytes:
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+
+    w, h, tone_a = jpeg_params(doc_id)
+    px = np.empty((h, w), dtype=np.uint8)
+    px[: h // 2] = tone_a
+    px[h // 2 :] = 255 - tone_a
+    return encode_jpeg_baseline(px)
+
+
+def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic two-tone baseline JPEGs — the
+    entropy-coded format under the gate: huffman decode + IDCT run for
+    real, and every decoded value is still a pure function of the md5
+    nibbles (exact round trip by construction, see jpeg_params)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_jpeg_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
 def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
     """(sample_rate, n_frames, amplitude, corrupt)."""
     nib = _nibbles(doc_id)

@@ -6,17 +6,19 @@ Decode coverage WITHOUT external codec libraries (none in the container):
 
 * image METADATA (width/height/format) parses REAL headers for PNG
   (IHDR), JPEG (SOF marker scan), BMP, and binary PPM (P6);
-* image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, and
-  for PNG — the full still-image feature set: color types 0/2/3/4/6,
-  bit depths 1/2/4/8/16, all five scanline filters, Adam7 interlacing —
-  via stdlib ``zlib`` inflate + numpy unfiltering; real average-hash
-  (aHash) and real block-mean features come from those pixels;
+* image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, for
+  PNG — the full still-image feature set: color types 0/2/3/4/6, bit
+  depths 1/2/4/8/16, all five scanline filters, Adam7 interlacing — via
+  stdlib ``zlib`` inflate + numpy unfiltering, and for BASELINE JPEG
+  (sequential huffman, any chroma subsampling, restart markers) via the
+  pure-numpy codec in ``ops/jpeg.py``; real average-hash (aHash) and
+  real block-mean features come from those pixels;
 * audio (PCM WAV) decodes with the stdlib ``wave`` module — sample rate,
   channels, duration, RMS energy are real;
-* JPEG/WebP pixel data and video keyframes still fall back to
-  clearly-marked deterministic STUBS (their entropy coders genuinely
-  need codec libraries; real impl: PIL/libvips/ffmpeg — swap the
-  fallback branch; every other line stays).
+* progressive-JPEG/WebP pixel data and video keyframes still fall back
+  to clearly-marked deterministic STUBS (their coders genuinely need
+  codec libraries; real impl: PIL/libvips/ffmpeg — swap the fallback
+  branch; every other line stays).
 
 The ``encode_*`` helpers build byte-exact synthetic payloads (used by the
 pytest round-trips and the driver-gate corpus); they are generators for
@@ -325,11 +327,16 @@ def _decode_png_pixels(payload: bytes) -> Optional["np.ndarray"]:
 def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     """REAL pixel decode -> HxWx3 uint8: 24-bit uncompressed BMP
     (bottom-up, BGR, 4-byte row padding), binary PPM (P6, maxval 255),
-    and PNG (all color types 0/2/3/4/6, depths 1-16, all filters,
-    Adam7 — stdlib zlib). None for anything else (JPEG/WebP entropy
-    coders need codec libraries)."""
+    PNG (all color types 0/2/3/4/6, depths 1-16, all filters, Adam7 —
+    stdlib zlib), and baseline JPEG (sequential huffman incl. chroma
+    subsampling and restart markers — pure numpy, ops/jpeg.py). None
+    for anything else (progressive JPEG / WebP need codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -401,13 +408,15 @@ def image_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 try:
                     # pixels first (one parse: dims come from the array);
                     # header-only parse covers compressed formats
-                    px = decode_image_pixels(payload)  # REAL: bmp24/ppm/png
+                    px = decode_image_pixels(payload)  # REAL: bmp/ppm/png/jpeg
                     if px is not None:
                         h, w = px.shape[:2]
                         if payload[:2] == b"BM":
                             fmt = "bmp"
                         elif payload[:1] == b"\x89":
                             fmt = "png"
+                        elif payload[:2] == b"\xff\xd8":
+                            fmt = "jpeg"
                         else:
                             fmt = "ppm"
                         phash = ahash64(px)  # REAL perceptual hash

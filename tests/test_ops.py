@@ -885,3 +885,108 @@ def test_png_full_feature_decode():
     assert multimodal.decode_image_pixels(
         _build_png(2, 2, 8, 3, 0, raw, plte=bytes(range(9)))
     ) is None
+
+
+# ------------------------------------------------------------------- jpeg
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """All-ones quant + MCU-aligned two-tone: DC = 8*(v-128) integral,
+    AC zero -> decode must reproduce every pixel bit-exactly."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+
+    img = np.empty((16, 24), np.uint8)
+    img[:8] = 200
+    img[8:] = 55
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(img))
+    assert dec is not None and dec.shape == (16, 24, 3)
+    assert (dec[:, :, 0] == img).all() and (dec[:, :, 2] == img).all()
+    # non-multiple-of-8 width: edge-replicate pad then crop
+    img2 = np.empty((16, 13), np.uint8)
+    img2[:8] = 10
+    img2[8:] = 245
+    dec2 = decode_jpeg_pixels(encode_jpeg_baseline(img2))
+    assert dec2.shape == (16, 13, 3) and (dec2[:, :, 1] == img2).all()
+
+
+def test_jpeg_roundtrip_vs_ground_truth():
+    """Independent ground truth: for each 8x8 block of the padded plane,
+    the decoder must output round(IDCT(round(DCT(block-128))) + 128)
+    clipped — computed here with a separately-written full-matrix DCT."""
+    import math
+
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    # independent basis build (loop-free, different construction route)
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    basis = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16.0)
+    basis[0] *= 1.0 / math.sqrt(2.0)
+    expect = np.empty_like(img)
+    for by in range(3):
+        for bx in range(2):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
+            coef = np.rint(basis @ blk @ basis.T)
+            out = np.clip(np.rint(basis.T @ coef @ basis + 128.0), 0, 255)
+            expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out.astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(img))
+    assert (dec[:, :, 0] == expect).all()
+
+
+def test_jpeg_color_and_subsampling():
+    """4:4:4 color round-trips within YCbCr rounding (<= 4 levels); a
+    gray-content image through 4:2:0 (constant chroma, lossless to
+    subsample) stays within DCT rounding (<= 3)."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    gray = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256).astype(np.uint8)
+    img2 = np.repeat(gray[:, :, None], 3, axis=2)
+    dec2 = decode_jpeg_pixels(encode_jpeg_baseline(img2, subsample=True))
+    assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 3
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+
+    img = np.full((8, 8), 100, np.uint8)
+    enc = bytearray(encode_jpeg_baseline(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must return None
+    i = enc.find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    assert decode_jpeg_pixels(prog) is None
+    # truncated entropy stream: None, not an exception
+    assert decode_jpeg_pixels(bytes(enc[: len(enc) // 2])) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_corpus_matches_nibble_oracle(spark):
+    """synthetic_jpegs -> image_metadata must reproduce the SQL-side
+    nibble derivation: width 4+n2, height 16, format jpeg, and the
+    two-constant aHash selected by tone_a >= 128."""
+    from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+    ids = spark.range(0, 128).select(F.col("id").alias("doc_id"))
+    meta = multimodal.image_metadata(
+        mm_corpus.synthetic_jpegs(ids), binary_col="payload", id_col="doc_id"
+    ).collect()
+    assert len(meta) == 128  # no quarantined rows
+    for r in meta:
+        w, h, tone_a = mm_corpus.jpeg_params(r["doc_id"])
+        assert (r["width"], r["height"], r["format"]) == (w, 16, "jpeg")
+        want = 4294967295 if tone_a >= 128 else 9223372032559808512
+        assert r["phash"] == want, (r["doc_id"], tone_a, r["phash"])
