@@ -9,16 +9,25 @@
 The standard corpus-cleaning composition, each stage an operator this
 engine ships and gates:
 
-    1. EXACT dedup        — keep one row per byte-identical text
+    0. SAMPLE (optional)  — deterministic content-hash slice, the SAME
+                            rows on any engine/partitioning
+                            (scale.deterministic_sample,
+                            --sample-sixteenths < 16 enables);
+    1. FILTER FUNNEL      — sequential quality rules with per-rule drop
+                            accounting in ONE aggregation pass
+                            (ops.text.filter_funnel); the surviving
+                            predicate then gates the data path;
+    2. EXACT dedup        — keep one row per byte-identical text
                             (ops.dedup.distinct_by_content);
-    2. NEAR-DUP pairs     — MinHash+LSH candidates, exact-Jaccard verify
+    3. NEAR-DUP pairs     — MinHash+LSH candidates, exact-Jaccard verify
                             (ops.dedup.minhash_near_duplicates);
-    3. CLUSTERS           — connected components over verified pairs
+    4. CLUSTERS           — connected components over verified pairs
                             (ops.dedup.duplicate_clusters);
-    4. KEEP-BEST          — one survivor per cluster, highest
+    5. KEEP-BEST          — one survivor per cluster, highest
                             quality_score (ties -> min id)
                             (ops.dedup.keep_cluster_representatives);
-    5. write the cleaned table + ONE JSON stats line on stdout.
+    6. write the cleaned table + ONE JSON stats line on stdout
+       (including the per-rule funnel rows).
 
 Every stage is shaped for 10^12 docs (digest-only shuffles, banded
 candidate generation, pair-graph-only component iterations); see the
@@ -44,11 +53,20 @@ def main() -> int:
                     help="Jaccard threshold for near-duplicate pairs")
     ap.add_argument("--num-hashes", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--sample-sixteenths", type=int, default=16,
+                    help="deterministic content-hash sample rate n/16 "
+                         "(16 = whole corpus)")
+    ap.add_argument("--min-words", type=int, default=5,
+                    help="funnel rule: minimum whitespace-token count")
+    ap.add_argument("--max-chars", type=int, default=1_000_000,
+                    help="funnel rule: maximum text length")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
+    from schema_fantasy_spark import scale
     from schema_fantasy_spark.ops import dedup
+    from schema_fantasy_spark.ops import text as tx
     from schema_fantasy_spark.ops.text import quality_score
 
     # only stop a session this job itself created (spark-submit); an
@@ -57,9 +75,30 @@ def main() -> int:
     spark = SparkSession.builder.appName("sfs-dedup").getOrCreate()
 
     df = spark.read.parquet(args.input)
+
+    # 0. deterministic sample — a pure pushed filter, same rows anywhere
+    if args.sample_sixteenths < 16:
+        df = scale.deterministic_sample(
+            df, args.id_col, args.sample_sixteenths, method=args.method
+        )
     n_in = df.count()
 
-    # 1. exact dedup (digest-only shuffle). Persist: four downstream
+    # 1. quality funnel: stats in ONE aggregation pass, then the same
+    # chained predicate gates the data path (both are cheap scan passes)
+    t = F.col(args.text_col)
+    rules = [
+        ("text_present", t.isNotNull()),
+        ("min_words", tx.token_count(t) >= args.min_words),
+        ("max_chars", F.length(t) <= args.max_chars),
+    ]
+    funnel_rows = [r.asDict() for r in tx.filter_funnel(df, rules).collect()]
+    keep = F.lit(True)
+    for _, cond in rules:
+        keep = keep & F.coalesce(cond, F.lit(False))
+    df = df.filter(keep)
+    n_funnel = funnel_rows[-1]["n_out"]
+
+    # 2. exact dedup (digest-only shuffle). Persist: four downstream
     # actions (count, pair generation, scoring, final write) would each
     # recompute the semi-join otherwise.
     distinct = dedup.distinct_by_content(df, args.text_col, args.id_col).persist()
@@ -95,10 +134,14 @@ def main() -> int:
 
     print(json.dumps({
         "n_in": n_in,
+        "sample_sixteenths": args.sample_sixteenths,
+        "funnel": funnel_rows,
+        "n_after_funnel": n_funnel,
         "n_after_exact": n_distinct,
         "n_near_dup_clusters": n_clusters,
         "n_out": n_out,
-        "removed_exact": n_in - n_distinct,
+        "removed_funnel": n_in - n_funnel,
+        "removed_exact": n_funnel - n_distinct,
         "removed_near_dup": n_distinct - n_out,
     }))
     if owns_session:

@@ -126,22 +126,70 @@ def test_dedup_job_end_to_end(spark, tmp_path, monkeypatch):
         (3, "completely different content about spark shuffle and "
             "adaptive execution for skewed joins in big clusters"),
         (4, "short unrelated text that stands alone quite happily"),
+        (5, None),                                # funnel: text_present drop
+        (6, "tiny doc"),                          # funnel: min_words drop
     ]
     inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
     spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(inp)
     monkeypatch.setattr(sys, "argv", [
         "dedup_job.py", "--input", inp, "--output", outp,
         "--threshold", "0.5", "--num-hashes", "16", "--bands", "8",
+        "--min-words", "5",
     ])
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = dedup_job.main()
     assert rc == 0
     stats = json.loads(buf.getvalue().strip().splitlines()[-1])
-    assert stats["n_in"] == 5 and stats["n_after_exact"] == 4
+    assert stats["n_in"] == 7
+    # funnel accounting: rule i's n_in == rule i-1's n_out, one drop each
+    fun = stats["funnel"]
+    assert [f["rule"] for f in fun] == ["text_present", "min_words", "max_chars"]
+    assert [f["n_dropped"] for f in fun] == [1, 1, 0]
+    assert all(a["n_out"] == b["n_in"] for a, b in zip(fun, fun[1:]))
+    assert stats["n_after_funnel"] == 5 and stats["removed_funnel"] == 2
+    assert stats["n_after_exact"] == 4
     assert stats["removed_near_dup"] >= 1  # 0/2 collapse to one survivor
     out = spark.read.parquet(outp)
     ids = sorted(r["doc_id"] for r in out.collect())
-    assert 3 in ids and 4 in ids and len(ids) == stats["n_out"]
+    assert 3 in ids and 4 in ids and 5 not in ids and 6 not in ids
+    assert len(ids) == stats["n_out"]
     # survivors are pairwise content-distinct
     assert out.select("text").distinct().count() == out.count()
+
+
+def test_dedup_job_deterministic_sample_stage(spark, tmp_path, monkeypatch):
+    """--sample-sixteenths slices the corpus BEFORE the funnel with the
+    engine-invariant md5-nibble predicate: n_in equals the sample size
+    the same predicate selects independently."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    from schema_fantasy_spark import scale
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    rows = [(i, f"document number {i} with enough words to survive the "
+                f"funnel rules easily") for i in range(64)]
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    df.write.parquet(inp)
+    want = scale.deterministic_sample(df, "doc_id", 4, method="md5").count()
+    monkeypatch.setattr(sys, "argv", [
+        "dedup_job.py", "--input", inp, "--output", outp,
+        "--method", "md5", "--sample-sixteenths", "4",
+        "--num-hashes", "16", "--bands", "8",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_job.main()
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_in"] == want and 0 < want < 64
+    assert stats["n_out"] == want  # all distinct: nothing else drops
+    assert spark.read.parquet(outp).count() == want
