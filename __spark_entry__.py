@@ -968,7 +968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same query (joined on doc_id): dimensionality and the
         # top-vs-bottom brightness ordering are exact functions of the
         # generation nibbles (float32 storage cannot flip an ordering
-        # whose gap is >= 1/765).
+        # whose gap is >= 1/765). The join exists for the GATE (two
+        # operators, one oracle row set); a production pipeline would
+        # fuse both extractors into one mapInPandas decode pass rather
+        # than decode twice and shuffle-join.
         from schema_fantasy_spark.ops import mm_corpus, multimodal
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(

@@ -109,18 +109,42 @@ def materialize(rows: int) -> str:
     return path
 
 
+def probe_ambient(cores: int, total: int = 24_000_000) -> float:
+    """~1s pinned pure-CPU probe of the host's CURRENT speed on the same
+    core set a level runs on (mops, higher = faster). Taken immediately
+    before and after every timed JVM, it is the 'ceiling measurement
+    within the same minute as each timed run' that makes burst drift on
+    this shared host visible and correctable."""
+    import multiprocessing as mp
+
+    per = total // cores
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+        t0 = time.time()
+        with mp.Pool(cores) as p:
+            p.map(_spin, [per] * cores)
+        dt = time.time() - t0
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+    return round(total / dt / 1e6, 1)
+
+
 def run_level(cores: int, path: str, runs: int) -> dict:
     """One JVM per level, CPU-pinned with taskset so local[N] really has N
     cores (otherwise GC/IO threads of the 'small cluster' borrow idle cores
-    and overstate throughput(N), understating scaling efficiency)."""
+    and overstate throughput(N), understating scaling efficiency). The JVM
+    is bracketed by ambient-speed probes on the same core set."""
     cmd = [sys.executable, "-c", WORKER % {"here": HERE}, str(cores), path, str(runs)]
     try:
         subprocess.run(["taskset", "-c", "0", "true"], check=True, capture_output=True)
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     except (FileNotFoundError, subprocess.CalledProcessError):
         print("taskset unavailable; running unpinned", file=sys.stderr)
+    before = probe_ambient(cores)
     out = subprocess.run(cmd, check=True, capture_output=True, text=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["probe_mops"] = (before + probe_ambient(cores)) / 2
+    return res
 
 
 def main():
@@ -137,14 +161,19 @@ def main():
     # interleave levels across rounds: ambient slowdowns (shared-host CPU
     # bursts, page-cache churn) hit both levels instead of biasing one
     times8, times32 = [], []
+    probes8, probes32 = [], []  # per-run ambient speed (mops)
     n_rows = n_inv = None
     for rnd in range(args.rounds):
         r8 = run_level(8, path, args.runs)
-        print(f"round {rnd} local[8]: {r8['times']}", file=sys.stderr)
+        print(f"round {rnd} local[8]: {r8['times']} probe {r8['probe_mops']}",
+              file=sys.stderr)
         times8 += r8["times"]
+        probes8 += [r8["probe_mops"]] * len(r8["times"])
         r32 = run_level(32, path, args.runs)
-        print(f"round {rnd} local[32]: {r32['times']}", file=sys.stderr)
+        print(f"round {rnd} local[32]: {r32['times']} probe {r32['probe_mops']}",
+              file=sys.stderr)
         times32 += r32["times"]
+        probes32 += [r32["probe_mops"]] * len(r32["times"])
         n_rows, n_inv = r8["n"], r8["n_invalid"]
         assert r32["n"] == n_rows and r32["n_invalid"] == n_inv
     r8 = {"times": times8, "n": n_rows, "n_invalid": n_inv}
@@ -156,6 +185,16 @@ def main():
     thr8 = r8["n"] / t8
     thr32 = r32["n"] / t32
     eff = thr32 / (4 * thr8)
+
+    # drift-paired normalization: each run's bracketing probe says how
+    # fast the host was AT THAT MOMENT; scaling a run to its level's best
+    # ambient (t * probe / best_probe) removes temporal burst drift while
+    # leaving the systematic 8->32 ceiling (reported separately) intact
+    best_p8, best_p32 = max(probes8), max(probes32)
+    norm8 = [t * p / best_p8 for t, p in zip(times8, probes8)]
+    norm32 = [t * p / best_p32 for t, p in zip(times32, probes32)]
+    t8n, t32n = min(norm8), min(norm32)
+    eff_paired = (r8["n"] / t32n) / (4 * (r8["n"] / t8n))
 
     ceiling = measure_cpu_ceiling()
     print(f"platform ceiling: {ceiling}", file=sys.stderr)
@@ -171,7 +210,9 @@ def main():
             "local32": round(statistics.median(r32["times"]), 3),
         },
         "all_runs_sec": {"local8": r8["times"], "local32": r32["times"]},
+        "probes_mops": {"local8": probes8, "local32": probes32},
         "scaling_efficiency_raw": round(eff, 3),
+        "scaling_efficiency_drift_paired": round(eff_paired, 3),
         "platform_ceiling": ceiling,
         "job_speedup": round(job_speedup, 3),
         "scaling_efficiency_vs_ceiling": round(eff_vs_ceiling, 3),
@@ -199,10 +240,18 @@ minimum is the least-noise measure of true capability; medians alongside.
 | median wall-clock (s) | {statistics.median(r8['times']):.3f} | {statistics.median(r32['times']):.3f} |
 | throughput, best (docs/sec) | {thr8:,.0f} | {thr32:,.0f} |
 | all runs (s) | {', '.join(f'{x:.2f}' for x in r8['times'])} | {', '.join(f'{x:.2f}' for x in r32['times'])} |
+| ambient probe per run (mops) | {', '.join(f'{x:.0f}' for x in probes8)} | {', '.join(f'{x:.0f}' for x in probes32)} |
+
+Every timed JVM is bracketed by a ~1s pinned pure-CPU probe on its own
+core set — an explicit ceiling measurement within the same minute as
+each timed run, so burst drift on this shared host is visible run by
+run rather than assumed away.
 
 ## Efficiency
 
 - raw: throughput(4N) / (4 x throughput(N)) = **{eff:.3f}**
+- drift-paired (each run scaled to its level's best ambient by its
+  bracketing probe, t x probe/best_probe): **{eff_paired:.3f}**
 - platform ceiling (pure-CPU spin loops, pinned, min of 2): 8 cores
   {ceiling['spin_sec_8']}s vs 32 cores {ceiling['spin_sec_32']}s ->
   attainable speedup **{ceiling['ceiling_speedup']}x of 4x** — this
