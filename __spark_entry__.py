@@ -995,11 +995,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def jpeg_decode_synthetic(spark, sf):
         # the ENTROPY-CODED image format under the gate: deterministic
-        # two-tone grayscale baseline JPEGs (ops/jpeg.py encoder, all-ones
-        # quant, MCU-aligned tones -> bit-exact round trip by
-        # construction), decoded by the pure-numpy huffman+IDCT decoder;
-        # the oracle recomputes width/format and the exact aHash constant
-        # from the same md5(doc_id) nibbles in SQL
+        # two-tone grayscale JPEGs — half BASELINE, half PROGRESSIVE
+        # (SOF2, successive approximation), selected by a nibble —
+        # (ops/jpeg.py encoders, all-ones quant, MCU-aligned tones ->
+        # bit-exact round trip by construction), decoded by the
+        # pure-numpy huffman+IDCT decoder; the oracle recomputes
+        # width/format and the exact aHash constant from the same
+        # md5(doc_id) nibbles in SQL
         from schema_fantasy_spark.ops import mm_corpus, multimodal
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(

@@ -1,17 +1,22 @@
 """Baseline JPEG codec in pure numpy + stdlib — no codec library.
 
-Decoder: sequential baseline huffman JPEG (SOF0/SOF1) — DQT/DHT/DRI/SOS
-marker parse, canonical huffman decode with byte-destuffing and restart
-markers, dequantize, orthonormal 8x8 IDCT, generic h/v chroma
-subsampling (4:4:4 / 4:2:2 / 4:2:0 via repeat-upsample), YCbCr->RGB
-(JFIF/BT.601), crop to the SOF dims. Returns HxWx3 uint8; None for
-progressive (SOF2), arithmetic, hierarchical, or 12-bit streams — the
-remaining genuinely-stubbed image formats are WebP and video.
+Decoder: sequential baseline (SOF0/SOF1) AND progressive (SOF2)
+huffman JPEG — DQT/DHT/DRI/SOS marker parse, canonical huffman decode
+with byte-destuffing and restart markers; progressive streams
+accumulate coefficients across every scan shape (interleaved/single
+DC first + refine, per-band AC first + refine with EOB runs and the
+T.81 G.1.2.3 correction-bit walk); then dequantize, orthonormal 8x8
+IDCT, generic h/v chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 via
+repeat-upsample), YCbCr->RGB (JFIF/BT.601), crop to the SOF dims.
+Returns HxWx3 uint8; None for arithmetic, hierarchical, lossless, or
+12-bit streams — the remaining genuinely-stubbed image formats are
+WebP and video.
 
-Encoder: baseline grayscale or YCbCr 4:4:4 / 4:2:0, all-ones
-quantization tables (quality-100-exact), Annex-K-style huffman tables
-emitted IN the stream (the codec pair is self-consistent regardless of
-table constants). With q == 1, an 8x8-constant block quantizes to a
+Encoders: baseline (grayscale or YCbCr 4:4:4 / 4:2:0) and
+progressive (grayscale or 4:4:4, spectral selection + successive
+approximation), all-ones quantization tables (quality-100-exact),
+huffman tables emitted IN the stream (the codec pair is
+self-consistent regardless of table constants). With q == 1, an 8x8-constant block quantizes to a
 lone integral DC coefficient (DC = 8*(v-128)), so MCU-aligned two-tone
 images ROUND-TRIP EXACTLY — the property the driver-gate corpus
 (mm_corpus.synthetic_jpegs) is built on.
@@ -187,9 +192,9 @@ class _BitWriter:
 
 
 def decode_jpeg_pixels(payload: bytes) -> Optional["np.ndarray"]:
-    """Decode a baseline sequential huffman JPEG -> HxWx3 uint8, or None
-    for streams this decoder does not cover (progressive SOF2,
-    arithmetic coding, hierarchical, 12-bit precision, malformed)."""
+    """Decode a baseline-sequential OR progressive huffman JPEG ->
+    HxWx3 uint8, or None for streams this decoder does not cover
+    (arithmetic coding, hierarchical, lossless, 12-bit, malformed)."""
     try:
         return _decode(payload)
     except (ValueError, EOFError, IndexError, KeyError, ZeroDivisionError):
@@ -204,6 +209,7 @@ def _decode(payload: bytes) -> Optional["np.ndarray"]:
     huff = {}
     sof = None
     dri = 0
+    progressive = False
     n = len(payload)
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -240,7 +246,7 @@ def _decode(payload: bytes) -> Optional["np.ndarray"]:
                 symbols = list(seg[p + 17 : p + 17 + nsym])
                 huff[(cls, tid)] = _build_decode(counts, symbols)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential huffman / progressive
             prec = seg[0]
             if prec != 8:
                 return None
@@ -252,14 +258,19 @@ def _decode(payload: bytes) -> Optional["np.ndarray"]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows the header
             if sof is None:
                 return None
+            if progressive:
+                # hand the whole remaining stream (this SOS onward) to the
+                # multi-scan driver; it keeps walking markers itself
+                return _decode_progressive(payload, i - 2, sof, qt, huff, dri)
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -271,7 +282,8 @@ def _decode(payload: bytes) -> Optional["np.ndarray"]:
 
 
 def _destuff(payload: bytes, start: int):
-    """Entropy bytes destuffed into restart segments; stops at EOI."""
+    """Entropy bytes destuffed into restart segments; stops at EOI or the
+    next marker. Returns (segments, index of the terminating 0xFF)."""
     segs = [bytearray()]
     i = start
     n = len(payload)
@@ -292,7 +304,7 @@ def _destuff(payload: bytes, start: int):
             i += 2
         else:  # EOI or next marker
             break
-    return [bytes(s) for s in segs]
+    return [bytes(s) for s in segs], i
 
 
 def _decode_scan(payload, start, sof, scan, qt, huff, dri):
@@ -318,7 +330,7 @@ def _decode_scan(payload, start, sof, scan, qt, huff, dri):
         c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
         for c in comps
     }
-    segs = _destuff(payload, start)
+    segs, _ = _destuff(payload, start)
     seg_i = 0
     reader = _BitReader(segs[0])
     preds = {c["id"]: 0 for c in comps}
@@ -380,6 +392,236 @@ def _decode_scan(payload, start, sof, scan, qt, huff, dri):
         rgb = np.stack([r, g, b], axis=2)
         return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return None
+
+
+# ---------------------------------------------------- progressive decode
+
+
+def _decode_progressive(payload, start, sof, qt, huff, dri):
+    """Multi-scan progressive (SOF2) driver: walk every scan, accumulate
+    zigzag-ordered coefficients per component (DC/AC first passes and
+    successive-approximation refinements), then dequantize + IDCT once.
+
+    Coefficient grids cover the full interleaved MCU grid; non-interleaved
+    scans iterate only each component's EFFECTIVE block dims (T.81
+    A.2.2: ceil(ceil(dim * samp / samp_max) / 8))."""
+    h, w, comps = sof
+    if not comps or h == 0 or w == 0:
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    coefs = {}   # cid -> (blocks_y, blocks_x, 64) zigzag-ordered ints
+    effdims = {}  # cid -> (eff_blocks_y, eff_blocks_x)
+    for c in comps:
+        coefs[c["id"]] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+        ch = (h * c["v"] + vmax - 1) // vmax
+        cw = (w * c["h"] + hmax - 1) // hmax
+        effdims[c["id"]] = ((ch + 7) // 8, (cw + 7) // 8)
+
+    i = start
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        i += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break  # EOI: render what we have
+        length = int.from_bytes(payload[i : i + 2], "big")
+        seg = payload[i + 2 : i + length]
+        if marker == 0xC4:  # scans may redefine tables
+            p = 0
+            while p < len(seg):
+                cls = seg[p] >> 4
+                tid = seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                huff[(cls, tid)] = _build_decode(counts, list(seg[p + 17 : p + 17 + nsym]))
+                p += 17 + nsym
+        elif marker == 0xDD:
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segs, end = _destuff(payload, i + length)
+            _progressive_scan(
+                segs, scan, ss, se, ah, al, by_id, coefs, effdims,
+                huff, dri, mcux, mcuy,
+            )
+            i = end
+            continue
+        i += length
+
+    # render: dequant (zigzag -> natural) + IDCT per block
+    planes = {}
+    for c in comps:
+        q = qt[c["tq"]]
+        grid = coefs[c["id"]]
+        by, bx = grid.shape[:2]
+        plane = np.empty((by * 8, bx * 8), np.float64)
+        nat = np.zeros((8, 8), np.int64)
+        zr = np.array([r for r, _ in ZIGZAG])
+        zc = np.array([cc for _, cc in ZIGZAG])
+        for yy in range(by):
+            for xx in range(bx):
+                nat[zr, zc] = grid[yy, xx] * q
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
+                    _M.T @ nat.astype(np.float64) @ _M
+                )
+        planes[c["id"]] = plane
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return None
+
+
+def _progressive_scan(segs, scan, ss, se, ah, al, by_id, coefs, effdims,
+                      huff, dri, mcux, mcuy):
+    """One progressive scan over restart segments. Four shapes: DC first /
+    DC refine (interleaved over all scan components), AC first / AC
+    refine (single component, effective-dims raster order)."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("bad DC spectral range")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("AC scans are single-component")
+
+    if is_dc:
+        units = []  # (cid, by, bx) in interleaved MCU order
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, _, _ in scan:
+                        c = by_id[cid]
+                        for yy in range(c["v"]):
+                            for xx in range(c["h"]):
+                                units.append((cid, my * c["v"] + yy, mx * c["h"] + xx))
+            mcu_units = sum(by_id[cid]["v"] * by_id[cid]["h"] for cid, _, _ in scan)
+        else:
+            cid = scan[0][0]
+            eby, ebx = effdims[cid]
+            units = [(cid, yy, xx) for yy in range(eby) for xx in range(ebx)]
+            mcu_units = 1
+    else:
+        cid = scan[0][0]
+        eby, ebx = effdims[cid]
+        units = [(cid, yy, xx) for yy in range(eby) for xx in range(ebx)]
+        mcu_units = 1
+
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    preds = {cid: 0 for cid, _, _ in scan}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for u_idx, (ucid, uby, ubx) in enumerate(units):
+        if dri and u_idx and (u_idx // mcu_units) and u_idx % (dri * mcu_units) == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise EOFError
+            reader = _BitReader(segs[seg_i])
+            preds = {c: 0 for c in preds}
+            eobrun = 0
+        block = coefs[ucid][uby, ubx]
+        if is_dc:
+            td = next(t for c, t, _ in scan if c == ucid)
+            if ah == 0:  # DC first
+                s = reader.decode_huff(huff[(0, td)])
+                diff = _extend(reader.receive(s), s) if s else 0
+                preds[ucid] += diff
+                block[0] = preds[ucid] << al
+            else:  # DC refine: one magnitude bit
+                if reader.read_bit():
+                    block[0] |= p1
+        elif ah == 0:  # AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            ta = scan[0][2]
+            ac = huff[(1, ta)]
+            while k <= se:
+                rs = reader.decode_huff(ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC overrun")
+                block[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:  # AC refine (T.81 G.1.2.3 / the libjpeg correction-bit walk)
+            k = ss
+            ta = scan[0][2]
+            ac = huff[(1, ta)]
+
+            def correct(idx):
+                if reader.read_bit() and (block[idx] & p1) == 0:
+                    block[idx] += p1 if block[idx] >= 0 else m1
+
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_huff(ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # ZRL: run of 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refine size")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if block[k] != 0:
+                            correct(k)
+                        else:
+                            if r == 0:
+                                if val:
+                                    block[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if block[k] != 0:
+                        correct(k)
+                    k += 1
+                eobrun -= 1
 
 
 # --------------------------------------------------------------- encoder
@@ -529,5 +771,220 @@ def encode_jpeg_baseline(
     sos_body += bytes([0, 63, 0])  # spectral selection (baseline fixed)
     out += seg(0xDA, sos_body)
     out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------------------- progressive encoder
+
+
+def _quantized_blocks(plane: "np.ndarray"):
+    """All-ones-quant zigzag coefficient grid for one padded plane."""
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    zz = np.empty((by, bx, 64), np.int64)
+    zr = np.array([r for r, _ in ZIGZAG])
+    zc = np.array([c for _, c in ZIGZAG])
+    for yy in range(by):
+        for xx in range(bx):
+            blk = plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
+            nat = np.rint(_M @ blk @ _M.T).astype(np.int64)
+            nat[1:, :] = np.clip(nat[1:, :], -1023, 1023)
+            nat[0, 1:] = np.clip(nat[0, 1:], -1023, 1023)
+            zz[yy, xx] = nat[zr, zc]
+    return zz
+
+
+def _towards_zero(v: int, al: int) -> int:
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg_progressive(px: "np.ndarray", al: int = 1) -> bytes:
+    """Progressive (SOF2) encoder — grayscale or RGB 4:4:4 — with
+    spectral selection AND successive approximation: the test-side
+    generator for the progressive decode path. Scan script: interleaved
+    DC first (Al=al) -> DC refines down to 0 -> per-component per-band
+    AC first (1-5, 6-63 at Al=al) -> AC refines down to 0. All-ones
+    quant, so the fully-refined stream reconstructs exactly what the
+    baseline encoder would."""
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b_ = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b_
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b_
+        planes = [np.clip(np.rint(p), 0, 255) for p in (y, cb, cr)]
+    grids = [_quantized_blocks(_pad_to_blocks(p, 8, 8)) for p in planes]
+    by, bx = grids[0].shape[:2]
+    # per-component raster-order blocks (AC scan order) and the
+    # interleaved MCU order (DC scan order; 4:4:4 -> one block per comp
+    # per MCU)
+    comp_blocks = [
+        [g_[yy, xx] for yy in range(by) for xx in range(bx)] for g_ in grids
+    ]
+    dc_units = [
+        (ci, yy * bx + xx)
+        for yy in range(by)
+        for xx in range(bx)
+        for ci in range(len(planes))
+    ]
+
+    dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
+    # progressive AC scans need the EOBn symbols (0x10..0xE0) that the
+    # baseline Annex-K table omits — and that table is kraft-FULL at 16
+    # bits (65535/65536), so they cannot be appended. Use a flat 8-bit
+    # custom table over all 176 symbols instead: the DHT travels in the
+    # stream, so any conformant decoder reads it; compression optimality
+    # is irrelevant for a test-side generator.
+    prog_ac_symbols = AC_SYMBOLS + [r << 4 for r in range(1, 15)]
+    prog_ac_counts = [0] * 16
+    prog_ac_counts[7] = len(prog_ac_symbols)
+    ac_codes = _build_codes(prog_ac_counts, prog_ac_symbols)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(comp_ids, ss, se, ah, al_):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof_body += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof_body)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(prog_ac_counts) + bytes(prog_ac_symbols))
+
+    all_ids = [ci + 1 for ci in range(len(planes))]
+    # ---- DC first at Al=al (arithmetic shift), then refinement passes —
+    # interleaved across components in MCU order, per-component preds
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    for ci, bi in dc_units:
+        b = comp_blocks[ci][bi]
+        t = int(b[0]) >> al
+        diff = t - preds[ci]
+        preds[ci] = t
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos(all_ids, 0, 0, 0, al) + wtr.flush()
+    for lvl in range(al - 1, -1, -1):
+        wtr = _BitWriter()
+        for ci, bi in dc_units:
+            wtr.write((int(comp_blocks[ci][bi][0]) >> lvl) & 1, 1)
+        out += sos(all_ids, 0, 0, lvl + 1, lvl) + wtr.flush()
+
+    # ---- AC: two spectral bands per component, first pass at Al=al
+    # then refinements (AC scans are single-component by spec)
+    bands = [(ci, ss, se) for ci in range(len(planes)) for ss, se in [(1, 5), (6, 63)]]
+    for ci, ss, se in bands:
+        blocks = comp_blocks[ci]
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(eobrun.bit_length() - 1, 14)
+                code, ln = ac_codes[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+                eobrun = 0  # encode the whole run in one EOBn symbol
+
+        for b in blocks:
+            vals = [_towards_zero(int(b[k]), al) for k in range(ss, se + 1)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i in range(last_nz + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                code, ln = ac_codes[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < len(vals) - 1:
+                eobrun += 1
+        flush_eob()
+        out += sos([ci + 1], ss, se, 0, al) + wtr.flush()
+
+    for ci, ss, se in bands:
+        for lvl in range(al - 1, -1, -1):
+            wtr = _BitWriter()
+            p1 = 1 << lvl
+            for b in comp_blocks[ci]:
+                hist = [_towards_zero(int(b[k]), lvl + 1) for k in range(ss, se + 1)]
+                now = [_towards_zero(int(b[k]), lvl) for k in range(ss, se + 1)]
+                # newly-nonzero positions get (run,1)+sign; crossed
+                # nonzero-history positions append correction bits
+                run = 0
+                pending = []
+                newly = [i for i in range(len(now)) if hist[i] == 0 and now[i] != 0]
+                last_new = newly[-1] if newly else -1
+
+                def flush_zrls():
+                    # pending ZRLs drain at ANY nonzero position inside
+                    # the EOB span — the decoder's walk crosses history
+                    # positions while counting down the 16-zero run, so
+                    # the correction bits must ride each ZRL it decodes
+                    nonlocal run, pending
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.write(code, ln)
+                        for bit in pending:
+                            wtr.write(bit, 1)
+                        pending = []
+                        run -= 16
+
+                for i in range(len(now)):
+                    if hist[i] != 0:
+                        if i <= last_new:
+                            flush_zrls()
+                        pending.append((abs(int(b[ss + i])) >> lvl) & 1)
+                        continue
+                    if now[i] != 0 and i <= last_new:
+                        flush_zrls()
+                        code, ln = ac_codes[(run << 4) | 1]
+                        wtr.write(code, ln)
+                        wtr.write(1 if now[i] > 0 else 0, 1)
+                        for bit in pending:
+                            wtr.write(bit, 1)
+                        pending = []
+                        run = 0
+                    else:
+                        run += 1
+                if run > 0 or pending:
+                    code, ln = ac_codes[0x00]  # EOB (run length 1)
+                    wtr.write(code, ln)
+                    for bit in pending:
+                        wtr.write(bit, 1)
+            out += sos([ci + 1], ss, se, lvl + 1, lvl) + wtr.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

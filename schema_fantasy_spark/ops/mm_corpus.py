@@ -73,25 +73,33 @@ def image_params(
     return fsel, w, h, color_a
 
 
-def jpeg_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int]:
-    """(width, height, tone_a) for the JPEG corpus: GRAYSCALE two-tone
-    with the tone split on the 8-row MCU boundary (height fixed at 16,
-    halves of 8) — every 8x8 block is CONSTANT, so the all-ones-quant
-    baseline encode round-trips bit-exactly (DC = 8*(v-128) is integral,
-    AC all zero) and the decoded aHash is one of the same two constants
-    as the two-tone RGB corpus, selected by ``tone_a >= 128`` (grid mean
-    exactly 127.5 since tone_b = 255 - tone_a)."""
+def jpeg_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, bool]:
+    """(width, height, tone_a, progressive) for the JPEG corpus:
+    GRAYSCALE two-tone with the tone split on the 8-row MCU boundary
+    (height fixed at 16, halves of 8) — every 8x8 block is CONSTANT, so
+    the all-ones-quant encode round-trips bit-exactly (DC = 8*(v-128)
+    is integral, AC all zero) and the decoded aHash is one of the same
+    two constants as the two-tone RGB corpus, selected by ``tone_a >=
+    128`` (grid mean exactly 127.5 since tone_b = 255 - tone_a). Half
+    the rows (nibble 6 odd) encode PROGRESSIVE (SOF2, successive
+    approximation): with full refinement the reconstruction is
+    identical, so the SAME oracle gates both entropy paths."""
     nib = _nibbles(doc_id) if nib is None else nib
-    return 4 + nib[1], 16, nib[3] * 16 + nib[4]
+    return 4 + nib[1], 16, nib[3] * 16 + nib[4], nib[6] % 2 == 1
 
 
 def _jpeg_payload(doc_id: int) -> bytes:
-    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
 
-    w, h, tone_a = jpeg_params(doc_id)
+    w, h, tone_a, progressive = jpeg_params(doc_id)
     px = np.empty((h, w), dtype=np.uint8)
     px[: h // 2] = tone_a
     px[h // 2 :] = 255 - tone_a
+    if progressive:
+        return encode_jpeg_progressive(px)
     return encode_jpeg_baseline(px)
 
 

@@ -9,16 +9,18 @@ Decode coverage WITHOUT external codec libraries (none in the container):
 * image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, for
   PNG — the full still-image feature set: color types 0/2/3/4/6, bit
   depths 1/2/4/8/16, all five scanline filters, Adam7 interlacing — via
-  stdlib ``zlib`` inflate + numpy unfiltering, and for BASELINE JPEG
-  (sequential huffman, any chroma subsampling, restart markers) via the
-  pure-numpy codec in ``ops/jpeg.py``; real average-hash (aHash) and
-  real block-mean features come from those pixels;
+  stdlib ``zlib`` inflate + numpy unfiltering, and for JPEG — BASELINE
+  (sequential huffman, any chroma subsampling, restart markers) and
+  PROGRESSIVE (multi-scan spectral selection + successive
+  approximation) — via the pure-numpy codec in ``ops/jpeg.py``; real
+  average-hash (aHash) and real block-mean features come from those
+  pixels;
 * audio (PCM WAV) decodes with the stdlib ``wave`` module — sample rate,
   channels, duration, RMS energy are real;
-* progressive-JPEG/WebP pixel data and video keyframes still fall back
-  to clearly-marked deterministic STUBS (their coders genuinely need
-  codec libraries; real impl: PIL/libvips/ffmpeg — swap the fallback
-  branch; every other line stays).
+* WebP pixel data and video keyframes still fall back to clearly-marked
+  deterministic STUBS (their coders genuinely need codec libraries;
+  real impl: PIL/libvips/ffmpeg — swap the fallback branch; every other
+  line stays).
 
 The ``encode_*`` helpers build byte-exact synthetic payloads (used by the
 pytest round-trips and the driver-gate corpus); they are generators for
@@ -328,9 +330,10 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     """REAL pixel decode -> HxWx3 uint8: 24-bit uncompressed BMP
     (bottom-up, BGR, 4-byte row padding), binary PPM (P6, maxval 255),
     PNG (all color types 0/2/3/4/6, depths 1-16, all filters, Adam7 —
-    stdlib zlib), and baseline JPEG (sequential huffman incl. chroma
-    subsampling and restart markers — pure numpy, ops/jpeg.py). None
-    for anything else (progressive JPEG / WebP need codec libraries)."""
+    stdlib zlib), and JPEG — baseline AND progressive (huffman decode,
+    chroma subsampling, restart markers, successive approximation —
+    pure numpy, ops/jpeg.py). None for anything else (WebP/video need
+    codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
     if payload[:2] == b"\xff\xd8":

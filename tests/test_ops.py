@@ -958,26 +958,105 @@ def test_jpeg_color_and_subsampling():
     assert np.abs(dec2.astype(int) - img2.astype(int)).max() <= 3
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_unsupported_and_truncated():
     import numpy as np
 
     from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
 
     img = np.full((8, 8), 100, np.uint8)
     enc = bytearray(encode_jpeg_baseline(img))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must return None
     i = enc.find(b"\xff\xc0")
-    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
-    assert decode_jpeg_pixels(prog) is None
+    # SOF9 (arithmetic coding): unsupported -> None
+    assert decode_jpeg_pixels(bytes(enc[:i]) + b"\xff\xc9" + bytes(enc[i + 2 :])) is None
+    # SOF2 marker but a baseline SOS (Ss=0, Se=63 is invalid for a
+    # progressive DC scan): malformed -> None, not an exception
+    assert decode_jpeg_pixels(bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])) is None
     # truncated entropy stream: None, not an exception
     assert decode_jpeg_pixels(bytes(enc[: len(enc) // 2])) is None
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
 
 
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """The progressive path (SOF2: interleaved DC first + refines,
+    per-band AC first + refines with EOB runs and correction bits) must
+    reconstruct EXACTLY what the baseline stream of the same image does
+    (both use all-ones quant, and full refinement restores every
+    coefficient bit)."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.vstack([np.full((8, 24), 200, np.uint8), np.full((8, 24), 55, np.uint8)]),
+        rng.integers(0, 256, (13, 19), dtype=np.uint8),   # non-MCU dims
+        np.full((40, 40), 128, np.uint8),                 # long EOB runs
+        np.where(rng.random((16, 16)) < 0.9, 128,
+                 rng.integers(0, 256, (16, 16))).astype(np.uint8),  # sparse AC
+    ]
+    for img in cases:
+        base = decode_jpeg_pixels(encode_jpeg_baseline(img))
+        for al in (1, 2):  # one and two successive-approximation levels
+            prog = decode_jpeg_pixels(encode_jpeg_progressive(img, al=al))
+            assert prog is not None and (prog == base).all()
+    # color: the interleaved multi-component DC scan path
+    imgc = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    basec = decode_jpeg_pixels(encode_jpeg_baseline(imgc))
+    progc = decode_jpeg_pixels(encode_jpeg_progressive(imgc))
+    assert progc is not None and (progc == basec).all()
+
+
+def test_jpeg_progressive_golden_stream():
+    """Hand-assembled spectral-selection-only progressive stream —
+    independent of encode_jpeg_progressive — decodes to the expected
+    constant image: 8x8, DC scan carries diff 72 (DC 8*(200-128)=576 at
+    Al=0? no — Al=0, category 10), AC scan is a single EOB."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import (
+        DC_COUNTS, DC_SYMBOLS, AC_COUNTS, AC_SYMBOLS,
+        _build_codes, _BitWriter, decode_jpeg_pixels,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _build_codes(AC_COUNTS, AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMBOLS))
+    # DC scan (Ss=0 Se=0 Ah=0 Al=0): one block, diff = 8*(200-128) = 576
+    w = _BitWriter()
+    diff = 576
+    s = diff.bit_length()
+    code, ln = dc_codes[s]
+    w.write(code, ln)
+    w.write(diff, s)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + w.flush()
+    # AC scan (Ss=1 Se=63 Ah=0 Al=0): single EOB (all AC zero)
+    w = _BitWriter()
+    code, ln = ac_codes[0x00]
+    w.write(code, ln)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w.flush()
+    out += b"\xff\xd9"
+    dec = decode_jpeg_pixels(bytes(out))
+    assert dec is not None and dec.shape == (8, 8, 3)
+    assert (dec == 200).all(), dec[0, 0]
+
+
 def test_jpeg_corpus_matches_nibble_oracle(spark):
     """synthetic_jpegs -> image_metadata must reproduce the SQL-side
     nibble derivation: width 4+n2, height 16, format jpeg, and the
-    two-constant aHash selected by tone_a >= 128."""
+    two-constant aHash selected by tone_a >= 128 — for BOTH entropy
+    paths (half the rows are baseline, half progressive)."""
     from schema_fantasy_spark.ops import mm_corpus, multimodal
 
     ids = spark.range(0, 128).select(F.col("id").alias("doc_id"))
@@ -985,8 +1064,11 @@ def test_jpeg_corpus_matches_nibble_oracle(spark):
         mm_corpus.synthetic_jpegs(ids), binary_col="payload", id_col="doc_id"
     ).collect()
     assert len(meta) == 128  # no quarantined rows
+    n_prog = 0
     for r in meta:
-        w, h, tone_a = mm_corpus.jpeg_params(r["doc_id"])
+        w, h, tone_a, progressive = mm_corpus.jpeg_params(r["doc_id"])
+        n_prog += progressive
         assert (r["width"], r["height"], r["format"]) == (w, 16, "jpeg")
         want = 4294967295 if tone_a >= 128 else 9223372032559808512
         assert r["phash"] == want, (r["doc_id"], tone_a, r["phash"])
+    assert 30 < n_prog < 98  # both entropy paths genuinely exercised
