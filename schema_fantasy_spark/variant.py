@@ -26,7 +26,12 @@ Documented approximations (route to dynamic mode if they matter):
   level down to ``CANON_DEPTH`` (so ``enum: [[1]]`` accepts ``[1.0]``,
   matching the kernel's R.equals semantics, reference src/v4/enum.js:25);
   only below that unroll depth do subtrees compare textually via
-  to_json.
+  to_json. Schemas whose ENUM literals nest past ``CANON_DEPTH`` are
+  AUTO-ROUTED to the Arrow-UDF kernel at compile time (the literal
+  depth is compile-time-known); for ``uniqueItems`` the depth of the
+  DATA cannot be known at compile time, so arrays whose elements nest
+  composites deeper than ``CANON_DEPTH`` remain the one manual-routing
+  case.
 
 MEASURED tradeoff (sf0.1 events, 100k docs, local[32], this container):
 the Arrow-batched compiled-kernel UDF beats this mode 1.4x on a 3-keyword
