@@ -765,6 +765,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pass",
         )
 
+    def streaming_dedup_documents(spark, sf):
+        # the CUSTOM STATEFUL streaming operator
+        # (applyInPandasWithState cross-batch dedup) under the gate: the
+        # keyed table is split into 8 files and streamed one file per
+        # micro-batch (availableNow + maxFilesPerTrigger=1), so keys
+        # (doc_id % 97) recur ACROSS batches and only keyed state can
+        # dedupe them. The surviving key set must equal batch DISTINCT
+        # exactly — a state bug re-emits (rowcount up) or drops
+        # (rowcount down) and the gate catches either.
+        import hashlib
+        import shutil
+        import tempfile
+
+        from schema_fantasy_spark import streaming as st
+
+        docs = tables.load(spark, sf, "documents").filter(
+            F.col("doc_id").isNotNull()
+        )
+        src_file = os.path.join(sf, "documents.parquet")
+        stat = os.stat(src_file)
+        sig = hashlib.md5(
+            f"{os.path.abspath(src_file)}|{int(stat.st_mtime)}|{stat.st_size}".encode()
+        ).hexdigest()[:12]
+        root = os.path.join(tempfile.gettempdir(), f"sfspark_sdedup_{sig}")
+        src_dir = f"{root}/src"
+        if not os.path.isdir(src_dir):
+            keyed = docs.select(F.pmod(F.col("doc_id"), F.lit(97)).alias("dup_key"))
+            keyed.repartition(8).write.mode("overwrite").parquet(src_dir)
+        out_dir = f"{root}/out"
+        if not os.path.isdir(out_dir):
+            # stale checkpoint without its output would no-op the rerun
+            shutil.rmtree(f"{root}/ckpt", ignore_errors=True)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        deduped = st.stateful_dedup_stream(stream, key_col="dup_key")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    f"{out_dir}/b{bid}"
+                )
+            )
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.option("basePath", out_dir).parquet(
+            f"{out_dir}/b*"
+        ).select("dup_key")
+
     def http_linked_validation(spark, sf):
         # entry point C under the gate: fetch the schema over live HTTP
         # (local ephemeral server), transitively link $refs, validate
@@ -1048,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_validation_documents": streaming_validation_documents,
         "windowed_verdicts_events": windowed_verdicts_events,
+        "streaming_dedup_documents": streaming_dedup_documents,
         "http_linked_validation": http_linked_validation,
         "snapshot_diff_documents": snapshot_diff_documents,
         "flagship_validation": flagship_validation,
@@ -1986,6 +2042,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel_documents": funnel_sql,
         "c4_unit_dedup_documents": c4_sql,
         "streaming_validation_documents": flagship,
+        "streaming_dedup_documents": """
+    SELECT DISTINCT doc_id % 97 AS dup_key
+      FROM documents WHERE doc_id IS NOT NULL
+    """,
         "windowed_verdicts_events": """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            count(*) AS n_rows,
