@@ -152,21 +152,9 @@ GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_CHARS_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _gram_run_stats(tk: Column, n_tokens: Column, n: int) -> Column:
-    """struct(best, dupn, dupchars, totchars) for word ``n``-grams of the
-    token array, from ONE sort + linear run-length fold (O(w log w) per
-    doc, fully JVM-side):
-
-    * ``best``     — occurrences of the most frequent n-gram (the mode);
-    * ``dupn``     — n-gram occurrences beyond each first (== len -
-      distinct);
-    * ``dupchars`` — characters in those duplicate occurrences;
-    * ``totchars`` — characters across all n-gram occurrences.
-
-    The naive distinct x filter mode count is O(distinct x n) — ~10^10
-    comparisons for one pathological 100k-word document, a
-    straggler-task generator at corpus scale (measured in round 2)."""
-    grams = F.when(
+def _grams_col(tk: Column, n_tokens: Column, n: int) -> Column:
+    """Word ``n``-gram array (all occurrences, order preserved)."""
+    return F.when(
         n_tokens >= n,
         F.transform(
             F.sequence(F.lit(1), n_tokens - (n - 1)),
@@ -174,18 +162,18 @@ def _gram_run_stats(tk: Column, n_tokens: Column, n: int) -> Column:
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
 
+
+def _mode_count(grams: Column) -> Column:
+    """Occurrences of the most frequent element: sort + ONE linear
+    run-length fold (O(w log w) per doc, fully JVM-side). The naive
+    distinct x filter formulation is O(distinct x n) — ~10^10
+    comparisons for one pathological 100k-word document, a
+    straggler-task generator at corpus scale (measured in round 2)."""
+
     def step(acc, x):
         run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
-        is_dup = run > 1
         return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc.best, run).alias("best"),
-            (acc.dupn + F.when(is_dup, 1).otherwise(0)).alias("dupn"),
-            (acc.dupchars + F.when(is_dup, F.length(x)).otherwise(F.lit(0))).alias(
-                "dupchars"
-            ),
-            (acc.totchars + F.length(x)).alias("totchars"),
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
         )
 
     return F.aggregate(
@@ -194,18 +182,15 @@ def _gram_run_stats(tk: Column, n_tokens: Column, n: int) -> Column:
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
-            F.lit(0).alias("dupn"),
-            F.lit(0).alias("dupchars"),
-            F.lit(0).alias("totchars"),
         ),
         step,
-        lambda acc: F.struct(
-            acc.best.alias("best"),
-            acc.dupn.alias("dupn"),
-            acc.dupchars.alias("dupchars"),
-            acc.totchars.alias("totchars"),
-        ),
+        lambda acc: acc.best,
     )
+
+
+def _char_sum(grams: Column) -> Column:
+    """Total characters across the gram array (0 when empty)."""
+    return F.aggregate(grams, F.lit(0), lambda acc, x: acc + F.length(x))
 
 
 def repetition_metrics(
@@ -241,9 +226,14 @@ def repetition_metrics(
       in [min_words, max_words].
 
     One shuffle-free pass; tokens materialize once behind a Generate
-    barrier, then each n runs one sort + run-length fold (9 folds/doc,
-    all O(w log w)). At 10^12 docs this runs at scan bandwidth like the
-    other text ops."""
+    barrier. Only the three MODE counts need a sort + run-length fold
+    (O(w log w) per doc); every duplicate metric is hash-based
+    (``dupchars == totchars - chars(array_distinct)`` and ``dupn ==
+    size - size(array_distinct)``) — on typical web docs wall-clock is
+    dominated by materializing the nine n-gram arrays either way, but
+    the hash path drops six sorts, which is what matters on the
+    pathological 100k-word stragglers. At 10^12 docs this runs at scan
+    bandwidth like the other text ops."""
     from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism, tokens_col
 
     base = _barrier(
@@ -254,23 +244,37 @@ def repetition_metrics(
     tk = F.col("_tk")
     n = F.size(tk)
 
-    # each stats struct is consumed by >1 output column: materialize them
-    # behind barriers (HOF folds get no common-subexpression elimination)
-    based = base
-    for g in (2, 3, 4, 5, 6, 7, 8, 9, 10):
-        based = _barrier(based, _gram_run_stats(tk, n, g), f"_g{g}")
+    # any expression consumed more than once materializes behind a
+    # barrier (HOF expressions get no common-subexpression elimination
+    # and evaluate interpreted): the n=3 gram array feeds mode +
+    # distinct; each n=5..10 gram array feeds two char-sum folds whose
+    # results both appear twice downstream — so the ARRAY gets a barrier
+    # and then the (tot, dist) char-sum STRUCT gets one on top. n=2 and
+    # n=4 are single-use (mode only) and need neither.
+    based = _barrier(base, _grams_col(tk, n, 3), "_g3")
+    for g in (5, 6, 7, 8, 9, 10):
+        based = _barrier(based, _grams_col(tk, n, g), f"_g{g}")
+        grams = F.col(f"_g{g}")
+        based = _barrier(
+            based,
+            F.struct(
+                _char_sum(grams).alias("tot"),
+                _char_sum(F.array_distinct(grams)).alias("dist"),
+            ),
+            f"_c{g}",
+        )
 
     def n_grams(g: int) -> Column:
         return F.greatest(n - (g - 1), F.lit(0))
 
     def top_frac(g: int) -> Column:
-        return F.round(F.col(f"_g{g}.best") / F.greatest(n_grams(g), F.lit(1)), 6)
+        grams = F.col("_g3") if g == 3 else _grams_col(tk, n, g)
+        return F.round(_mode_count(grams) / F.greatest(n_grams(g), F.lit(1)), 6)
 
     def dup_chars_frac(g: int) -> Column:
+        tot = F.col(f"_c{g}.tot")
         return F.round(
-            F.col(f"_g{g}.dupchars")
-            / F.greatest(F.col(f"_g{g}.totchars"), F.lit(1)),
-            6,
+            (tot - F.col(f"_c{g}.dist")) / F.greatest(tot, F.lit(1)), 6
         )
 
     t = F.col(text_col)
@@ -286,7 +290,9 @@ def repetition_metrics(
         top_frac(3).alias("frac_top_trigram"),
         top_frac(4).alias("frac_top_fourgram"),
         F.round(
-            F.col("_g3.dupn") / F.greatest(n_grams(3), F.lit(1)), 6
+            (F.size(F.col("_g3")) - F.size(F.array_distinct(F.col("_g3"))))
+            / F.greatest(n_grams(3), F.lit(1)),
+            6,
         ).alias("frac_dup_trigrams"),
         *[dup_chars_frac(g).alias(f"frac_dup_{g}gram_chars") for g in range(5, 11)],
         F.round(no_alpha / F.greatest(n, F.lit(1)), 6).alias("frac_no_alpha"),
