@@ -221,6 +221,8 @@ def _decode(payload: bytes) -> Optional["np.ndarray"]:
         if marker == 0xD9:
             return None  # EOI before any scan
         length = int.from_bytes(payload[i : i + 2], "big")
+        if length < 2:
+            return None  # malformed zero-length segment would loop forever
         seg = payload[i + 2 : i + length]
         if marker == 0xDB:  # DQT
             p = 0
@@ -435,6 +437,8 @@ def _decode_progressive(payload, start, sof, qt, huff, dri):
         if marker == 0xD9:
             break  # EOI: render what we have
         length = int.from_bytes(payload[i : i + 2], "big")
+        if length < 2:
+            raise ValueError("zero-length segment")
         seg = payload[i + 2 : i + length]
         if marker == 0xC4:  # scans may redefine tables
             p = 0

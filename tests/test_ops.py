@@ -1072,3 +1072,29 @@ def test_jpeg_corpus_matches_nibble_oracle(spark):
         want = 4294967295 if tone_a >= 128 else 9223372032559808512
         assert r["phash"] == want, (r["doc_id"], tone_a, r["phash"])
     assert 30 < n_prog < 98  # both entropy paths genuinely exercised
+
+
+def test_jpeg_decoder_survives_fuzzed_bytes():
+    """Random and truncated inputs must return None quickly — never hang
+    (a zero-length marker segment once looped forever) or escape with an
+    exception; 200 seeded fuzz cases + bit-flip mutations of a real
+    stream."""
+    import random
+
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+
+    rng = random.Random(99)
+    for _ in range(100):
+        n = rng.randint(0, 64)
+        payload = b"\xff\xd8" + bytes(rng.getrandbits(8) for _ in range(n))
+        decode_jpeg_pixels(payload)  # must return, value unconstrained
+    # zero-length segment regression: FFD8 FFDB 0000 ...
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xdb\x00\x00" + b"\x00" * 20) is None
+    enc = bytearray(encode_jpeg_baseline(np.full((8, 8), 77, np.uint8)))
+    for _ in range(100):
+        mut = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        decode_jpeg_pixels(bytes(mut))  # None or an image; no hang/raise
