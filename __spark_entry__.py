@@ -539,31 +539,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "hamming"
         )
 
-    def token_fingerprint_documents(spark, sf):
-        # token counting + rolling-hash fingerprint in ONE scan pass
-        # (md5-hex fingerprint so the oracle replays it; xxhash64 is the
-        # scale default)
+    def text_features_documents(spark, sf):
+        # the per-doc text-analysis battery in ONE scan pass: token
+        # counting, BPE-ish subword estimate, rolling-hash fingerprint
+        # (md5-hex so the oracle replays it; xxhash64 is the scale
+        # default), quality scoring, and marker-word language ID — all
+        # chained column pipelines, no joins
         from schema_fantasy_spark.ops import text as tx
 
         docs = tables.load(spark, sf, "documents")
-        return tx.fingerprint(docs, method="md5").select(
+        out = tx.lang_id(tx.quality_score(tx.fingerprint(docs, method="md5"), "text"))
+        return out.select(
             "doc_id",
-            tx.token_count(F.col("text")).alias("n_tokens"),
+            "n_tokens",
             tx.bpeish_token_count(F.col("text")).alias("n_bpeish"),
             "fingerprint",
-        )
-
-    def text_quality_documents(spark, sf):
-        # quality scoring + marker-word language ID, chained column
-        # pipelines over one scan (lang_id appends to the scored frame —
-        # no self-join)
-        from schema_fantasy_spark.ops import text as tx
-
-        docs = tables.load(spark, sf, "documents")
-        return tx.lang_id(tx.quality_score(docs, "text")).select(
-            "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-            "stopword_ratio", "distinct_token_ratio", "quality_score",
-            "lang_pred",
+            "mean_token_len", "punct_ratio", "stopword_ratio",
+            "distinct_token_ratio", "quality_score", "lang_pred",
         )
 
     def cosine_topk_embeddings(spark, sf):
@@ -1066,6 +1058,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         meta = multimodal.image_metadata(imgs, binary_col="payload", id_col="doc_id")
         return meta.select("doc_id", "width", "height", "format", "phash")
 
+    def video_frames_synthetic(spark, sf):
+        # the VIDEO path under the gate: deterministic MJPEG-in-AVI
+        # clips (pure-struct RIFF writer), sampled every 2nd frame and
+        # each sampled frame decoded by the real JPEG codec; the oracle
+        # regenerates the sampled frame indices and each frame's exact
+        # aHash constant from the same md5(doc_id) nibbles in SQL
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        vids = mm_corpus.synthetic_videos(docs)
+        return multimodal.video_frames(
+            vids, binary_col="payload", id_col="doc_id", every_n=2, max_frames=4
+        )
+
     def audio_metadata_synthetic(spark, sf):
         # PCM-WAV decode under the gate: square-wave payloads make RMS an
         # exact rational (amp/32768, <= 6 decimals); rows with nibble 13
@@ -1134,8 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_documents": minhash_near_dup_documents,
         "near_dup_clusters_documents": near_dup_clusters_documents,
         "simhash_near_dup_documents": simhash_near_dup_documents,
-        "token_fingerprint_documents": token_fingerprint_documents,
-        "text_quality_documents": text_quality_documents,
+        "text_features_documents": text_features_documents,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "ann_lsh_topk_embeddings": ann_lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
@@ -1144,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": near_dup_embeddings,
         "image_decode_synthetic": image_decode_synthetic,
         "jpeg_decode_synthetic": jpeg_decode_synthetic,
+        "video_frames_synthetic": video_frames_synthetic,
         "audio_metadata_synthetic": audio_metadata_synthetic,
         "text_consistency_documents": text_consistency_documents,
         "gopher_quality_documents": gopher_quality_documents,
@@ -1495,18 +1503,6 @@ def oracle_sql() -> dict[str, str]:
            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.06
     """
 
-    token_fingerprint = r"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
-             AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))
-             AS n_bpeish,
-           CASE WHEN text IS NULL THEN NULL ELSE
-             list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
-                                     i -> substr(md5(substr(text, i, 8)), 1, 16)))
-           END AS fingerprint
-      FROM documents
-    """
 
     _stop = "'the','and','of','to','is','in','that','it','was','for','a','an','as','at','by','or','be'"
     _markers = {
@@ -1522,14 +1518,14 @@ def oracle_sql() -> dict[str, str]:
         for k, v in _markers.items()
     )
     _case = "\n".join(f"WHEN s_{k} = gmax THEN '{k}'" for k in _markers)
-    text_quality = rf"""
+    text_features = rf"""
     WITH f AS (
-      SELECT doc_id, length(text) AS n_chars,
+      SELECT doc_id, text, length(text) AS n_chars,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
              len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
         FROM documents),
          g AS (
-      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+      SELECT doc_id, text, n_chars, len(toks) AS n_tokens,
              round(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / greatest(len(toks), 1), 4)
                AS mean_token_len,
              round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
@@ -1540,7 +1536,14 @@ def oracle_sql() -> dict[str, str]:
              {_score_cols}
         FROM f),
          m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_ru, s_zh) AS gmax FROM g)
-    SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    SELECT doc_id, n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_bpeish,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                     i -> substr(md5(substr(text, i, 8)), 1, 16)))
+           END AS fingerprint,
+           mean_token_len, punct_ratio, stopword_ratio,
            distinct_token_ratio,
            round(least(n_tokens / 20.0, 1.0) * distinct_token_ratio
                  * greatest(0.0, 1.0 - punct_ratio * 4), 6) AS quality_score,
@@ -1881,6 +1884,15 @@ def oracle_sql() -> dict[str, str]:
       FROM n
     """
 
+    video_frames_sql = _mm_cte + """
+    , f AS (SELECT doc_id, n2, n4, n5, 4 + (n7 % 5) AS nf FROM n)
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           4 + n2 AS width, 16 AS height,
+           CASE WHEN (n4 * 16 + n5 + 17 * frame_idx) % 256 >= 128
+                THEN 4294967295 ELSE 9223372032559808512 END AS phash
+      FROM f, unnest(range(0, nf, 2)) AS t(frame_idx)
+    """
+
     audio_meta_sql = _mm_cte + """
     SELECT doc_id,
            8000 * (1 + n10 % 3) AS sample_rate,
@@ -2016,8 +2028,7 @@ def oracle_sql() -> dict[str, str]:
         "error_breakdown_documents": error_breakdown,
         "exact_dedup_documents": exact_dedup,
         "jaccard_pairs_documents": jaccard_pairs,
-        "token_fingerprint_documents": token_fingerprint,
-        "text_quality_documents": text_quality,
+        "text_features_documents": text_features,
         "cosine_topk_embeddings": cosine_topk_sql,
         "quantized_cosine_topk_embeddings": quantized_topk_sql,
         "ivf_topk_embeddings": cosine_topk_sql,
@@ -2032,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embeddings": near_dup_emb_sql,
         "image_decode_synthetic": image_decode_sql,
         "jpeg_decode_synthetic": jpeg_decode_sql,
+        "video_frames_synthetic": video_frames_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         "text_consistency_documents": """
     SELECT doc_id, md5(text || '!') AS h_actual, md5(text) AS h_expected

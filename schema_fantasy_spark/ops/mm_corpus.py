@@ -121,6 +121,51 @@ def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
 
 
+def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, int]:
+    """(width, height, n_frames, tone_base) for the MJPEG-AVI corpus:
+    each frame is a two-tone grayscale JPEG (MCU-aligned like the jpeg
+    corpus -> bit-exact decode); frame i's top tone is
+    ``(tone_base + 17*i) % 256`` with bottom tone its inverse, so every
+    sampled frame's aHash is one of the two corpus constants selected by
+    ``tone_i >= 128`` — a pure function of (doc_id, frame_idx) the
+    DuckDB oracle recomputes. n_frames in 4..8, so sampling every 2nd
+    frame yields indices 0,2,4,6 bounded by n_frames."""
+    nib = _nibbles(doc_id) if nib is None else nib
+    return 4 + nib[1], 16, 4 + nib[6] % 5, nib[3] * 16 + nib[4]
+
+
+def _video_payload(doc_id: int) -> bytes:
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+
+    w, h, n_frames, tone_base = video_params(doc_id)
+    frames = []
+    for i in range(n_frames):
+        tone = (tone_base + 17 * i) % 256
+        px = np.empty((h, w), dtype=np.uint8)
+        px[: h // 2] = tone
+        px[h // 2 :] = 255 - tone
+        frames.append(encode_jpeg_baseline(px))
+    return encode_avi_mjpeg(frames, w, h, fps=12)
+
+
+def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic MJPEG-in-AVI clips — the video
+    path under the gate: RIFF parse + per-frame huffman+IDCT run for
+    real, every decoded value a pure function of the md5 nibbles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_video_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
 def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
     """(sample_rate, n_frames, amplitude, corrupt)."""
     nib = _nibbles(doc_id)

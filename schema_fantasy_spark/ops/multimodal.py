@@ -17,10 +17,12 @@ Decode coverage WITHOUT external codec libraries (none in the container):
   pixels;
 * audio (PCM WAV) decodes with the stdlib ``wave`` module — sample rate,
   channels, duration, RMS energy are real;
-* WebP pixel data and video keyframes still fall back to clearly-marked
-  deterministic STUBS (their coders genuinely need codec libraries;
-  real impl: PIL/libvips/ffmpeg — swap the fallback branch; every other
-  line stays).
+* video keyframes are REAL for MJPEG-in-AVI (pure-struct RIFF parse in
+  ``ops/video.py``; each sampled frame decodes through the JPEG codec);
+* WebP pixels and codec-compressed video (MP4/H.264, WebM) still fall
+  back to clearly-marked deterministic STUBS (they genuinely need codec
+  libraries; real impl: PIL/libvips/ffmpeg — swap the fallback branch;
+  every other line stays).
 
 The ``encode_*`` helpers build byte-exact synthetic payloads (used by the
 pytest round-trips and the driver-gate corpus); they are generators for
@@ -499,11 +501,15 @@ def sample_frames(
     every_n: int = 2,
     max_frames: int = 3,
 ) -> DataFrame:
-    """STUB video frame sampler: real impl seeks keyframes via ffmpeg; the
-    stub slices the payload into deterministic chunks. Shows the
-    one-to-many (doc -> frames) mapInPandas shape."""
+    """Video frame sampler: REAL for MJPEG-in-AVI (pure-struct RIFF
+    parse, ops/video.py) — every ``every_n``-th frame's JPEG payload,
+    capped at ``max_frames`` per doc; containers needing codec
+    libraries (MP4/H.264, WebM) fall back to the clearly-marked STUB
+    that slices deterministic payload chunks, keeping the one-to-many
+    (doc -> frames) mapInPandas shape testable for any bytes."""
     if every_n <= 0:
         raise ValueError("every_n must be positive")
+    from schema_fantasy_spark.ops.video import parse_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -512,6 +518,15 @@ def sample_frames(
                 if payload is None:
                     continue
                 payload = bytes(payload)
+                avi = parse_avi(payload) if payload[:4] == b"RIFF" else None
+                if avi is not None:  # REAL path: sampled MJPEG frames
+                    for k, frame in list(enumerate(avi["frames"]))[::every_n][
+                        :max_frames
+                    ]:
+                        ids.append(i)
+                        idxs.append(k)
+                        blobs.append(frame)
+                    continue
                 n = min(max_frames, max(len(payload) // (8 * every_n), 1))
                 for f in range(n):
                     ids.append(i)
@@ -525,6 +540,63 @@ def sample_frames(
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def video_frames(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "id",
+    every_n: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """REAL video keyframe pipeline for MJPEG AVIs: RIFF parse ->
+    sample every ``every_n``-th frame -> huffman+IDCT decode each
+    sampled frame (ops/jpeg.py) -> per-frame dims + aHash. One row per
+    (doc, sampled frame); undecodable containers/frames are quarantined
+    at the row level (absent from output, never a stage failure) — the
+    same per-row contract as the image/audio decoders. mapInPandas,
+    partition-preserving: at 10^12 docs no video byte ever shuffles."""
+    from schema_fantasy_spark.ops.video import parse_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, phashes = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                avi = parse_avi(payload) if payload[:4] == b"RIFF" else None
+                if avi is None:
+                    continue
+                for k, frame in list(enumerate(avi["frames"]))[::every_n][
+                    :max_frames
+                ]:
+                    px = decode_image_pixels(frame)
+                    if px is None:
+                        continue
+                    ids.append(i)
+                    idxs.append(k)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    phashes.append(ahash64(px))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "phash": pd.Series(phashes, dtype="int64"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 AUDIO_META_SCHEMA = T.StructType([

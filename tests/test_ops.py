@@ -1098,3 +1098,99 @@ def test_jpeg_decoder_survives_fuzzed_bytes():
         for _ in range(rng.randint(1, 4)):
             mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
         decode_jpeg_pixels(bytes(mut))  # None or an image; no hang/raise
+
+
+# ------------------------------------------------------------------ video
+
+
+def test_avi_mjpeg_roundtrip():
+    """encode_avi_mjpeg -> parse_avi: metadata and every frame byte
+    survive; each frame decodes to its source pixels (all-ones quant,
+    constant frames)."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels, encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg, parse_avi
+
+    frames = []
+    for i in range(5):
+        img = np.full((16, 12), (40 + 37 * i) % 256, np.uint8)
+        frames.append(encode_jpeg_baseline(img))
+    avi = encode_avi_mjpeg(frames, 12, 16, fps=12)
+    meta = parse_avi(avi)
+    assert meta is not None
+    assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (12, 16, 12.0, 5)
+    assert meta["frames"] == frames
+    for i, f in enumerate(meta["frames"]):
+        assert (decode_jpeg_pixels(f)[:, :, 0] == (40 + 37 * i) % 256).all()
+    # odd-size frame payloads exercise even-byte chunk padding
+    odd = [f + b"x" for f in frames if len(f) % 2 == 0] or [frames[0] + b"x"]
+    assert parse_avi(encode_avi_mjpeg(odd, 12, 16))["frames"] == odd
+    # malformed containers reject cleanly
+    assert parse_avi(b"RIFF\x04\x00\x00\x00AVI ") is None
+    assert parse_avi(b"not a riff at all") is None
+    assert parse_avi(avi[: len(avi) // 3]) is None or True  # no exception
+
+
+def test_sample_frames_real_avi_path(spark):
+    """sample_frames takes the REAL branch for MJPEG AVIs: every 2nd
+    frame's exact JPEG payload with its original index."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+
+    frames = [encode_jpeg_baseline(np.full((8, 8), 30 * i, np.uint8)) for i in range(6)]
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    df = spark.createDataFrame([(1, bytearray(avi))], "doc_id: long, payload: binary")
+    got = (
+        multimodal.sample_frames(df, binary_col="payload", id_col="doc_id",
+                                 every_n=2, max_frames=3)
+        .orderBy("frame_idx").collect()
+    )
+    assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in got] == [
+        (0, frames[0]), (2, frames[2]), (4, frames[4])
+    ]
+
+
+def test_video_frames_corpus_matches_nibble_oracle(spark):
+    """synthetic_videos -> video_frames must reproduce the SQL-side
+    derivation: sampled indices 0,2,.. < n_frames and the two-constant
+    per-frame aHash selected by (tone_base + 17*idx) % 256 >= 128."""
+    from schema_fantasy_spark.ops import mm_corpus
+
+    ids = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    rows = multimodal.video_frames(
+        mm_corpus.synthetic_videos(ids), binary_col="payload", id_col="doc_id",
+        every_n=2, max_frames=4,
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(64))  # no quarantined docs
+    for doc_id, frs in by_doc.items():
+        w, h, nf, tone_base = mm_corpus.video_params(doc_id)
+        assert sorted(r["frame_idx"] for r in frs) == list(range(0, nf, 2))
+        for r in frs:
+            assert (r["width"], r["height"]) == (w, 16)
+            tone = (tone_base + 17 * r["frame_idx"]) % 256
+            want = 4294967295 if tone >= 128 else 9223372032559808512
+            assert r["phash"] == want, (doc_id, r["frame_idx"], tone)
+
+
+def test_video_frames_quarantines_corrupt(spark):
+    """A truncated AVI and a non-AVI payload yield NO rows (per-row
+    quarantine), while a good clip in the same batch still decodes."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+
+    good = encode_avi_mjpeg(
+        [encode_jpeg_baseline(np.full((8, 8), 200, np.uint8))], 8, 8
+    )
+    rows = [(1, bytearray(good)), (2, bytearray(good[:20])), (3, bytearray(b"garbage" * 5))]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    got = multimodal.video_frames(df, binary_col="payload", id_col="doc_id").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["phash"] == 0  # constant image: no cell exceeds the mean
