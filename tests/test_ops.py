@@ -1194,3 +1194,56 @@ def test_video_frames_quarantines_corrupt(spark):
     got = multimodal.video_frames(df, binary_col="payload", id_col="doc_id").collect()
     assert [r["doc_id"] for r in got] == [1]
     assert got[0]["phash"] == 0  # constant image: no cell exceeds the mean
+
+
+# -------------------------------------------------------------------- urls
+
+
+def test_canonicalize_url_hand_cases(spark):
+    """RFC 3986 §6 conservative set + query sorting: each case maps to
+    the expected single key; non-http(s) passes through trimmed."""
+    from schema_fantasy_spark.ops.urls import with_canonical_url
+
+    cases = [
+        ("  HTTP://Example.COM:80/a/./b/../c?b=2&a=1#frag  ",
+         "http://example.com/a/c?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:80/x", "https://example.com:80/x"),  # real port
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com?z=1", "http://example.com/?z=1"),
+        ("http://example.com/a/b/", "http://example.com/a/b/"),  # trailing slash kept
+        ("http://example.com/../../x", "http://example.com/x"),  # never above root
+        ("http://example.com/p?b=2&b=1&a=3", "http://example.com/p?a=3&b=1&b=2"),
+        ("http://example.com/p?", "http://example.com/p"),
+        ("ftp://example.com/KeepMe", "ftp://example.com/KeepMe"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i: long, url: string")
+    got = {r["i"]: r["url_canonical"]
+           for r in with_canonical_url(df).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonicalize_url_collapses_crawl_variants(spark):
+    """The operator's purpose: recrawl spellings of one page collapse to
+    one key, making url-keyed uniqueness/dedup meaningful."""
+    from schema_fantasy_spark.ops.urls import canonicalize_url
+
+    variants = [
+        "http://News.Site.com/world/story?id=9&ref=rss",
+        "HTTP://news.site.com:80/world/./story?ref=rss&id=9#top",
+        "http://news.site.com/world/x/../story?ref=rss&id=9",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url: string")
+    keys = df.select(canonicalize_url(F.col("url")).alias("k")).distinct().collect()
+    assert len(keys) == 1
+    assert keys[0]["k"] == "http://news.site.com/world/story?id=9&ref=rss"
+    # plan stays Python-free (whole-stage codegen'd expressions only)
+    plan_df = df.select(canonicalize_url(F.col("url")).alias("k"))
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
