@@ -1006,7 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def image_decode_synthetic(spark, sf):
         # multimodal decode under the oracle gate: a deterministic
-        # two-tone BMP/PPM/PNG corpus generated from md5(doc_id) nibbles
+        # two-tone BMP/PPM/PNG/WebP-lossless corpus from md5(doc_id) nibbles
         # (ops/mm_corpus.py docstring has the derivation); the oracle
         # recomputes width/height/format and the exact aHash constant
         # from the same nibbles in SQL — the REAL decoders (incl. the
@@ -1866,7 +1866,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            4 + n2 AS width,
            8 * (1 + n3 % 3) AS height,
-           CASE n1 % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
+           CASE n1 % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'webp' END AS format,
            CASE WHEN (n4*16+n5) + (n6*16+n7) + (n8*16+n9) >= 383
                 THEN 4294967295 ELSE 9223372032559808512 END AS phash,
            16 AS n_dims,

@@ -63,10 +63,12 @@ def image_params(
     doc_id: int, nib: list | None = None
 ) -> Tuple[int, int, int, Tuple[int, int, int]]:
     """(format_selector, width, height, color_a); color_b = inverse.
-    format_selector: 0 = bmp, 1 = ppm, 2 = png. Pass precomputed
-    ``nib`` to avoid re-hashing in per-row loops."""
+    format_selector: 0 = bmp, 1 = ppm, 2 = png, 3 = webp (VP8L
+    lossless — two-tone channels encode with simple prefix codes,
+    bit-exact). Pass precomputed ``nib`` to avoid re-hashing in
+    per-row loops."""
     nib = _nibbles(doc_id) if nib is None else nib
-    fsel = nib[0] % 3
+    fsel = nib[0] % 4
     w = 4 + nib[1]                      # 4..19
     h = 8 * (1 + nib[2] % 3)            # 8, 16, 24 — multiples of 8
     color_a = (nib[3] * 16 + nib[4], nib[5] * 16 + nib[6], nib[7] * 16 + nib[8])
@@ -187,6 +189,10 @@ def _image_payload(doc_id: int) -> bytes:
         return encode_bmp24(px)
     if fsel == 1:
         return encode_ppm6(px)
+    if fsel == 3:
+        from schema_fantasy_spark.ops.webp import encode_webp_lossless_two_tone
+
+        return encode_webp_lossless_two_tone(px)
     # vary the PNG filter deterministically so the gate exercises
     # None/Sub/Up/Average/Paeth unfiltering, not just the trivial path
     return encode_png_rgb(px, filter_type=nib[13] % 5)

@@ -5,7 +5,8 @@ columns with typed metadata, processed through Arrow-batched
 Decode coverage WITHOUT external codec libraries (none in the container):
 
 * image METADATA (width/height/format) parses REAL headers for PNG
-  (IHDR), JPEG (SOF marker scan), BMP, and binary PPM (P6);
+  (IHDR), JPEG (SOF marker scan), WebP (VP8L and lossy VP8 dims), BMP,
+  and binary PPM (P6);
 * image PIXELS decode for 24-bit BMP and P6 PPM via struct+numpy, for
   PNG — the full still-image feature set: color types 0/2/3/4/6, bit
   depths 1/2/4/8/16, all five scanline filters, Adam7 interlacing — via
@@ -19,10 +20,13 @@ Decode coverage WITHOUT external codec libraries (none in the container):
   channels, duration, RMS energy are real;
 * video keyframes are REAL for MJPEG-in-AVI (pure-struct RIFF parse in
   ``ops/video.py``; each sampled frame decodes through the JPEG codec);
-* WebP pixels and codec-compressed video (MP4/H.264, WebM) still fall
-  back to clearly-marked deterministic STUBS (they genuinely need codec
-  libraries; real impl: PIL/libvips/ffmpeg — swap the fallback branch;
-  every other line stays).
+* WebP LOSSLESS (VP8L) pixels decode via the pure-numpy codec in
+  ``ops/webp.py`` (prefix codes, color cache, LZ77, all four
+  transforms);
+* lossy-WebP (VP8) pixels and codec-compressed video (MP4/H.264, WebM)
+  still fall back to clearly-marked deterministic STUBS (they genuinely
+  need codec libraries; real impl: PIL/libvips/ffmpeg — swap the
+  fallback branch; every other line stays).
 
 The ``encode_*`` helpers build byte-exact synthetic payloads (used by the
 pytest round-trips and the driver-gate corpus); they are generators for
@@ -105,6 +109,13 @@ def decode_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
             if i + 4 > len(payload):
                 break
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from schema_fantasy_spark.ops.webp import parse_webp_header
+
+        hdr = parse_webp_header(payload)
+        if hdr is not None:
+            return _valid_dims(hdr[0], hdr[1], "webp")
         return None
     if payload[:2] == b"BM" and len(payload) >= 30:
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -332,16 +343,21 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     """REAL pixel decode -> HxWx3 uint8: 24-bit uncompressed BMP
     (bottom-up, BGR, 4-byte row padding), binary PPM (P6, maxval 255),
     PNG (all color types 0/2/3/4/6, depths 1-16, all filters, Adam7 —
-    stdlib zlib), and JPEG — baseline AND progressive (huffman decode,
+    stdlib zlib), JPEG — baseline AND progressive (huffman decode,
     chroma subsampling, restart markers, successive approximation —
-    pure numpy, ops/jpeg.py). None for anything else (WebP/video need
-    codec libraries)."""
+    pure numpy, ops/jpeg.py), and lossless WebP (VP8L — prefix codes,
+    color cache, LZ77, all transforms, ops/webp.py). None for anything
+    else (lossy VP8 / video codecs need codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from schema_fantasy_spark.ops.webp import decode_webp_lossless
+
+        return decode_webp_lossless(payload)  # VP8L; None for lossy VP8
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
@@ -422,6 +438,8 @@ def image_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                             fmt = "png"
                         elif payload[:2] == b"\xff\xd8":
                             fmt = "jpeg"
+                        elif payload[:4] == b"RIFF":
+                            fmt = "webp"
                         else:
                             fmt = "ppm"
                         phash = ahash64(px)  # REAL perceptual hash

@@ -582,7 +582,7 @@ def test_mm_corpus_roundtrip(spark):
     for i in range(64):
         fsel, w, h, ca = mc.image_params(i)
         assert (meta[i]["width"], meta[i]["height"]) == (w, h)
-        assert meta[i]["format"] == {0: "bmp", 1: "ppm", 2: "png"}[fsel]
+        assert meta[i]["format"] == {0: "bmp", 1: "ppm", 2: "png", 3: "webp"}[fsel]
         assert meta[i]["phash"] == (
             4294967295 if sum(ca) >= 383 else 9223372032559808512
         )
