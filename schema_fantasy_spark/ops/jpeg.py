@@ -105,56 +105,90 @@ def _build_codes(counts, symbols):
 
 
 def _build_decode(counts, symbols):
-    """Canonical huffman decode map {(length, code): symbol}."""
-    out = {}
+    """Canonical huffman decode structure: a flat 16-bit-peek lookup
+    table (lut[next16bits] = symbol*32 + code_length; 0 = invalid).
+    Memoized on the table bytes — a corpus of images emitting identical
+    DHTs (every stream this codec writes, and most camera firmware)
+    builds each table once."""
+    return _build_decode_cached(bytes(counts), bytes(symbols))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _build_decode_cached(counts: bytes, symbols: bytes):
+    lut = [0] * (1 << 16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            out[(length, code)] = symbols[k]
+            start = code << (16 - length)
+            end = start + (1 << (16 - length))
+            lut[start:end] = [symbols[k] * 32 + length] * (end - start)
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut
 
 
 # -------------------------------------------------------------- bit I/O
 
 
 class _BitReader:
-    """MSB-first bit reader over destuffed entropy bytes."""
+    """MSB-first bit reader over destuffed entropy bytes, buffered so
+    huffman decode is ONE 16-bit peek + flat-table lookup instead of a
+    per-bit dict walk (~4x on progressive streams)."""
 
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "total", "consumed", "acc", "nbits")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        self.total = len(data) * 8
+        self.consumed = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise EOFError
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
+    def _fill(self) -> None:
+        # top up to >= 16 buffered bits; virtual zero-padding past the
+        # end is fine to PEEK at — consuming past self.total raises
+        byte_pos = (self.consumed + self.nbits) >> 3
+        while self.nbits < 16:
+            b = self.data[byte_pos] if byte_pos < len(self.data) else 0
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFF
+            self.nbits += 8
+            byte_pos += 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.consumed + n > self.total:
+            raise EOFError
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        self.consumed += n
         return v
 
-    def decode_huff(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad huffman code")
+    def read_bit(self) -> int:
+        return self.receive(1)
+
+    def decode_huff(self, lut) -> int:
+        if self.nbits < 16:
+            self._fill()
+        peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        entry = lut[peek]
+        if entry == 0:
+            raise ValueError("bad huffman code")
+        length = entry & 31
+        if self.consumed + length > self.total:
+            raise EOFError
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        self.consumed += length
+        return entry >> 5
 
 
 def _extend(v: int, s: int) -> int:
