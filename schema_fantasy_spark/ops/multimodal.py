@@ -560,6 +560,68 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.LongType(), nullable=True),
+    T.StructField("duration_sec", T.DoubleType(), nullable=True),
+])
+
+
+def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") -> DataFrame:
+    """REAL container metadata for video columns — AVI (RIFF walk) and
+    MP4/MOV (ISO-BMFF box walk), both pure struct parsing: dims, frame
+    count, duration. No codec work: this is the header slice training
+    pipelines filter on (resolution/length cuts) before any decode.
+    Unparseable payloads are quarantined at the row level."""
+    from schema_fantasy_spark.ops.video import parse_avi, parse_mp4_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ws, hs, nfs, durs = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    m = parse_avi(payload)
+                    if m is None:
+                        continue
+                    kind = "avi"
+                    dur = (
+                        round(m["n_frames"] / m["fps"], 6)
+                        if m["fps"] else None
+                    )
+                    nf = m["n_frames"]
+                elif payload[4:8] == b"ftyp":
+                    m = parse_mp4_header(payload)
+                    if m is None or m["width"] is None:
+                        continue
+                    kind = "mp4"
+                    dur = m["duration_sec"]
+                    nf = m["n_frames"]
+                else:
+                    continue
+                ids.append(i)
+                kinds.append(kind)
+                ws.append(m["width"])
+                hs.append(m["height"])
+                nfs.append(nf)
+                durs.append(dur)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "container": pd.Series(kinds, dtype="object"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_frames": pd.Series(nfs, dtype="object"),
+                "duration_sec": pd.Series(durs, dtype="object"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 VIDEO_FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),

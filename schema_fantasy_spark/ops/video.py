@@ -4,8 +4,10 @@ The container is plain RIFF chunk walking (no codec work), and each
 frame is a JPEG the sibling ``ops/jpeg.py`` codec decodes — so video
 keyframe sampling is a fully REAL path for MJPEG AVIs: parse the
 ``movi`` list, pick every k-th ``00dc``/``00db`` chunk, huffman+IDCT
-decode the frame. Other video containers (MP4/H.264, WebM/VP9) need
-codec libraries and remain stubbed in ``ops/multimodal.py``.
+decode the frame. MP4/MOV gets a REAL container-metadata parse
+(``parse_mp4_header``: dims/duration/frame count from the box tree);
+its sample DATA (H.264/H.265/AV1) and WebM/VP9 need codec libraries
+and remain stubbed in ``ops/multimodal.py``.
 
 Writer emits the minimal standard layout: RIFF('AVI ' LIST('hdrl'
 avih, LIST('strl' strh strf)) LIST('movi' 00dc...)); parser walks any
@@ -127,3 +129,122 @@ def encode_avi_mjpeg(
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------------------- mp4 (meta)
+
+
+def parse_mp4_header(payload: bytes) -> Optional[dict]:
+    """ISO-BMFF (MP4/MOV) container METADATA — pure box walking, no
+    codec work: dict(width, height, duration_sec, n_frames|None). The
+    sample data itself needs H.264/H.265/AV1 decoders (stubbed);
+    training pipelines routinely need exactly this header slice (dims,
+    duration) without decode.
+
+    Walks ftyp/moov(mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stsz))))),
+    64-bit box sizes included; dims come from the first video trak's
+    tkhd fixed-point 16.16 fields, duration from mvhd, frame count from
+    that trak's stsz sample_count when present."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:  # to end of file
+                size = end - i
+            if size < 8 or i + size > end:
+                return
+            yield typ, body, i + size
+            i += size
+
+    meta = {"width": None, "height": None, "duration_sec": None, "n_frames": None}
+
+    def walk_trak(start: int, end: int):
+        got = {}
+        for typ, b, e in boxes(start, end):
+            if typ == b"tkhd":
+                ver = payload[b]
+                off = b + (32 if ver == 1 else 20) + 52
+                if off + 8 <= e:
+                    w = int.from_bytes(payload[off : off + 4], "big") >> 16
+                    h = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
+                    got["dims"] = (w, h)
+            elif typ == b"mdia":
+                for t2, b2, e2 in boxes(b, e):
+                    if t2 == b"minf":
+                        for t3, b3, e3 in boxes(b2, e2):
+                            if t3 == b"stbl":
+                                for t4, b4, e4 in boxes(b3, e3):
+                                    if t4 == b"stsz" and b4 + 12 <= e4:
+                                        got["n_frames"] = int.from_bytes(
+                                            payload[b4 + 8 : b4 + 12], "big"
+                                        )
+        return got
+
+    for typ, b, e in boxes(0, n):
+        if typ != b"moov":
+            continue
+        for t1, b1, e1 in boxes(b, e):
+            if t1 == b"mvhd":
+                ver = payload[b1]
+                if ver == 1:
+                    scale = int.from_bytes(payload[b1 + 20 : b1 + 24], "big")
+                    dur = int.from_bytes(payload[b1 + 24 : b1 + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[b1 + 12 : b1 + 16], "big")
+                    dur = int.from_bytes(payload[b1 + 16 : b1 + 20], "big")
+                if scale:
+                    meta["duration_sec"] = round(dur / scale, 6)
+            elif t1 == b"trak":
+                got = walk_trak(b1, e1)
+                dims = got.get("dims")
+                if dims and dims[0] and dims[1] and meta["width"] is None:
+                    meta["width"], meta["height"] = dims
+                    if "n_frames" in got:
+                        meta["n_frames"] = got["n_frames"]
+    if meta["width"] is None and meta["duration_sec"] is None:
+        return None
+    return meta
+
+
+def encode_mp4_stub(
+    width: int, height: int, duration_sec: float, n_frames: int,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton (ftyp + moov with mvhd/trak/
+    tkhd/mdia/minf/stbl/stsz) for header-parse tests — carries NO
+    sample data (the decode side is codec-stubbed by design)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    dur = int(round(duration_sec * timescale))
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8)
+        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(16) + bytes(52)
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    stsz = box(b"stsz", bytes(4) + bytes(4) + n_frames.to_bytes(4, "big"))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    return ftyp + moov

@@ -1247,3 +1247,28 @@ def test_canonicalize_url_collapses_crawl_variants(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
     assert "EvalPython" not in buf.getvalue()
+
+
+def test_video_metadata_avi_and_mp4(spark):
+    """Container metadata is REAL for both AVI (RIFF) and MP4 (ISO-BMFF
+    box walk): dims, frame counts, duration; garbage quarantines."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg, encode_mp4_stub
+
+    avi = encode_avi_mjpeg(
+        [encode_jpeg_baseline(np.full((8, 8), 9, np.uint8))] * 6, 8, 8, fps=12
+    )
+    mp4 = encode_mp4_stub(640, 360, 12.5, 300)
+    rows = [(1, bytearray(avi)), (2, bytearray(mp4)), (3, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    got = {r["doc_id"]: r for r in multimodal.video_metadata(
+        df, binary_col="payload", id_col="doc_id").collect()}
+    assert set(got) == {1, 2}
+    a = got[1]
+    assert (a["container"], a["width"], a["height"], a["n_frames"]) == ("avi", 8, 8, 6)
+    assert a["duration_sec"] == 0.5
+    m = got[2]
+    assert (m["container"], m["width"], m["height"], m["n_frames"]) == ("mp4", 640, 360, 300)
+    assert m["duration_sec"] == 12.5
