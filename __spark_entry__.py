@@ -782,12 +782,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).hexdigest()[:12]
         root = os.path.join(tempfile.gettempdir(), f"sfspark_sdedup_{sig}")
         src_dir = f"{root}/src"
-        if not os.path.isdir(src_dir):
+        # reuse only a COMPLETE prior write (_SUCCESS marker) — a crashed
+        # mid-write run leaves a partial dir that would silently shrink
+        # the streamed key set versus the oracle
+        if not os.path.isfile(os.path.join(src_dir, "_SUCCESS")):
+            shutil.rmtree(src_dir, ignore_errors=True)
             keyed = docs.select(F.pmod(F.col("doc_id"), F.lit(97)).alias("dup_key"))
             keyed.repartition(8).write.mode("overwrite").parquet(src_dir)
         out_dir = f"{root}/out"
-        if not os.path.isdir(out_dir):
-            # stale checkpoint without its output would no-op the rerun
+
+        def _out_complete(d):
+            batches = (
+                [p for p in os.listdir(d) if p.startswith("b")]
+                if os.path.isdir(d)
+                else []
+            )
+            return bool(batches) and all(
+                os.path.isfile(os.path.join(d, p, "_SUCCESS")) for p in batches
+            )
+
+        if not _out_complete(out_dir):
+            # partial output or stale checkpoint without its output
+            # would no-op (or truncate) the rerun — restart both
+            shutil.rmtree(out_dir, ignore_errors=True)
             shutil.rmtree(f"{root}/ckpt", ignore_errors=True)
         schema = spark.read.parquet(src_dir).schema
         stream = (

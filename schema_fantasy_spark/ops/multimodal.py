@@ -571,12 +571,18 @@ VIDEO_META_SCHEMA = T.StructType([
 
 
 def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") -> DataFrame:
-    """REAL container metadata for video columns — AVI (RIFF walk) and
-    MP4/MOV (ISO-BMFF box walk), both pure struct parsing: dims, frame
-    count, duration. No codec work: this is the header slice training
-    pipelines filter on (resolution/length cuts) before any decode.
-    Unparseable payloads are quarantined at the row level."""
-    from schema_fantasy_spark.ops.video import parse_avi, parse_mp4_header
+    """REAL container metadata for video columns — AVI (RIFF walk),
+    MP4/MOV (ISO-BMFF box walk), and Matroska/WebM (EBML walk), all
+    pure struct parsing: dims, frame count, duration. No codec work:
+    this is the header slice training pipelines filter on
+    (resolution/length cuts) before any decode. Unparseable payloads
+    are quarantined at the row level."""
+    from schema_fantasy_spark.ops.video import (
+        EBML_MAGIC,
+        parse_avi,
+        parse_mkv_header,
+        parse_mp4_header,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -602,6 +608,13 @@ def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                     kind = "mp4"
                     dur = m["duration_sec"]
                     nf = m["n_frames"]
+                elif payload[:4] == EBML_MAGIC:
+                    m = parse_mkv_header(payload)
+                    if m is None or m["width"] is None:
+                        continue
+                    kind = "mkv"
+                    dur = m["duration_sec"]
+                    nf = m["n_frames"]  # not in Matroska headers: None
                 else:
                     continue
                 ids.append(i)

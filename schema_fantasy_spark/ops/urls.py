@@ -11,7 +11,10 @@ RFC 3986 §6, plus query-param sorting which is the standard crawl-dedup
 convention):
 
 * trim surrounding whitespace;
-* scheme and host lowercase;
+* scheme and host lowercase (userinfo is case-SENSITIVE per RFC 3986
+  §3.2.1 and is preserved verbatim);
+* percent-encoding normalized (§6.2.2.1-2): hex digits uppercased,
+  escapes of unreserved characters (ALPHA / DIGIT / ``-._~``) decoded;
 * default ports dropped (``:80`` for http, ``:443`` for https);
 * fragment stripped (``#...`` never reaches the server);
 * dot path segments resolved (``/a/./b/../c`` -> ``/a/c``);
@@ -44,6 +47,40 @@ def _resolve_dots(path: Column) -> Column:
     return F.array_join(folded, "/")
 
 
+def _pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2.1-2 percent-encoding normalization: uppercase the
+    hex digits of every valid escape; fully decode escapes of unreserved
+    characters (ALPHA / DIGIT / ``-._~``). Decoding unreserved bytes can
+    never produce a delimiter, so this is safe to apply before the
+    authority/path/query split. Malformed escapes (``%`` not followed by
+    two hex digits) pass through untouched."""
+    parts = F.split(s, "%", -1)
+
+    def _decode_tok(t: Column) -> Column:
+        h2 = F.substring(t, 1, 2)
+        is_hex = h2.rlike("^[0-9A-Fa-f]{2}$")
+        v = F.conv(h2, 16, 10).cast("int")
+        unreserved = (
+            ((v >= 65) & (v <= 90))        # A-Z
+            | ((v >= 97) & (v <= 122))     # a-z
+            | ((v >= 48) & (v <= 57))      # 0-9
+            | v.isin(45, 46, 95, 126)      # - . _ ~
+        )
+        tail = F.substring(t, 3, F.lit(1 << 30))
+        return (
+            F.when(~is_hex, F.concat(F.lit("%"), t))
+            .when(unreserved, F.concat(F.char(v), tail))
+            .otherwise(F.concat(F.lit("%"), F.upper(h2), tail))
+        )
+
+    # two-parameter transform lambda == (element, index): the text before
+    # the first '%' passes through, every later token starts at an escape
+    fixed = F.transform(
+        parts, lambda t, i: F.when(i == F.lit(0), t).otherwise(_decode_tok(t))
+    )
+    return F.array_join(fixed, "")
+
+
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL (see module doc).
     Non-http(s) or unparseable values pass through trimmed — a cleaning
@@ -51,15 +88,18 @@ def canonicalize_url(url: Column) -> Column:
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     is_http = scheme.isin("http", "https")
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = _pct_normalize(F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""))
     # authority = up to first /, ?, or #; remainder keeps its delimiter
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     tail = F.substring(rest, F.length(authority) + 1, F.lit(1 << 30))
-    host_l = F.lower(authority)
-    host = (
-        F.when(scheme == "http", F.regexp_replace(host_l, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host_l, r":443$", ""))
-        .otherwise(host_l)
+    # only scheme and host are case-insensitive (RFC 3986 §6.2.2.1) —
+    # userinfo (through the LAST '@', greedy) is preserved verbatim
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
     )
     # strip fragment from the tail, split path vs query
     no_frag = F.regexp_replace(tail, r"#.*$", "")
@@ -70,7 +110,8 @@ def canonicalize_url(url: Column) -> Column:
     canon = F.concat(
         scheme,
         F.lit("://"),
-        host,
+        userinfo,
+        hostport,
         path,
         F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )

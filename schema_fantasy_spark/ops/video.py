@@ -5,9 +5,10 @@ frame is a JPEG the sibling ``ops/jpeg.py`` codec decodes — so video
 keyframe sampling is a fully REAL path for MJPEG AVIs: parse the
 ``movi`` list, pick every k-th ``00dc``/``00db`` chunk, huffman+IDCT
 decode the frame. MP4/MOV gets a REAL container-metadata parse
-(``parse_mp4_header``: dims/duration/frame count from the box tree);
-its sample DATA (H.264/H.265/AV1) and WebM/VP9 need codec libraries
-and remain stubbed in ``ops/multimodal.py``.
+(``parse_mp4_header``: dims/duration/frame count from the box tree),
+as does Matroska/WebM (``parse_mkv_header``: EBML tree walk); the
+sample DATA of those containers (H.264/H.265/AV1/VP9) needs codec
+libraries and remains stubbed in ``ops/multimodal.py``.
 
 Writer emits the minimal standard layout: RIFF('AVI ' LIST('hdrl'
 avih, LIST('strl' strh strf)) LIST('movi' 00dc...)); parser walks any
@@ -59,6 +60,11 @@ def parse_avi(payload: bytes) -> Optional[dict]:
                         if cc2 in (b"00dc", b"00db"):
                             frames.append(payload[b2 : b2 + s2])
             return
+        # a strf's layout depends on the enclosing strl's stream type
+        # (fccType in its strh): only a 'vids' strf is a
+        # BITMAPINFOHEADER — an audio strl's WAVEFORMATEX would parse
+        # as garbage dims, and audio strls may legally precede video
+        cur_fcc = None
         for cc, b, s in _chunks(payload, inner, inner_end):
             if cc == b"LIST":
                 walk_list(b, s)
@@ -68,11 +74,17 @@ def parse_avi(payload: bytes) -> Optional[dict]:
                     meta["fps"] = round(1_000_000 / usec_pf, 3)
                 meta["n_frames"] = total
             elif cc == b"strh" and s >= 48:
-                if payload[b : b + 4] == b"vids":
+                cur_fcc = payload[b : b + 4]
+                if cur_fcc == b"vids":
                     scale, rate = struct.unpack_from("<II", payload, b + 20)
                     if scale:
                         meta["fps"] = round(rate / scale, 3)
-            elif cc == b"strf" and s >= 24 and meta["width"] is None:
+            elif (
+                cc == b"strf"
+                and s >= 24
+                and cur_fcc == b"vids"
+                and meta["width"] is None
+            ):
                 w, h = struct.unpack_from("<ii", payload, b + 4)
                 meta["width"], meta["height"] = w, abs(h)
 
@@ -173,8 +185,14 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
         got = {}
         for typ, b, e in boxes(start, end):
             if typ == b"tkhd":
+                # fixed part before the reserved/layer/matrix tail:
+                # v0 = verflags4 + created4 + modified4 + track_ID4 +
+                # reserved4 + duration4 = 24; v1 widens created/
+                # modified/duration to 8 bytes = 36. Then reserved8 +
+                # layer2 + alt_group2 + volume2 + reserved2 + matrix36
+                # = 52 to reach the 16.16 width/height pair.
                 ver = payload[b]
-                off = b + (32 if ver == 1 else 20) + 52
+                off = b + (36 if ver == 1 else 24) + 52
                 if off + 8 <= e:
                     w = int.from_bytes(payload[off : off + 4], "big") >> 16
                     h = int.from_bytes(payload[off + 4 : off + 8], "big") >> 16
@@ -219,25 +237,43 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
 
 def encode_mp4_stub(
     width: int, height: int, duration_sec: float, n_frames: int,
-    timescale: int = 1000,
+    timescale: int = 1000, version: int = 0,
 ) -> bytes:
     """Minimal valid ISO-BMFF skeleton (ftyp + moov with mvhd/trak/
     tkhd/mdia/minf/stbl/stsz) for header-parse tests — carries NO
-    sample data (the decode side is codec-stubbed by design)."""
+    sample data (the decode side is codec-stubbed by design).
+    ``version`` selects v0 (32-bit created/modified/duration) or v1
+    (64-bit) mvhd+tkhd layouts, both of which the parser must walk."""
 
     def box(typ: bytes, body: bytes) -> bytes:
         return (len(body) + 8).to_bytes(4, "big") + typ + body
 
     dur = int(round(duration_sec * timescale))
-    mvhd = box(
-        b"mvhd",
-        bytes(4) + bytes(8)
-        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
-        + bytes(80),
-    )
+    if version == 1:
+        mvhd_head = (
+            b"\x01" + bytes(3) + bytes(16)
+            + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+        )
+        tkhd_head = (
+            b"\x01" + bytes(3) + bytes(16)
+            + (1).to_bytes(4, "big") + bytes(4) + dur.to_bytes(8, "big")
+        )
+    else:
+        mvhd_head = (
+            bytes(4) + bytes(8)
+            + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        )
+        # verflags4 + created4 + mod4 + track_ID4 + reserved4 + duration4
+        tkhd_head = (
+            bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+            + dur.to_bytes(4, "big")
+        )
+    mvhd = box(b"mvhd", mvhd_head + bytes(80))
     tkhd = box(
         b"tkhd",
-        bytes(4) + bytes(16) + bytes(52)
+        # head + (reserved8 layer2 alt2 vol2 res2 matrix36 = 52) — the
+        # spec layout parse_mp4_header walks
+        tkhd_head + bytes(52)
         + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
     )
     stsz = box(b"stsz", bytes(4) + bytes(4) + n_frames.to_bytes(4, "big"))
@@ -248,3 +284,157 @@ def encode_mp4_stub(
     moov = box(b"moov", mvhd + trak)
     ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
     return ftyp + moov
+
+
+# -------------------------------------------------- matroska/webm (meta)
+
+EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_id(buf: bytes, i: int, end: int):
+    """Element ID at i -> (id_value_with_marker, next_i) or None. The
+    leading-zero count of the first byte gives the length (1-4); IDs
+    conventionally keep their marker bits (0x1A45DFA3 style)."""
+    if i >= end:
+        return None
+    b0 = buf[i]
+    for ln in range(1, 5):
+        if b0 & (0x100 >> ln):
+            if i + ln > end:
+                return None
+            return int.from_bytes(buf[i : i + ln], "big"), i + ln
+    return None
+
+
+def _ebml_size(buf: bytes, i: int, end: int):
+    """Size VINT at i -> (size, next_i) or None; marker bit masked out.
+    The all-ones 'unknown size' form (used by live-streamed Segments)
+    resolves to everything up to ``end``."""
+    if i >= end:
+        return None
+    b0 = buf[i]
+    for ln in range(1, 9):
+        if b0 & (0x100 >> ln):
+            if i + ln > end:
+                return None
+            v = b0 & ((0x100 >> ln) - 1)
+            for k in range(1, ln):
+                v = (v << 8) | buf[i + k]
+            if v == (1 << (7 * ln)) - 1:
+                v = end - (i + ln)
+            return v, i + ln
+    return None
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    """Iterate (element_id, body_start, body_end) over an EBML run;
+    stops cleanly at truncation or malformed lengths."""
+    i = start
+    while i < end:
+        rid = _ebml_id(buf, i, end)
+        if rid is None:
+            return
+        eid, j = rid
+        rsz = _ebml_size(buf, j, end)
+        if rsz is None:
+            return
+        sz, k = rsz
+        if k + sz > end:
+            return
+        yield eid, k, k + sz
+        i = k + sz
+
+
+def parse_mkv_header(payload: bytes) -> Optional[dict]:
+    """Matroska/WebM container METADATA — pure EBML tree walking, no
+    codec work: dict(width, height, duration_sec, n_frames=None). Dims
+    come from the first TrackEntry with TrackType video (1); duration
+    from Segment Info (Duration float ticks x TimestampScale ns,
+    default 1,000,000 = milliseconds). Matroska headers carry no total
+    frame count (that lives in the Cluster/Block stream), so n_frames
+    is always None here."""
+    n = len(payload)
+    if n < 8 or payload[:4] != EBML_MAGIC:
+        return None
+    meta = {"width": None, "height": None, "duration_sec": None, "n_frames": None}
+    scale_ns = 1_000_000
+    dur_ticks = None
+    for eid, b, e in _ebml_children(payload, 0, n):
+        if eid != 0x18538067:  # Segment
+            continue
+        for e1, b1, e1e in _ebml_children(payload, b, e):
+            if e1 == 0x1549A966:  # Info
+                for e2, b2, e2e in _ebml_children(payload, b1, e1e):
+                    if e2 == 0x2AD7B1 and e2e > b2:  # TimestampScale
+                        scale_ns = int.from_bytes(payload[b2:e2e], "big")
+                    elif e2 == 0x4489:  # Duration (float)
+                        raw = payload[b2:e2e]
+                        if len(raw) == 4:
+                            dur_ticks = struct.unpack(">f", raw)[0]
+                        elif len(raw) == 8:
+                            dur_ticks = struct.unpack(">d", raw)[0]
+            elif e1 == 0x1654AE6B:  # Tracks
+                for e2, b2, e2e in _ebml_children(payload, b1, e1e):
+                    if e2 != 0xAE:  # TrackEntry
+                        continue
+                    ttype, w, h = None, None, None
+                    for e3, b3, e3e in _ebml_children(payload, b2, e2e):
+                        if e3 == 0x83 and e3e > b3:  # TrackType
+                            ttype = int.from_bytes(payload[b3:e3e], "big")
+                        elif e3 == 0xE0:  # Video settings
+                            for e4, b4, e4e in _ebml_children(payload, b3, e3e):
+                                if e4 == 0xB0 and e4e > b4:  # PixelWidth
+                                    w = int.from_bytes(payload[b4:e4e], "big")
+                                elif e4 == 0xBA and e4e > b4:  # PixelHeight
+                                    h = int.from_bytes(payload[b4:e4e], "big")
+                    if ttype == 1 and w and h and meta["width"] is None:
+                        meta["width"], meta["height"] = w, h
+    if dur_ticks is not None and scale_ns > 0:
+        meta["duration_sec"] = round(dur_ticks * scale_ns / 1e9, 6)
+    if meta["width"] is None and meta["duration_sec"] is None:
+        return None
+    return meta
+
+
+def _ebml_vint(n: int) -> bytes:
+    """Minimal-length EBML size VINT (marker bit in the first byte)."""
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+    raise ValueError("EBML size out of range")
+
+
+def _ebml_uint(n: int) -> bytes:
+    """Minimal big-endian unsigned payload (>= 1 byte)."""
+    return n.to_bytes(max(1, (n.bit_length() + 7) // 8), "big")
+
+
+def encode_mkv_stub(
+    width: int, height: int, duration_sec: float,
+    timescale_ns: int = 1_000_000, doctype: bytes = b"matroska",
+) -> bytes:
+    """Minimal valid Matroska/WebM skeleton (EBML header + Segment with
+    Info(TimestampScale, Duration) and Tracks(video TrackEntry)) for
+    header-parse tests — no Cluster/Block data (codec-stubbed)."""
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + _ebml_vint(len(body)) + body
+
+    ebml = el(
+        EBML_MAGIC,
+        el(b"\x42\x86", b"\x01") + el(b"\x42\xf7", b"\x01")      # EBML(Read)Version
+        + el(b"\x42\xf2", b"\x04") + el(b"\x42\xf3", b"\x08")    # MaxID/SizeLength
+        + el(b"\x42\x82", doctype)                                # DocType
+        + el(b"\x42\x87", b"\x04") + el(b"\x42\x85", b"\x02"),   # DocType(Read)Version
+    )
+    dur_ticks = duration_sec * 1e9 / timescale_ns
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", _ebml_uint(timescale_ns))
+        + el(b"\x44\x89", struct.pack(">d", dur_ticks)),
+    )
+    video = el(b"\xe0", el(b"\xb0", _ebml_uint(width)) + el(b"\xba", _ebml_uint(height)))
+    track = el(b"\xae", el(b"\x83", b"\x01") + el(b"\xd7", b"\x01") + video)
+    tracks = el(b"\x16\x54\xae\x6b", track)
+    segment = el(b"\x18\x53\x80\x67", info + tracks)
+    return ebml + segment
