@@ -612,15 +612,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ivf_partial_probe_embeddings(spark, sf):
         # the PRUNING path end-to-end under the gate: probe only 3 of 8
-        # persisted lists (the exhaustive probe above shares the exact
-        # cosine oracle; this one exercises n_probe < n_lists, reading
-        # 3/8 of the index partitions). An approximate result has no
-        # exact SQL replica, so the query RETURNS ITS OWN quality
-        # verdict — recall vs the exact top-10 and containment in the
-        # exact top-50, both computed in Spark — and the oracle pins the
-        # expected verdict constants (measured: recall 6-8/10 at sf0.01
-        # and sf0.1 with the seeded deterministic k-means; thresholds
-        # hold with margin at both).
+        # persisted lists, reading 3/8 of the index partitions
+        # (file-level pruning plan-asserted in tests/test_plan_audit.py).
+        # Built with ivf_index_exact — the REPRODUCIBLE integer-exact
+        # training mode (power-of-2 quantization, md5-ordered sample,
+        # integer Lloyd with floor-division means, lowest-list
+        # tie-breaks) — so the DuckDB oracle replays the ENTIRE build:
+        # quantization -> 5 unrolled Lloyd iterations -> probe-list
+        # selection -> exact cosine top-10 within the probed lists, and
+        # the returned row set is hash-matched, not a self-verdict.
         import tempfile
 
         from schema_fantasy_spark.ops import similarity as sim
@@ -628,7 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = tables.load(spark, sf, "embeddings")
         qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
         rest = emb.filter(F.col("vec_id") != 0)
-        assigned, centroids = sim.ivf_index(
+        assigned, centroids = sim.ivf_index_exact(
             rest, n_lists=8, max_iter=5, assign_partitions=32
         )
         index_dir = os.path.join(
@@ -637,24 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         sim.ivf_write(assigned, centroids, index_dir)
         assigned2, centroids2 = sim.ivf_read(spark, index_dir)
-        partial = sim.ivf_topk(assigned2, centroids2, qvec, 10, n_probe=3)
-        exact10 = sim.cosine_topk(rest, qvec, 10).select(F.col("vec_id").alias("e10"))
-        exact50 = sim.cosine_topk(rest, qvec, 50).select(F.col("vec_id").alias("e50"))
-        p = partial.select(F.col("vec_id").alias("pid"))
-        agg = (
-            p.join(F.broadcast(exact10), p.pid == F.col("e10"), "left")
-            .join(F.broadcast(exact50), p.pid == F.col("e50"), "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_returned"),
-                F.sum(F.col("e10").isNotNull().cast("int")).alias("n_in10"),
-                F.sum(F.col("e50").isNotNull().cast("int")).alias("n_in50"),
-            )
-        )
-        return agg.select(
-            F.lit(10).alias("k"),
-            "n_returned",
-            (F.col("n_in50") == F.col("n_returned")).alias("subset_ok"),
-            (F.col("n_in10") >= 5).alias("recall_ok"),
+        return sim.ivf_topk(
+            assigned2, centroids2, qvec, 10, n_probe=3, exact_scale=1 << 20
         )
 
     def streaming_validation_documents(spark, sf):
@@ -1008,18 +992,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_consistency_documents(spark, sf):
         # the north-star per-row invariant (BASELINE input_hint:
-        # byte-identical extracted text per key) gated on the driver
-        # oracle: a deterministically corrupted copy (every 97th doc gets
-        # '!' appended) must surface EXACTLY those keys with both hashes
+        # byte-identical extracted text per url) gated on the driver
+        # oracle, KEYED ON THE CANONICAL URL (ops/urls.py under the
+        # gate): the two corpora spell every doc's url differently —
+        # eight crawl-variant families across the two sides (host case +
+        # default port, dot segments + fragment, unsorted params,
+        # percent escapes of unreserved chars, scheme case, whitespace)
+        # — so the consistency join lines up ONLY if canonicalize_url
+        # collapses every family to the base key (any miss changes the
+        # row count), and the surfaced keys' exact canonical strings are
+        # value-hashed. The oracle recomputes the canonical key from its
+        # ground-truth construction: the base url is BUILT canonical
+        # (lowercase host, no default port, sorted params), so expected
+        # == base, expressible directly from doc_id in SQL. A
+        # deterministically corrupted copy (every 97th doc gets '!'
+        # appended) must surface EXACTLY those keys with both hashes.
+        from schema_fantasy_spark.ops.urls import canonicalize_url
+
         docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
-        corrupted = docs.withColumn(
+        n = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        i = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), n, F.lit(".example.com"))
+        host_up = F.concat(F.lit("H"), n, F.lit(".EXAMPLE.COM"))
+        v = F.pmod(F.col("doc_id"), F.lit(4))
+
+        def cc(*parts):
+            return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
+
+        spelled_a = (
+            F.when(v == 0, cc("https://", host_up, ":443/p/", i, "?a=1&b=2"))
+            .when(v == 1, cc("https://", host, "/x/../p/./", i, "?a=1&b=2#frag"))
+            .when(v == 2, cc("https://", host, "/p/", i, "?b=2&a=1"))
+            .otherwise(cc("https://", host, "/%70/", i, "?a=1&b=2"))
+        )
+        spelled_b = (
+            F.when(v == 0, cc("HTTPS://", host, "/p/", i, "?a=1&b=2"))
+            .when(v == 1, cc("https://", host, "/p/x/../", i, "?b=2&a=1"))
+            .when(v == 2, cc("  https://", host, ":443/p/", i, "?a=1&b=2  "))
+            .otherwise(cc("https://", host, "/p/", i, "?a=%31&b=2"))
+        )
+        corrupted = docs.withColumn("url", spelled_a).withColumn(
             "text",
             F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!")))
             .otherwise(F.col("text")),
         )
+        reference = docs.withColumn("url", spelled_b)
+        ca = corrupted.withColumn("url_key", canonicalize_url(F.col("url")))
+        cb = reference.withColumn("url_key", canonicalize_url(F.col("url")))
         return tc.text_consistency(
-            corrupted, docs, key_col="doc_id", text_col="text", method="md5"
-        )
+            ca, cb, key_col="url_key", text_col="text", method="md5"
+        ).select(F.col("url_key").alias("url"), "h_actual", "h_expected")
 
     def image_decode_synthetic(spark, sf):
         # multimodal decode under the oracle gate: a deterministic
@@ -1080,16 +1102,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clips (pure-struct RIFF writer), sampled every 2nd frame and
         # each sampled frame decoded by the real JPEG codec; the oracle
         # regenerates the sampled frame indices and each frame's exact
-        # aHash constant from the same md5(doc_id) nibbles in SQL
+        # aHash constant from the same md5(doc_id) nibbles in SQL.
+        # JOINED per doc: video_metadata over a second CODEC-VIDEO
+        # container corpus (MP4 v0/v1 ISO-BMFF + Matroska/WebM EBML
+        # skeletons) — the header slice a training pipeline filters on
+        # without decode; the oracle re-derives container/dims/frames/
+        # duration from the same nibbles. The join exists for the GATE
+        # (two operators, one oracle row set); a production pipeline
+        # would read each corpus once with no shuffle between them.
         from schema_fantasy_spark.ops import mm_corpus, multimodal
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
         )
         vids = mm_corpus.synthetic_videos(docs)
-        return multimodal.video_frames(
+        frames = multimodal.video_frames(
             vids, binary_col="payload", id_col="doc_id", every_n=2, max_frames=4
         )
+        cont = mm_corpus.synthetic_video_containers(docs)
+        cmeta = multimodal.video_metadata(
+            cont, binary_col="payload", id_col="doc_id"
+        ).select(
+            "doc_id",
+            F.col("container").alias("c_container"),
+            F.col("width").alias("c_width"),
+            F.col("height").alias("c_height"),
+            F.col("n_frames").alias("c_n_frames"),
+            F.col("duration_sec").alias("c_duration_sec"),
+        )
+        return frames.join(cmeta, "doc_id")
 
     def audio_metadata_synthetic(spark, sf):
         # PCM-WAV decode under the gate: square-wave payloads make RMS an
@@ -1902,11 +1943,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     video_frames_sql = _mm_cte + """
-    , f AS (SELECT doc_id, n2, n4, n5, 4 + (n7 % 5) AS nf FROM n)
+    , f AS (SELECT doc_id, n2, n4, n5, n9, n10, n11, n12,
+                   4 + (n7 % 5) AS nf FROM n)
     SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
            4 + n2 AS width, 16 AS height,
            CASE WHEN (n4 * 16 + n5 + 17 * frame_idx) % 256 >= 128
-                THEN 4294967295 ELSE 9223372032559808512 END AS phash
+                THEN 4294967295 ELSE 9223372032559808512 END AS phash,
+           CASE WHEN n9 % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS c_container,
+           160 + 16 * n10 AS c_width,
+           90 + 16 * n11 AS c_height,
+           CASE WHEN n9 % 2 = 0 THEN CAST(24 + n12 AS BIGINT) END AS c_n_frames,
+           CAST(24 + n12 AS DOUBLE) / 8 AS c_duration_sec
       FROM f, unnest(range(0, nf, 2)) AS t(frame_idx)
     """
 
@@ -1968,8 +2015,92 @@ def oracle_sql() -> dict[str, str]:
      LIMIT 10
     """
 
-    rich_props_sql = """
-    WITH e AS (SELECT event_id, event_type, value FROM events)
+    # ivf_partial_probe: replay the ENTIRE integer-exact IVF build in SQL
+    # (sim.ivf_index_exact is reproducible by construction: power-of-2
+    # quantization, md5-ordered sample/init, integer Lloyd with
+    # floor-division means and lowest-list tie-breaks), then the 3-list
+    # probe and the exact cosine top-10 within the probed lists. The
+    # Lloyd loop is unrolled: a{t} = assignment under c{t-1}, u{t} =
+    # per-list integer mean, c{t} = updated centroids (empty lists keep
+    # their centroid).
+    _ivf_q = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1048576.0 + 0.5) AS BIGINT))"
+    )
+    _ivf_d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    _ivf_iters = ""
+    for _t in range(1, 6):
+        _ivf_iters += f"""
+    , a{_t} AS (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT s.vec_id, s.qv, c.list_id,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 {_ivf_d2.format(a="s.qv", b="c.c")}, c.list_id) AS rn
+          FROM samp s CROSS JOIN c{_t - 1} c) WHERE rn = 1
+    ), u{_t} AS (
+      SELECT list_id, list(m ORDER BY pos) AS c FROM (
+        SELECT list_id, pos,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM (SELECT list_id, unnest(qv) AS v,
+                       unnest(generate_series(1, len(qv))) AS pos FROM a{_t})
+         GROUP BY list_id, pos)
+       GROUP BY list_id
+    ), c{_t} AS (
+      SELECT p.list_id, COALESCE(u.c, p.c) AS c
+        FROM c{_t - 1} p LEFT JOIN u{_t} u USING (list_id)
+    )"""
+    ivf_partial_sql = f"""
+    WITH q0 AS (
+      SELECT vec_id, {_ivf_q} AS qv,
+             md5(CAST(vec_id AS VARCHAR)) AS mk
+        FROM embeddings WHERE vec_id <> 0
+    ), samp AS (
+      SELECT vec_id, qv, mk FROM q0 ORDER BY mk, vec_id LIMIT 4096
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS INTEGER)
+               AS list_id, qv AS c
+        FROM (SELECT * FROM samp ORDER BY mk, vec_id LIMIT 8)
+    ){_ivf_iters}
+    , af AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_ivf_d2.format(a="v.qv", b="c.c")}, c.list_id) AS rn
+          FROM q0 v CROSS JOIN c5 c) WHERE rn = 1
+    ), qq AS (
+      SELECT {_ivf_q} AS qv, embedding AS qe
+        FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT c.list_id FROM c5 c CROSS JOIN qq q
+       ORDER BY {_ivf_d2.format(a="q.qv", b="c.c")}, c.list_id
+       LIMIT 3
+    )
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             5) AS cosine_sim
+      FROM embeddings e
+      JOIN af ON af.vec_id = e.vec_id
+      JOIN probe p ON p.list_id = af.list_id
+      CROSS JOIN qq q
+     ORDER BY cosine_sim DESC, e.vec_id ASC
+     LIMIT 10
+    """
+
+    # parameterized on the row-slice predicate: the variant twin gates the
+    # SAME constraints on a deterministic 10% slice (a plain predicate
+    # swap, never string surgery on the SQL body)
+    def rich_props_sql_for(slice_pred: str) -> str:
+        return f"""
+    WITH e AS (SELECT event_id, event_type, value FROM events WHERE {slice_pred})
     SELECT event_id, 'tag_' || CAST(event_id % 5 AS VARCHAR) AS path,
            'type' AS keyword, 'Invalid type' AS message, 0 AS depth
       FROM e WHERE event_type IS NULL
@@ -1998,14 +2129,15 @@ def oracle_sql() -> dict[str, str]:
       FROM e WHERE event_id % 4 = 0 AND (event_id % 7) % 2 <> 0
     """
 
+    rich_props_sql = rich_props_sql_for("TRUE")
+
     return {
         "flagship_validation": flagship,
         "combinator_validation": combinator,
         "json_props_validation": json_props,
         "variant_props_validation": json_props,
         "rich_props_validation": rich_props_sql,
-        "variant_rich_props_validation": rich_props_sql.replace(
-            "FROM events", "FROM events WHERE event_id % 10 = 0"),
+        "variant_rich_props_validation": rich_props_sql_for("event_id % 10 = 0"),
         "dependencies_validation": dependencies_sql,
         "leaf_suite_lineitem": leaf_suite,
         "array_keywords_embeddings": array_keywords,
@@ -2049,10 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": cosine_topk_sql,
         "quantized_cosine_topk_embeddings": quantized_topk_sql,
         "ivf_topk_embeddings": cosine_topk_sql,
-        "ivf_partial_probe_embeddings": """
-    SELECT 10 AS k, CAST(10 AS BIGINT) AS n_returned,
-           true AS subset_ok, true AS recall_ok
-    """,
+        "ivf_partial_probe_embeddings": ivf_partial_sql,
         "minhash_near_dup_documents": minhash_sql,
         "near_dup_clusters_documents": clusters_sql,
         "simhash_near_dup_documents": simhash_sql,
@@ -2063,7 +2192,9 @@ def oracle_sql() -> dict[str, str]:
         "video_frames_synthetic": video_frames_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         "text_consistency_documents": """
-    SELECT doc_id, md5(text || '!') AS h_actual, md5(text) AS h_expected
+    SELECT 'https://h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com/p/'
+             || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+           md5(text || '!') AS h_actual, md5(text) AS h_expected
       FROM documents
      WHERE text IS NOT NULL AND doc_id % 97 = 0
     """,

@@ -168,6 +168,53 @@ def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
 
 
+def container_params(doc_id: int, nib: list | None = None):
+    """(container, width, height, n_frames, duration_sec, variant) for
+    the codec-video CONTAINER corpus (header metadata only — the sample
+    data of MP4/MKV needs codec libs and stays stubbed): half the docs
+    get an ISO-BMFF MP4 (variant selects the v0/v1 mvhd+tkhd layout),
+    half a Matroska/WebM EBML skeleton (variant selects the DocType).
+    duration = n_frames/8 s — an exact multiple of 125 ms, so both the
+    mvhd tick math (timescale 1000) and the EBML float-ms Duration
+    round-trip it exactly and the DuckDB oracle recomputes it as
+    (24 + n12)/8 with no float fuzz. Matroska headers carry no frame
+    count, so n_frames is None for mkv rows."""
+    nib = _nibbles(doc_id) if nib is None else nib
+    container = "mp4" if nib[8] % 2 == 0 else "mkv"
+    w = 160 + 16 * nib[9]               # 160..400
+    h = 90 + 16 * nib[10]               # 90..330
+    nf = 24 + nib[11]                   # 24..39
+    dur = nf / 8
+    return container, w, h, (nf if container == "mp4" else None), dur, nib[12] % 2
+
+
+def _container_payload(doc_id: int) -> bytes:
+    from schema_fantasy_spark.ops.video import encode_mkv_stub, encode_mp4_stub
+
+    container, w, h, nf, dur, variant = container_params(doc_id)
+    if container == "mp4":
+        return encode_mp4_stub(w, h, dur, nf, version=variant)
+    return encode_mkv_stub(w, h, dur, doctype=b"webm" if variant else b"matroska")
+
+
+def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic MP4/MKV container skeletons —
+    the codec-video HEADER path under the gate: ISO-BMFF box walk (v0
+    and v1) and Matroska EBML walk both run for real, every emitted
+    value a pure function of the md5 nibbles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_container_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+
+
 def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
     """(sample_rate, n_frames, amplitude, corrupt)."""
     nib = _nibbles(doc_id)

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -209,6 +210,110 @@ def ivf_index(
     return assigned, centroids
 
 
+def quantize_pow2_expr(vec: Column, scale: int) -> Column:
+    """Half-up quantization with a POWER-OF-TWO scale: floor(x*S + 0.5)
+    per element. float32 -> double is exact, *2^k is exact, +0.5 is
+    exact at these magnitudes — so the quantized integers are
+    bit-identical across engines (Spark, DuckDB, numpy), which is what
+    makes the integer-exact IVF training below replayable as a pure-SQL
+    oracle."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def ivf_index_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    max_iter: int = 10,
+    train_sample: int = 4096,
+    scale: int = 1 << 20,
+    assign_partitions: Optional[int] = None,
+):
+    """REPRODUCIBLE IVF training: the same index bits from any engine,
+    any partitioning, any cluster size — every arithmetic step is
+    integer-exact and order-independent, so a 10^12-vector index build
+    that dies mid-way resumes to a bit-identical result, and a DuckDB
+    oracle can replay the whole build in SQL (the ivf_partial_probe
+    gate does exactly that).
+
+    Differences from the float ``ivf_index`` (FAISS-style, the default
+    path, still the right choice when reproducibility across engines is
+    not required):
+
+    * training sample + init: ordered by portable ``md5(str(id))``
+      instead of xxhash64 (same unbiased-permutation-prefix argument;
+      md5 exists everywhere), init centroids = first ``n_lists`` of
+      that order instead of an RNG draw;
+    * vectors quantized once via :func:`quantize_pow2_expr`;
+    * Lloyd iterations in pure integer arithmetic: squared-L2 in int,
+      argmin ties to the lowest list, centroid update = floor-division
+      integer mean (order-independent — float means depend on summation
+      order and cannot be replayed cross-engine); empty lists keep
+      their centroid.
+
+    Returns (assigned_df, centroids) with INTEGER centroid components
+    (exact in array<double> storage up to 2^53, so ``ivf_write`` /
+    ``ivf_read`` round-trip them unchanged).
+    """
+    rows = (
+        df.select(F.col(id_col), quantize_pow2_expr(F.col(vec_col), scale).alias("qv"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(train_sample)
+        .collect()
+    )
+    X = [[int(v) for v in r["qv"]] for r in rows]  # python ints: exact
+    k = min(n_lists, len(X))
+    C = [list(X[j]) for j in range(k)]
+    for _ in range(max_iter):
+        sums = [[0] * len(C[0]) for _ in range(k)]
+        counts = [0] * k
+        for v in X:
+            best, bd = 0, None
+            for j, c in enumerate(C):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if bd is None or d < bd:
+                    bd, best = d, j
+            counts[best] += 1
+            sums[best] = [s + a for s, a in zip(sums[best], v)]
+        for j in range(k):
+            if counts[j]:
+                # floor division == SQL floor(sum/count): exact for
+                # |sum| < 2^53 regardless of sign conventions
+                C[j] = [s // counts[j] for s in sums[j]]
+    centroids = [[float(x) for x in c] for c in C]
+
+    from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism
+
+    if assign_partitions:
+        df = df.repartition(assign_partitions)
+    else:
+        df = _ensure_parallelism(df)
+    qcol = quantize_pow2_expr(F.col(vec_col), scale)
+    assigned = _barrier(df, _nearest_centroid_expr_int(qcol, C), "list_id")
+    return assigned, centroids
+
+
+def _nearest_centroid_expr_int(qvec: Column, centroids_int) -> Column:
+    """Integer argmin over literal integer centroids (exact arithmetic
+    twin of ``_nearest_centroid_expr``; ties resolve to the first =
+    lowest list)."""
+    dists = []
+    for c in centroids_int:
+        lit_c = F.array(*[F.lit(int(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(qvec, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d)
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
 def _nearest_centroid_expr(vec: Column, centroids) -> Column:
     """argmin over literal centroids of squared L2 distance — unrolled,
     JVM-side (centroid count is a compile-time constant).
@@ -277,17 +382,32 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 5,
+    exact_scale: Optional[int] = None,
 ) -> DataFrame:
     """IVF probe: rank centroids by distance to the query (driver-side,
     n_lists floats), scan only the ``n_probe`` nearest lists, exact cosine
     rerank within them. With a list_id-partitioned index this prunes
-    (1 - n_probe/n_lists) of the data before any scan."""
+    (1 - n_probe/n_lists) of the data before any scan.
+
+    With ``exact_scale`` set (an ``ivf_index_exact`` index), probe
+    selection runs in integer arithmetic with lowest-list tie-breaks —
+    fully replayable by the SQL oracle."""
     q = [float(x) for x in query_vec]
 
-    def dist2(c):
-        return sum((a - b) * (a - b) for a, b in zip(q, c))
+    if exact_scale:
+        qq = [math.floor(x * exact_scale + 0.5) for x in q]
 
-    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:n_probe]
+        def dist2(c):
+            return sum((a - int(b)) * (a - int(b)) for a, b in zip(qq, c))
+
+    else:
+
+        def dist2(c):
+            return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (dist2(centroids[i]), i))[
+        :n_probe
+    ]
     qcol = F.array(*[F.lit(x) for x in q])
     sims = (
         assigned.filter(F.col("list_id").isin(probe))

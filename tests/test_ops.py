@@ -296,6 +296,30 @@ def test_ivf_topk_recall(emb):
     assert assigned.filter(F.col("list_id").isNull()).count() == 0
 
 
+def test_ivf_index_exact_reproducible(emb):
+    """The integer-exact IVF training mode is REPRODUCIBLE: the same
+    assignment bits regardless of input partitioning (the resumable
+    10^12-vector-build claim), full probe still equals the exact top-k,
+    and the centroids are integral (exact in array<double> storage)."""
+    rows = emb.limit(1).collect()
+    q = rows[0]["embedding"]
+    rest = emb.filter(F.col("vec_id") != rows[0]["vec_id"])
+    a1, c1 = sim.ivf_index_exact(rest, n_lists=8, max_iter=5,
+                                 assign_partitions=32)
+    a2, c2 = sim.ivf_index_exact(rest.repartition(7), n_lists=8, max_iter=5,
+                                 assign_partitions=3)
+    assert c1 == c2
+    assert all(x == int(x) for c in c1 for x in c)
+    m1 = {r["vec_id"]: r["list_id"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["list_id"] for r in a2.collect()}
+    assert m1 == m2
+    # full probe == exact brute force (centroid quality unaffected)
+    exact = [r["vec_id"] for r in sim.cosine_topk(rest, q, 10).collect()]
+    full = [r["vec_id"] for r in
+            sim.ivf_topk(a1, c1, q, 10, n_probe=8, exact_scale=1 << 20).collect()]
+    assert full == exact
+
+
 def test_repetition_metrics_hand_computed(spark):
     """Gopher-style rules on hand-computable fixtures."""
     df = spark.createDataFrame(
