@@ -73,17 +73,32 @@ from schema_fantasy_spark.columnar import (
 #: Guard ordering matters for cost: is_variant_null / map / array probes
 #: are shallow; schema_of_variant (which walks the WHOLE subtree to print
 #: a schema) is only reached for scalars, where it is O(1).
-def vtype(v: Column) -> Column:
+#: ``m``/``a`` optionally inject PRE-MATERIALIZED map/array casts of the
+#: same value (Generate-barrier attributes): interpreted variant
+#: expressions get no CSE, so every inline as_map/as_array reference
+#: re-builds the whole cast — the root-level barrier in
+#: ``VariantPlan.apply`` makes them attribute reads instead.
+def vtype(v: Column, m: Optional[Column] = None, a: Optional[Column] = None) -> Column:
     t = F.schema_of_variant(v)  # evaluated only on the scalar branch
     return (
         F.when(v.isNull(), F.lit(None).cast("string"))
         .when(F.is_variant_null(v), F.lit("null"))
-        .when(as_map(v).isNotNull(), F.lit("object"))
-        .when(as_array(v).isNotNull(), F.lit("array"))
+        .when(_m(v, m).isNotNull(), F.lit("object"))
+        .when(_a(v, a).isNotNull(), F.lit("array"))
         .when(t == "BOOLEAN", F.lit("boolean"))
         .when(t == "STRING", F.lit("string"))
         .otherwise(F.lit("number"))
     )
+
+
+def _m(v: Column, m: Optional[Column]) -> Column:
+    """The map cast of v: the pre-materialized attribute when provided."""
+    return m if m is not None else as_map(v)
+
+
+def _a(v: Column, a: Optional[Column]) -> Column:
+    """The array cast of v: the pre-materialized attribute when provided."""
+    return a if a is not None else as_array(v)
 
 
 def as_double(v: Column) -> Column:
@@ -102,17 +117,21 @@ def as_map(v: Column) -> Column:
     return F.try_variant_get(v, "$", "map<string,variant>")
 
 
-def is_integer_variant(v: Column) -> Column:
+def is_integer_variant(
+    v: Column, m: Optional[Column] = None, a: Optional[Column] = None
+) -> Column:
     """number AND integral (float64 semantics, like the reference's JS)."""
     d = as_double(v)
-    return (vtype(v) == "number") & d.isNotNull() & (d == F.floor(d))
+    return (vtype(v, m, a) == "number") & d.isNotNull() & (d == F.floor(d))
 
 
-def canonical_str(v: Column) -> Column:
+def canonical_str(
+    v: Column, m: Optional[Column] = None, a: Optional[Column] = None
+) -> Column:
     """Canonical string form for ERROR RENDERING: numbers numerically
     (double -> string), everything else via to_json (variant renders
     objects with sorted keys). Equality uses canonical_json below."""
-    return F.when(vtype(v) == "number", as_double(v).cast("string")).otherwise(
+    return F.when(vtype(v, m, a) == "number", as_double(v).cast("string")).otherwise(
         F.to_json(v)
     )
 
@@ -204,7 +223,7 @@ class VariantCompileWarning:
 class VariantNode:
     __slots__ = ("emit",)
 
-    def __init__(self, emit: Callable[[Column, Column], Column]):
+    def __init__(self, emit):  # emit(v, path, m=None, a=None) -> errors
         self.emit = emit  # (variant_value, path) -> errors array
 
 
@@ -258,10 +277,10 @@ def compile_variant(
     def compile_node(cur_base: str, cur_doc: Any, node: Any, depth: int, spath: str) -> VariantNode:
         cur_base, cur_doc, node = resolve_ref(refs, cur_base, cur_doc, node)
         if not isinstance(node, dict):
-            return VariantNode(lambda v, p: _empty_errors())
+            return VariantNode(lambda v, p, m=None, a=None: _empty_errors())
         if depth > max_depth:
             warning.truncated_paths.append(spath)
-            return VariantNode(lambda v, p: _empty_errors())
+            return VariantNode(lambda v, p, m=None, a=None: _empty_errors())
 
         emitters = []
         for kw in node:
@@ -269,8 +288,8 @@ def compile_variant(
             if e is not None:
                 emitters.append(e)
 
-        def emit(v: Column, path: Column) -> Column:
-            return _concat_errors([em(v, path) for em in emitters])
+        def emit(v: Column, path: Column, m=None, a=None) -> Column:
+            return _concat_errors([em(v, path, m, a) for em in emitters])
 
         return VariantNode(emit)
 
@@ -295,9 +314,13 @@ class VariantPlan:
         #: kernel (enum literals deeper than CANON_DEPTH)
         self.kernel_routed = kernel_routed
 
-    def errors_for_variant(self, v: Column) -> Column:
+    def errors_for_variant(
+        self, v: Column, m: Optional[Column] = None, a: Optional[Column] = None
+    ) -> Column:
         """errors for an already-materialized VariantType column (e.g. a
-        VARIANT table column at rest — the preferred input)."""
+        VARIANT table column at rest — the preferred input). ``m``/``a``
+        optionally inject pre-materialized root map/array casts (see
+        ``vtype``)."""
         if self.kernel_routed:
             # kernel over the variant's JSON rendering: to_json preserves
             # the stored int-vs-double distinction, json.loads restores
@@ -305,7 +328,7 @@ class VariantPlan:
             from schema_fantasy_spark.dynamic import json_errors_udf
 
             return json_errors_udf(self.schema, refs=self.refs)(F.to_json(v))
-        return self._root.emit(v, F.array().cast("array<string>"))
+        return self._root.emit(v, F.array().cast("array<string>"), m, a)
 
     def apply(
         self,
@@ -341,15 +364,35 @@ class VariantPlan:
                 F.substring(F.col(doc_col), 1, 80),
             )
         )
+        # second barrier: the ROOT map/array casts become Generate
+        # output attributes too — every root-level keyword references
+        # them (guards + member access), and interpreted variant
+        # expressions re-evaluate each inline reference (no CSE);
+        # measured ~1.4x on the recursion-keyword parity query at sf0.1
         out = (
             df.select("*", F.explode(F.array(F.try_parse_json(doc_col))).alias("__v"))
+            .select(
+                "*",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            as_map(F.col("__v")).alias("m"),
+                            as_array(F.col("__v")).alias("a"),
+                        )
+                    )
+                ).alias("__vx"),
+            )
             .withColumn(
                 errors_col,
                 F.when(F.col(doc_col).isNull(), _empty_errors())
                 .when(F.col("__v").isNull(), parse_err)
-                .otherwise(self.errors_for_variant(F.col("__v"))),
+                .otherwise(
+                    self.errors_for_variant(
+                        F.col("__v"), F.col("__vx.m"), F.col("__vx.a")
+                    )
+                ),
             )
-            .drop("__v")
+            .drop("__v", "__vx")
         )
         return out.withColumn(verdict_col, F.size(F.col(errors_col)) == 0)
 
@@ -417,8 +460,8 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         return _vk_dependencies(deps)
     if kw == "allOf":
         subs = [rec(s, f"allOf/{i}") for i, s in enumerate(sch)]
-        return lambda v, p: _compound(
-            F.size(ch := _concat_errors([s.emit(v, p) for s in subs])) > 0,
+        return lambda v, p, m=None, a=None: _compound(
+            F.size(ch := _concat_errors([s.emit(v, p, m, a) for s in subs])) > 0,
             p, "allOf", F.lit("Not all conditions valid"), ch,
         )
     if kw == "anyOf":
@@ -426,9 +469,9 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         if not subs:
             return None
 
-        def any_emit(v, p, _subs=subs):
-            arrs = [s.emit(v, p) for s in _subs]
-            n_fail = sum((F.when(F.size(a) > 0, 1).otherwise(0) for a in arrs), start=F.lit(0))
+        def any_emit(v, p, m=None, a=None, _subs=subs):
+            arrs = [s.emit(v, p, m, a) for s in _subs]
+            n_fail = sum((F.when(F.size(x) > 0, 1).otherwise(0) for x in arrs), start=F.lit(0))
             return _compound(
                 n_fail == len(_subs), p, "anyOf", F.lit("No conditions valid"),
                 _concat_errors(arrs),
@@ -438,9 +481,9 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
     if kw == "oneOf":
         subs = [rec(s, f"oneOf/{i}") for i, s in enumerate(sch)]
 
-        def one_emit(v, p, _subs=subs):
-            arrs = [s.emit(v, p) for s in _subs]
-            n_ok = sum((F.when(F.size(a) == 0, 1).otherwise(0) for a in arrs), start=F.lit(0))
+        def one_emit(v, p, m=None, a=None, _subs=subs):
+            arrs = [s.emit(v, p, m, a) for s in _subs]
+            n_ok = sum((F.when(F.size(x) == 0, 1).otherwise(0) for x in arrs), start=F.lit(0))
             none_valid = _compound(
                 n_ok == 0, p, "oneOf", F.lit("No conditions valid"), _concat_errors(arrs)
             )
@@ -452,8 +495,9 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         return one_emit
     if kw == "not":
         sub = rec(sch, "not")
-        return lambda v, p: _leaf(
-            F.size(sub.emit(v, p)) == 0, _err_struct(p, "not", F.lit("condition valid"))
+        return lambda v, p, m=None, a=None: _leaf(
+            F.size(sub.emit(v, p, m, a)) == 0,
+            _err_struct(p, "not", F.lit("condition valid")),
         )
     return None
 
@@ -463,11 +507,11 @@ def _vk_type(sch):
     expected = " or ".join(str(t) for t in types)
     tset = set(types)
 
-    def emit(v, p):
-        actual = vtype(v)
+    def emit(v, p, m=None, a=None):
+        actual = vtype(v, m, a)
         ok = actual.isin([t for t in tset if t != "integer"])
         if "integer" in tset:
-            ok = ok | is_integer_variant(v)
+            ok = ok | is_integer_variant(v, m, a)
         err = _err_struct(p, "type", F.lit("Invalid type"), F.lit(expected), actual)
         return _leaf(v.isNotNull() & ~ok, err)
 
@@ -482,8 +526,8 @@ def _vk_enum(sch):
     has_null = any(x is None for x in sch)
     composite = [x for x in sch if isinstance(x, (list, dict))]
 
-    def emit(v, p):
-        t = vtype(v)
+    def emit(v, p, m=None, a=None):
+        t = vtype(v, m, a)
         ok = F.lit(False)
         if num_targets:
             ok = ok | ((t == "number") & as_double(v).isin(num_targets))
@@ -521,7 +565,7 @@ def _vk_enum(sch):
                 t.isin(["array", "object"])
                 & F.array_contains(targets, canonical_json(v))
             )
-        err = _err_struct(p, "enum", F.lit(""), F.lit(expected), canonical_str(v))
+        err = _err_struct(p, "enum", F.lit(""), F.lit(expected), canonical_str(v, m, a))
         return _leaf(v.isNotNull() & ~ok, err)
 
     return emit
@@ -530,7 +574,7 @@ def _vk_enum(sch):
 def _vk_bound(sch, excl, is_min):
     excl = excl if isinstance(excl, bool) else False
 
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         d = as_double(v)
         bound = F.lit(float(sch))
         if is_min:
@@ -540,30 +584,30 @@ def _vk_bound(sch, excl, is_min):
             ok = d < bound if excl else d <= bound
             msg, kw = f"greater than {'or equal to ' if excl else ''}{sch}", "maximum"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v) == "number") & ~ok, err)
+        return _leaf((vtype(v, m, a) == "number") & ~ok, err)
 
     return emit
 
 
 def _vk_multiple_of(sch):
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         d = as_double(v)
         ok = (d / F.lit(float(sch))) % 1 == 0
         err = _err_struct(p, "multipleOf", F.lit(f"not a multiple of {sch}"))
-        return _leaf((vtype(v) == "number") & ~ok, err)
+        return _leaf((vtype(v, m, a) == "number") & ~ok, err)
 
     return emit
 
 
 def _vk_length(sch, is_min):
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         n = F.length(as_string(v))
         if is_min:
             ok, kw, msg = n >= sch, "minLength", f"shorter than {sch} characters"
         else:
             ok, kw, msg = n <= sch, "maxLength", f"longer than {sch} characters"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v) == "string") & ~ok, err)
+        return _leaf((vtype(v, m, a) == "string") & ~ok, err)
 
     return emit
 
@@ -571,31 +615,35 @@ def _vk_length(sch, is_min):
 def _vk_pattern(sch):
     jp = _jrx(sch)  # dialect-divergent constructs raise at compile time
 
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         err = _err_struct(p, "pattern", F.lit(f"does not match /{sch}/"))
-        return _leaf((vtype(v) == "string") & ~as_string(v).rlike(jp), err)
+        return _leaf((vtype(v, m, a) == "string") & ~as_string(v).rlike(jp), err)
 
     return emit
 
 
 def _vk_items_count(sch, is_min):
-    def emit(v, p):
-        n = F.size(as_array(v))
+    # guard via the array probe directly (vtype=='array' is equivalent
+    # but builds the map probe first; trap: interpreted mode re-evaluates
+    # every inline reference)
+    def emit(v, p, m=None, a=None):
+        arr = _a(v, a)
+        n = F.size(arr)
         if is_min:
             ok, kw, msg = n >= sch, "minItems", f"less than {sch} items"
         else:
             ok, kw, msg = n <= sch, "maxItems", f"more than {sch} items"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v) == "array") & ~ok, err)
+        return _leaf(arr.isNotNull() & ~ok, err)
 
     return emit
 
 
 def _vk_unique_items(sch):
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         if sch is False:
             return _empty_errors()
-        arr = as_array(v)
+        arr = _a(v, a)
         canon = F.transform(arr, lambda x: canonical_json(x))
         ndup = F.size(canon) - F.size(F.array_distinct(canon))
         msg = F.concat(
@@ -606,31 +654,32 @@ def _vk_unique_items(sch):
             F.lit(" found"),
         )
         err = _err_struct(p, "uniqueItems", msg)
-        return _leaf((vtype(v) == "array") & (ndup > 0), err)
+        return _leaf(arr.isNotNull() & (ndup > 0), err)
 
     return emit
 
 
 def _vk_props_count(sch, is_min):
-    def emit(v, p):
-        n = F.size(F.map_keys(as_map(v)))
+    def emit(v, p, m=None, a=None):
+        mm = _m(v, m)
+        n = F.size(F.map_keys(mm))
         if is_min:
             ok, kw, msg = n >= sch, "minProperties", f"less than {sch} properties"
         else:
             ok, kw, msg = n <= sch, "maxProperties", f"more than {sch} properties"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v) == "object") & ~ok, err)
+        return _leaf(mm.isNotNull() & ~ok, err)
 
     return emit
 
 
 def _vk_required(sch):
-    def emit(v, p):
-        m = as_map(v)
-        guard = vtype(v) == "object"
+    def emit(v, p, m=None, a=None):
+        mm = _m(v, m)
+        guard = mm.isNotNull()
         parts = [
             _leaf(
-                guard & ~F.map_contains_key(m, req),
+                guard & ~F.map_contains_key(mm, req),
                 _err_struct(p, "required", F.lit(f"missing {req}")),
             )
             for req in sch
@@ -641,15 +690,15 @@ def _vk_required(sch):
 
 
 def _vk_properties(subs: Dict[str, VariantNode]):
-    def emit(v, p):
-        m = as_map(v)
-        guard = vtype(v) == "object"
+    def emit(v, p, m=None, a=None):
+        mm = _m(v, m)
+        guard = mm.isNotNull()
         parts = []
         for key, sub in subs.items():
-            child_v = F.try_element_at(m, F.lit(key))
+            child_v = F.try_element_at(mm, F.lit(key))
             child = sub.emit(child_v, F.concat(p, F.array(F.lit(key))))
             parts.append(
-                F.when(guard & F.map_contains_key(m, key), child).otherwise(_empty_errors())
+                F.when(guard & F.map_contains_key(mm, key), child).otherwise(_empty_errors())
             )
         return _concat_errors(parts)
 
@@ -657,15 +706,15 @@ def _vk_properties(subs: Dict[str, VariantNode]):
 
 
 def _vk_pattern_properties(subs: List[Tuple[str, VariantNode]]):
-    def emit(v, p):
-        m = as_map(v)
-        guard = vtype(v) == "object"
+    def emit(v, p, m=None, a=None):
+        mm = _m(v, m)
+        guard = mm.isNotNull()
         parts = []
         for raw, sub in subs:
-            matched_keys = F.filter(F.map_keys(m), lambda k: k.rlike(_jrx(raw)))
+            matched_keys = F.filter(F.map_keys(mm), lambda k: k.rlike(_jrx(raw)))
             per_key = F.transform(
                 matched_keys,
-                lambda k: sub.emit(F.try_element_at(m, k), F.concat(p, F.array(k))),
+                lambda k: sub.emit(F.try_element_at(mm, k), F.concat(p, F.array(k))),
             )
             parts.append(F.when(guard, F.flatten(per_key)).otherwise(_empty_errors()))
         return _concat_errors(parts)
@@ -683,12 +732,12 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
 
         return F.filter(F.map_keys(m), is_add)
 
-    def emit(v, p):
+    def emit(v, p, m=None, a=None):
         if sch is True:
             return _empty_errors()
-        m = as_map(v)
-        guard = vtype(v) == "object"
-        addkeys = addkeys_col(m)
+        mm = _m(v, m)
+        guard = mm.isNotNull()
+        addkeys = addkeys_col(mm)
         n = F.size(addkeys)
         if sch is False:
             msg = F.concat(
@@ -701,7 +750,7 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
             return _leaf(guard & (n > 0), err)
         child_arrays = F.transform(
             addkeys,
-            lambda k: sub.emit(F.try_element_at(m, k), F.concat(p, F.array(k))),
+            lambda k: sub.emit(F.try_element_at(mm, k), F.concat(p, F.array(k))),
         )
         children = F.flatten(child_arrays)
         fail_keys = F.filter(
@@ -723,68 +772,61 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
 
 
 def _vk_items_homogeneous(sub: VariantNode):
-    def emit(v, p):
-        arr = as_array(v)
+    def emit(v, p, m=None, a=None):
+        arr = _a(v, a)
         per_elem = F.transform(
             arr, lambda x, i: sub.emit(x, F.concat(p, F.array(i.cast("string"))))
         )
-        return F.when(vtype(v) == "array", F.flatten(per_elem)).otherwise(_empty_errors())
+        return F.when(arr.isNotNull(), F.flatten(per_elem)).otherwise(_empty_errors())
 
     return emit
 
 
 def _vk_items_tuple(subs: List[VariantNode], add_sch, add_node):
-    def emit(v, p):
-        arr = as_array(v)
-        guard = vtype(v) == "array"
-        parts = []
-        for i, sub in enumerate(subs):
-            elem = F.element_at(arr, i + 1)
-            child = sub.emit(elem, F.concat(p, F.array(F.lit(str(i)))))
-            parts.append(F.when(guard & (F.size(arr) > i), child).otherwise(_empty_errors()))
+    # ONE transform over the array instead of one slice/element_at per
+    # tuple slot: each extra reference to the array re-evaluates the
+    # whole parent chain (root map build -> property get -> array build)
+    # in interpreted variant mode — measured ~2x on the tuple-items
+    # parity query at sf0.1. Error order is unchanged: each tuple slot
+    # touches exactly its own element, so slot order == element order.
+    def emit(v, p, m=None, a=None):
+        arr = _a(v, a)
+        guard = arr.isNotNull()
         k = len(subs)
-        if add_sch is False:
-            extra = F.when(
-                guard & (F.size(arr) > k),
-                F.transform(
-                    F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0))),
-                    lambda _x, i: _err_struct(
-                        F.concat(p, F.array((i + k).cast("string"))),
-                        "items",
-                        F.lit("additional item found"),
-                    ),
-                ),
-            ).otherwise(_empty_errors())
-            parts.append(extra)
-        elif add_node is not None:
-            extra = F.when(
-                guard & (F.size(arr) > k),
-                F.flatten(
-                    F.transform(
-                        F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0))),
-                        lambda x, i: add_node.emit(
-                            x, F.concat(p, F.array((i + k).cast("string")))
-                        ),
-                    )
-                ),
-            ).otherwise(_empty_errors())
-            parts.append(extra)
-        return _concat_errors(parts)
+
+        def per_elem(x, i):
+            ep = F.concat(p, F.array(i.cast("string")))
+            w = None
+            for j, sub in enumerate(subs):
+                child = sub.emit(x, ep)
+                w = F.when(i == j, child) if w is None else w.when(i == j, child)
+            if add_sch is False:
+                extra = F.array(
+                    _err_struct(ep, "items", F.lit("additional item found"))
+                )
+            elif add_node is not None:
+                extra = add_node.emit(x, ep)
+            else:
+                extra = _empty_errors()
+            return extra if w is None else w.otherwise(extra)
+
+        per = F.transform(arr, per_elem)
+        return F.when(guard, F.flatten(per)).otherwise(_empty_errors())
 
     return emit
 
 
 def _vk_dependencies(deps):
-    def emit(v, p):
-        m = as_map(v)
-        guard = vtype(v) == "object"
+    def emit(v, p, m=None, a=None):
+        mm = _m(v, m)
+        guard = mm.isNotNull()
         parts = []
         for key, dep, sub in deps:
-            present = guard & F.map_contains_key(m, key)
+            present = guard & F.map_contains_key(mm, key)
             if isinstance(dep, list):
                 missing_entries = [
                     F.when(
-                        ~F.map_contains_key(m, d),
+                        ~F.map_contains_key(mm, d),
                         _err_struct(
                             p, "dependencies", F.lit(f'Missing "{d}" given "{key}"')
                         ),
@@ -800,7 +842,7 @@ def _vk_dependencies(deps):
                 )
                 parts.append(_compound(present & (nm > 0), p, "dependencies", msg, children))
             elif sub is not None:
-                children = sub.emit(v, p)
+                children = sub.emit(v, p, m, a)
                 parts.append(
                     _compound(
                         present & (F.size(children) > 0),
