@@ -1916,20 +1916,27 @@ def oracle_sql() -> dict[str, str]:
     _mm_cte = f"""
     WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
                  FROM documents WHERE doc_id IS NOT NULL),
-    n AS (SELECT doc_id, {", ".join(f"{_nib(i)} AS n{i}" for i in range(1, 14))}
+    n AS (SELECT doc_id, {", ".join(f"{_nib(i)} AS n{i}" for i in range(1, 15))}
             FROM p)
     """
 
+    # webp rows (n1%4=3) split lossless/LOSSY by n14: lossy frames are
+    # gray two-tone, h=32 (MB-row boundary), top tone = n4*16+n5 with
+    # its exact inverse below — so the phash/brightness selectors reduce
+    # to the same n4*16+n5 >= 128 form the jpeg corpus uses
     image_decode_sql = _mm_cte + """
+    , f AS (SELECT *, (n1 % 4 = 3 AND n14 % 2 = 1) AS lossy FROM n)
     SELECT doc_id,
            4 + n2 AS width,
-           8 * (1 + n3 % 3) AS height,
+           CASE WHEN lossy THEN 32 ELSE 8 * (1 + n3 % 3) END AS height,
            CASE n1 % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'webp' END AS format,
-           CASE WHEN (n4*16+n5) + (n6*16+n7) + (n8*16+n9) >= 383
+           CASE WHEN (CASE WHEN lossy THEN (n4*16+n5) * 3
+                           ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383
                 THEN 4294967295 ELSE 9223372032559808512 END AS phash,
            16 AS n_dims,
-           ((n4*16+n5) + (n6*16+n7) + (n8*16+n9)) >= 383 AS top_brighter
-      FROM n
+           (CASE WHEN lossy THEN (n4*16+n5) * 3
+                 ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383 AS top_brighter
+      FROM f
     """
 
     jpeg_decode_sql = _mm_cte + """

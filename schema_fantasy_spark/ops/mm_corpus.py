@@ -237,6 +237,16 @@ def _image_payload(doc_id: int) -> bytes:
     if fsel == 1:
         return encode_ppm6(px)
     if fsel == 3:
+        # webp rows split lossless VP8L / LOSSY VP8 by nibble 13: the
+        # lossy frames are gray two-tone on the 16-row MB boundary
+        # (h=32), top tone = the same n4*16+n5 nibble pair the jpeg
+        # corpus uses, bottom its exact inverse — the VP8 integer
+        # reconstruction (ops/vp8.vp8_dc_delta) hits both tones exactly
+        if nib[13] % 2 == 1:
+            from schema_fantasy_spark.ops.webp import encode_webp_lossy_two_tone
+
+            ta = nib[3] * 16 + nib[4]
+            return encode_webp_lossy_two_tone(w, 32, ta - 128, 255 - 2 * ta)
         from schema_fantasy_spark.ops.webp import encode_webp_lossless_two_tone
 
         return encode_webp_lossless_two_tone(px)

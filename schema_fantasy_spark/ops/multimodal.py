@@ -345,9 +345,11 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     PNG (all color types 0/2/3/4/6, depths 1-16, all filters, Adam7 —
     stdlib zlib), JPEG — baseline AND progressive (huffman decode,
     chroma subsampling, restart markers, successive approximation —
-    pure numpy, ops/jpeg.py), and lossless WebP (VP8L — prefix codes,
-    color cache, LZ77, all transforms, ops/webp.py). None for anything
-    else (lossy VP8 / video codecs need codec libraries)."""
+    pure numpy, ops/jpeg.py), and WebP — BOTH variants: lossless VP8L
+    (prefix codes, color cache, LZ77, all transforms, ops/webp.py) and
+    lossy VP8 key frames (boolean arithmetic decoder, token decode,
+    WHT/DCT, intra prediction — RFC 6386 in pure numpy, ops/vp8.py).
+    None for anything else (video codecs need codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
@@ -355,9 +357,9 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
 
         return decode_jpeg_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        from schema_fantasy_spark.ops.webp import decode_webp_lossless
+        from schema_fantasy_spark.ops.webp import decode_webp
 
-        return decode_webp_lossless(payload)  # VP8L; None for lossy VP8
+        return decode_webp(payload)  # VP8L or lossy VP8 key frame
     if payload[:2] == b"BM" and len(payload) >= 54:
         data_off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)

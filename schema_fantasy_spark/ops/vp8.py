@@ -1,0 +1,797 @@
+"""VP8 lossy key-frame decode, pure numpy/stdlib — RFC 6386 from scratch.
+
+Completes the WebP family: ``ops/webp.py`` decodes VP8L (lossless) for
+real; this module decodes the LOSSY ``'VP8 '`` chunk — boolean
+arithmetic decoder, frame/quant/probability header parse, token
+(coefficient) decode with the full default probability model, dequant,
+inverse WHT + inverse DCT, and 16x16/chroma intra prediction — all
+implemented from the public RFC 6386 pseudocode (section numbers cited
+inline). Scope notes:
+
+* KEY frames only (intra). Inter-frame decode (motion vectors,
+  reference buffers) is the remaining stub in ``ops/multimodal.py`` —
+  a training pipeline samples keyframes anyway.
+* Both intra families are supported at the MB level the corpus uses:
+  16x16 modes (DC/V/H/TM + Y2 WHT) and chroma DC/V/H/TM. B_PRED
+  (per-4x4 sub-modes) decodes the mode bits but is rejected as
+  unsupported payload (returns None) rather than mis-reconstructing.
+* The in-loop deblocking filter is parsed and applied only at level 0
+  (= disabled, a no-op); streams with a nonzero filter level return
+  None rather than emitting not-bit-exact pixels. The gate corpus
+  encodes filter level 0.
+* Output is the Y plane (the gate corpus codes flat U=V=128 chroma =
+  achromatic); ``decode_vp8_gray`` documents that contract. Chroma
+  planes are fully decoded and returned too.
+
+The sibling ``encode_vp8_two_tone`` writes a minimal spec-conformant
+key frame (16x16 DC_PRED, DC-only residuals through the Y2/WHT chain,
+skip for zero-residual MBs) used by the oracle-gated corpus: the
+decoded tone is an exact integer function of the coded level and
+quantizer index (``vp8_dc_delta``), which the DuckDB oracle recomputes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------- RFC tables
+
+# RFC 6386 14.1: dequantization lookups, indexed by clamped q index
+DC_QLOOKUP = [
+    4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17,
+    18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28,
+    29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43,
+    44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+    59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74,
+    75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89,
+    91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114, 116, 118,
+    122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143, 145, 148, 151, 154, 157,
+]
+AC_QLOOKUP = [
+    4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35,
+    36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51,
+    52, 53, 54, 55, 56, 57, 58, 60, 62, 64, 66, 68, 70, 72, 74, 76,
+    78, 80, 82, 84, 86, 88, 90, 92, 94, 96, 98, 100, 102, 104, 106, 108,
+    110, 112, 114, 116, 119, 122, 125, 128, 131, 134, 137, 140, 143, 146, 149, 152,
+    155, 158, 161, 164, 167, 170, 173, 177, 181, 185, 189, 193, 197, 201, 205, 209,
+    213, 217, 221, 225, 229, 234, 239, 245, 249, 254, 259, 264, 269, 274, 279, 284,
+]
+
+# RFC 6386 13.2: coefficient token tree and extra-bit categories
+#   tokens: 0=ZERO 1=ONE 2=TWO 3=THREE 4=FOUR 5=cat1(5-6) 6=cat2(7-10)
+#   7=cat3(11-18) 8=cat4(19-34) 9=cat5(35-66) 10=cat6(67-2048) 11=EOB
+DCT_EOB = 11
+COEFF_TREE = [
+    -DCT_EOB, 2,            # eob vs rest
+    -0, 4,                  # ZERO
+    -1, 6,                  # ONE
+    8, 12,
+    -2, 10,                 # TWO
+    -3, -4,                 # THREE, FOUR
+    14, 16,
+    -5, -6,                 # cat1, cat2
+    18, 20,
+    -7, -8,                 # cat3, cat4
+    -9, -10,                # cat5, cat6
+]
+CAT_PROBS = [
+    [159],
+    [165, 145],
+    [173, 148, 140],
+    [176, 155, 140, 135],
+    [180, 157, 141, 134, 130],
+    [254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129],
+]
+CAT_BASE = [5, 7, 11, 19, 35, 67]
+
+# RFC 6386 13.4: coefficient position -> band
+COEFF_BANDS = [0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7]
+
+# RFC 6386 8.2 / 14.3: zigzag
+ZIGZAG = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+
+# RFC 6386 11.2: key-frame intra Y mode tree (fixed probabilities) —
+# modes: 0=DC_PRED 1=V_PRED 2=H_PRED 3=TM_PRED 4=B_PRED
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
+KF_YMODE_TREE = [-4, 2, 4, 6, -0, -1, -2, -3]
+KF_YMODE_PROBS = [145, 156, 163, 128]
+# chroma mode tree (0=DC 1=V 2=H 3=TM)
+UV_MODE_TREE = [-0, 2, -1, 4, -2, -3]
+KF_UV_MODE_PROBS = [142, 114, 183]
+
+# RFC 6386 13.5: default coefficient probabilities,
+# [block_type 4][band 8][context 3][prob 11]
+DEFAULT_COEFF_PROBS = [
+  [  # block type 0 (Y after Y2)
+    [[253,136,254,255,228,219,128,128,128,128,128],[189,129,242,255,227,213,255,219,128,128,128],[106,126,227,252,214,209,255,255,128,128,128]],
+    [[1,98,248,255,236,226,255,255,128,128,128],[181,133,238,254,221,234,255,154,128,128,128],[78,134,202,247,198,180,255,219,128,128,128]],
+    [[1,185,249,255,243,255,128,128,128,128,128],[184,150,247,255,236,224,128,128,128,128,128],[77,110,216,255,236,230,128,128,128,128,128]],
+    [[1,101,251,255,241,255,128,128,128,128,128],[170,139,241,252,236,209,255,255,128,128,128],[37,116,196,243,228,255,255,255,128,128,128]],
+    [[1,204,254,255,245,255,128,128,128,128,128],[207,160,250,255,238,128,128,128,128,128,128],[102,103,225,255,210,240,128,128,128,128,128]],
+    [[1,152,252,255,240,255,128,128,128,128,128],[177,135,243,255,234,225,128,128,128,128,128],[80,129,211,255,194,224,128,128,128,128,128]],
+    [[1,1,243,255,254,255,128,128,128,128,128],[238,1,255,128,128,128,128,128,128,128,128],[75,1,255,128,128,128,128,128,128,128,128]],
+    [[128,128,128,128,128,128,128,128,128,128,128],[128,128,128,128,128,128,128,128,128,128,128],[128,128,128,128,128,128,128,128,128,128,128]],
+  ],
+  [  # block type 1 (Y2)
+    [[198,35,237,223,193,187,162,160,145,155,62],[131,45,198,221,172,176,220,157,252,221,1],[68,47,146,208,149,167,221,162,255,223,128]],
+    [[1,149,241,255,221,224,255,255,128,128,128],[184,141,234,253,222,220,255,199,128,128,128],[81,99,181,242,176,190,249,202,255,255,128]],
+    [[1,129,232,253,214,197,242,196,255,255,128],[99,121,210,250,201,198,255,202,128,128,128],[23,91,163,242,170,187,247,210,255,255,128]],
+    [[1,200,246,255,234,255,128,128,128,128,128],[109,178,241,255,231,245,255,255,128,128,128],[44,130,201,253,205,192,255,255,128,128,128]],
+    [[1,132,239,251,219,209,255,165,128,128,128],[94,136,225,251,218,190,255,255,128,128,128],[22,100,174,245,186,161,255,199,128,128,128]],
+    [[1,182,249,255,232,235,128,128,128,128,128],[124,143,241,255,227,234,128,128,128,128,128],[35,77,181,251,193,211,255,205,128,128,128]],
+    [[1,157,247,255,236,231,255,255,128,128,128],[121,141,235,255,225,227,255,255,128,128,128],[45,99,188,251,195,217,255,224,128,128,128]],
+    [[1,1,251,255,213,255,128,128,128,128,128],[203,1,248,255,255,128,128,128,128,128,128],[137,1,177,255,224,255,128,128,128,128,128]],
+  ],
+  [  # block type 2 (chroma)
+    [[253,9,248,251,207,208,255,192,128,128,128],[175,13,224,243,193,185,249,198,255,255,128],[73,17,171,221,161,179,236,167,255,234,128]],
+    [[1,95,247,253,212,183,255,255,128,128,128],[239,90,244,250,211,209,255,255,128,128,128],[155,77,195,248,188,195,255,255,128,128,128]],
+    [[1,24,239,251,218,219,255,205,128,128,128],[201,51,219,255,196,186,128,128,128,128,128],[69,46,190,239,201,218,255,228,128,128,128]],
+    [[1,191,251,255,255,128,128,128,128,128,128],[223,165,249,255,213,255,128,128,128,128,128],[141,124,248,255,255,128,128,128,128,128,128]],
+    [[1,16,248,255,255,128,128,128,128,128,128],[190,36,230,255,236,255,128,128,128,128,128],[149,1,255,128,128,128,128,128,128,128,128]],
+    [[1,226,255,128,128,128,128,128,128,128,128],[247,192,255,128,128,128,128,128,128,128,128],[240,128,255,128,128,128,128,128,128,128,128]],
+    [[1,134,252,255,255,128,128,128,128,128,128],[213,62,250,255,255,128,128,128,128,128,128],[55,93,255,128,128,128,128,128,128,128,128]],
+    [[128,128,128,128,128,128,128,128,128,128,128],[128,128,128,128,128,128,128,128,128,128,128],[128,128,128,128,128,128,128,128,128,128,128]],
+  ],
+  [  # block type 3 (Y with Y2 absent, i.e. B_PRED)
+    [[202,24,213,235,186,191,220,160,240,175,255],[126,38,166,203,127,159,232,113,255,191,128],[61,46,138,188,134,149,228,130,255,219,128]],
+    [[1,112,230,250,199,191,247,159,255,255,128],[166,109,228,252,211,215,255,223,128,128,128],[39,77,162,232,172,180,245,178,255,255,128]],
+    [[1,52,220,246,198,199,249,220,255,255,128],[124,74,191,243,183,193,250,221,255,255,128],[24,71,130,219,154,170,243,182,255,255,128]],
+    [[1,182,225,249,219,240,255,224,128,128,128],[149,150,226,252,216,205,255,171,128,128,128],[28,108,170,242,183,194,254,223,255,255,128]],
+    [[1,81,230,252,204,203,255,192,128,128,128],[123,102,209,247,188,196,255,233,128,128,128],[20,95,153,243,164,173,255,203,128,128,128]],
+    [[1,222,248,255,216,213,128,128,128,128,128],[168,175,246,252,235,205,255,255,128,128,128],[47,116,215,255,211,212,255,255,128,128,128]],
+    [[1,121,236,253,212,214,255,255,128,128,128],[141,84,213,252,201,202,255,219,128,128,128],[42,80,160,240,162,185,255,205,128,128,128]],
+    [[1,1,255,128,128,128,128,128,128,128,128],[244,1,255,128,128,128,128,128,128,128,128],[238,1,255,128,128,128,128,128,128,128,128]],
+  ],
+]
+
+# RFC 6386 13.4: probabilities of UPDATING each coefficient probability
+# (the decoder must consume one flag per entry, coded with these probs)
+COEFF_UPDATE_PROBS = [
+  [
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[176,246,255,255,255,255,255,255,255,255,255],[223,241,252,255,255,255,255,255,255,255,255],[249,253,253,255,255,255,255,255,255,255,255]],
+    [[255,244,252,255,255,255,255,255,255,255,255],[234,254,254,255,255,255,255,255,255,255,255],[253,255,254,255,255,255,255,255,255,255,255]],
+    [[255,246,254,255,255,255,255,255,255,255,255],[239,253,254,255,255,255,255,255,255,255,255],[254,255,254,255,255,255,255,255,255,255,255]],
+    [[255,248,254,255,255,255,255,255,255,255,255],[251,255,254,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,253,254,255,255,255,255,255,255,255,255],[251,254,254,255,255,255,255,255,255,255,255],[254,255,254,255,255,255,255,255,255,255,255]],
+    [[255,254,253,255,254,255,255,255,255,255,255],[250,255,254,255,254,255,255,255,255,255,255],[254,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+  ],
+  [
+    [[217,255,255,255,255,255,255,255,255,255,255],[225,252,241,253,255,255,254,255,255,255,255],[234,250,241,250,253,255,253,254,255,255,255]],
+    [[255,254,255,255,255,255,255,255,255,255,255],[223,254,254,255,255,255,255,255,255,255,255],[238,253,254,254,255,255,255,255,255,255,255]],
+    [[255,248,254,255,255,255,255,255,255,255,255],[249,254,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,253,255,255,255,255,255,255,255,255,255],[247,254,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,253,254,255,255,255,255,255,255,255,255],[252,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,254,254,255,255,255,255,255,255,255,255],[253,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,254,253,255,255,255,255,255,255,255,255],[250,255,255,255,255,255,255,255,255,255,255],[254,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+  ],
+  [
+    [[186,255,255,255,255,255,255,255,255,255,255],[234,251,244,254,255,255,255,255,255,255,255],[251,251,243,253,254,255,254,255,255,255,255]],
+    [[255,253,254,255,255,255,255,255,255,255,255],[236,253,254,255,255,255,255,255,255,255,255],[251,253,253,254,254,255,255,255,255,255,255]],
+    [[255,254,254,255,255,255,255,255,255,255,255],[254,254,254,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,254,255,255,255,255,255,255,255,255,255],[254,254,255,255,255,255,255,255,255,255,255],[254,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[254,255,254,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[254,255,254,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+  ],
+  [
+    [[248,255,255,255,255,255,255,255,255,255,255],[250,254,252,254,255,255,255,255,255,255,255],[248,254,249,253,255,255,255,255,255,255,255]],
+    [[255,253,253,255,255,255,255,255,255,255,255],[246,253,253,255,255,255,255,255,255,255,255],[252,254,251,254,254,255,255,255,255,255,255]],
+    [[255,254,252,255,255,255,255,255,255,255,255],[248,254,253,255,255,255,255,255,255,255,255],[253,255,254,254,255,255,255,255,255,255,255]],
+    [[255,251,254,255,255,255,255,255,255,255,255],[245,251,254,255,255,255,255,255,255,255,255],[253,255,254,255,255,255,255,255,255,255,255]],
+    [[255,251,253,255,255,255,255,255,255,255,255],[252,253,254,255,255,255,255,255,255,255,255],[255,254,255,255,255,255,255,255,255,255,255]],
+    [[255,252,255,255,255,255,255,255,255,255,255],[249,255,254,255,255,255,255,255,255,255,255],[255,255,254,255,255,255,255,255,255,255,255]],
+    [[255,255,253,255,255,255,255,255,255,255,255],[250,255,255,255,255,255,255,255,255,255,255],[254,255,255,255,255,255,255,255,255,255,255]],
+    [[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255],[255,255,255,255,255,255,255,255,255,255,255]],
+  ],
+]
+
+
+# ------------------------------------------------- boolean coder (7.2/7.3)
+
+
+class BoolDecoder:
+    """RFC 6386 7.3 boolean arithmetic decoder."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 2
+        self.value = ((data[0] << 8) | data[1]) if len(data) >= 2 else (
+            (data[0] << 8) if data else 0
+        )
+        self.range_ = 255
+        self.bit_count = 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range_ - 1) * prob) >> 8)
+        bigsplit = split << 8
+        if self.value >= bigsplit:
+            ret = 1
+            self.range_ -= split
+            self.value -= bigsplit
+        else:
+            ret = 0
+            self.range_ = split
+        while self.range_ < 128:
+            self.value <<= 1
+            self.range_ <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                self.value |= nxt
+                self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.get(128) else v
+
+    def tree(self, tree: List[int], probs, start: int = 0) -> int:
+        i = start
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """Inverse of BoolDecoder (RFC 6386 7.2 pseudocode, incl. carry
+    propagation); validated by randomized round-trip tests."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range_ = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self):
+        i = len(self.out) - 1
+        while i >= 0 and self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        if i >= 0:
+            self.out[i] += 1
+
+    def put(self, bit: int, prob: int) -> None:
+        split = 1 + (((self.range_ - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range_ -= split
+        else:
+            self.range_ = split
+        while self.range_ < 128:
+            self.range_ <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def put_literal(self, v: int, n: int) -> None:
+        for b in range(n - 1, -1, -1):
+            self.put((v >> b) & 1, 128)
+
+    def put_tree(self, tree: List[int], probs, leaf: int, start: int = 0) -> None:
+        # walk the tree to the leaf, emitting the branch bits
+        path = []
+        found = self._find(tree, start, leaf, path)
+        assert found, (leaf, start)
+        for i, bit in path:
+            self.put(bit, probs[i >> 1])
+
+    def _find(self, tree, i, leaf, path):
+        for bit in (0, 1):
+            nxt = tree[i + bit]
+            if nxt == -leaf and nxt <= 0:
+                path.append((i, bit))
+                return True
+            if nxt > 0:
+                path.append((i, bit))
+                if self._find(tree, nxt, leaf, path):
+                    return True
+                path.pop()
+        return False
+
+    def flush(self) -> bytes:
+        c = self.bit_count
+        v = self.bottom
+        if v & (1 << (32 - c)):
+            self._carry()
+        v = (v << (c & 7)) & 0xFFFFFFFF
+        c >>= 3
+        while c > 0:
+            v = (v << 8) & 0xFFFFFFFF
+            c -= 1
+        for _ in range(4):
+            self.out.append((v >> 24) & 0xFF)
+            v = (v << 8) & 0xFFFFFFFF
+        return bytes(self.out)
+
+
+# -------------------------------------------- transforms (14.3/14.4)
+
+
+def inv_walsh4x4(coeffs: List[int]) -> List[int]:
+    """Inverse WHT for the Y2 (DC) block: 16 outputs = the DCs of the
+    16 Y subblocks in raster order."""
+    t = [0] * 16
+    for i in range(4):
+        a1 = coeffs[i] + coeffs[12 + i]
+        b1 = coeffs[4 + i] + coeffs[8 + i]
+        c1 = coeffs[4 + i] - coeffs[8 + i]
+        d1 = coeffs[i] - coeffs[12 + i]
+        t[i] = a1 + b1
+        t[4 + i] = c1 + d1
+        t[8 + i] = a1 - b1
+        t[12 + i] = d1 - c1
+    out = [0] * 16
+    for j in range(4):
+        a1 = t[4 * j] + t[4 * j + 3]
+        b1 = t[4 * j + 1] + t[4 * j + 2]
+        c1 = t[4 * j + 1] - t[4 * j + 2]
+        d1 = t[4 * j] - t[4 * j + 3]
+        out[4 * j] = (a1 + b1 + 3) >> 3
+        out[4 * j + 1] = (c1 + d1 + 3) >> 3
+        out[4 * j + 2] = (a1 - b1 + 3) >> 3
+        out[4 * j + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+_COS = 20091   # cospi8sqrt2minus1 in Q16
+_SIN = 35468   # sinpi8sqrt2 in Q16
+
+
+def inv_dct4x4(coeffs: List[int]) -> np.ndarray:
+    """VP8 4x4 inverse transform -> residual block (int array)."""
+    t = [0] * 16
+    for i in range(4):
+        a1 = coeffs[i] + coeffs[8 + i]
+        b1 = coeffs[i] - coeffs[8 + i]
+        temp1 = (coeffs[4 + i] * _SIN) >> 16
+        temp2 = coeffs[12 + i] + ((coeffs[12 + i] * _COS) >> 16)
+        c1 = temp1 - temp2
+        temp1 = coeffs[4 + i] + ((coeffs[4 + i] * _COS) >> 16)
+        temp2 = (coeffs[12 + i] * _SIN) >> 16
+        d1 = temp1 + temp2
+        t[i] = a1 + d1
+        t[12 + i] = a1 - d1
+        t[4 + i] = b1 + c1
+        t[8 + i] = b1 - c1
+    out = np.zeros((4, 4), dtype=np.int32)
+    for j in range(4):
+        a1 = t[4 * j] + t[4 * j + 2]
+        b1 = t[4 * j] - t[4 * j + 2]
+        temp1 = (t[4 * j + 1] * _SIN) >> 16
+        temp2 = t[4 * j + 3] + ((t[4 * j + 3] * _COS) >> 16)
+        c1 = temp1 - temp2
+        temp1 = t[4 * j + 1] + ((t[4 * j + 1] * _COS) >> 16)
+        temp2 = (t[4 * j + 3] * _SIN) >> 16
+        d1 = temp1 + temp2
+        out[j, 0] = (a1 + d1 + 4) >> 3
+        out[j, 3] = (a1 - d1 + 4) >> 3
+        out[j, 1] = (b1 + c1 + 4) >> 3
+        out[j, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+# --------------------------------------------------- dequant (9.6/14.1)
+
+
+def _clamp_q(i: int) -> int:
+    return 0 if i < 0 else (127 if i > 127 else i)
+
+
+def frame_quants(y_ac_qi, y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d):
+    """(y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac) dequant factors."""
+    y_dc = DC_QLOOKUP[_clamp_q(y_ac_qi + y_dc_d)]
+    y_ac = AC_QLOOKUP[_clamp_q(y_ac_qi)]
+    y2_dc = DC_QLOOKUP[_clamp_q(y_ac_qi + y2_dc_d)] * 2
+    y2_ac = AC_QLOOKUP[_clamp_q(y_ac_qi + y2_ac_d)] * 155 // 100
+    if y2_ac < 8:
+        y2_ac = 8
+    uv_dc = DC_QLOOKUP[_clamp_q(y_ac_qi + uv_dc_d)]
+    if uv_dc > 132:
+        uv_dc = 132
+    uv_ac = AC_QLOOKUP[_clamp_q(y_ac_qi + uv_ac_d)]
+    return y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac
+
+
+# ----------------------------------------------- token decode (13.3)
+
+
+def _decode_coeffs(bd, probs, block_type, first_coeff, ctx, dq_dc, dq_ac):
+    """Decode one 4x4 block's coefficients -> (coeffs[16] dequantized in
+    raster order, any_nonzero). ``ctx`` = above_nz + left_nz."""
+    coeffs = [0] * 16
+    i = first_coeff
+    start = 0
+    nonzero = False
+    while i < 16:
+        band = COEFF_BANDS[i]
+        p = probs[block_type][band][ctx]
+        token = bd.tree(COEFF_TREE, p, start)
+        if token == DCT_EOB:
+            break
+        if token == 0:  # ZERO
+            ctx = 0
+            start = 2  # no EOB directly after a zero run token
+            i += 1
+            continue
+        if token <= 4:
+            val = token
+        else:
+            cat = token - 5
+            extra = 0
+            for cp in CAT_PROBS[cat]:
+                extra = (extra << 1) | bd.get(cp)
+            val = CAT_BASE[cat] + extra
+        if bd.get(128):  # sign
+            val = -val
+        dq = dq_dc if i == 0 else dq_ac
+        coeffs[ZIGZAG[i]] = val * dq
+        nonzero = True
+        ctx = 1 if val in (1, -1) else 2
+        start = 0
+        i += 1
+    return coeffs, nonzero
+
+
+# -------------------------------------------------------- prediction
+
+
+def _pred_dc(plane, r, c, size):
+    """DC prediction for a size x size block at (r, c) in plane."""
+    have_above = r > 0
+    have_left = c > 0
+    if have_above and have_left:
+        s = int(plane[r - 1, c:c + size].sum()) + int(plane[r:r + size, c - 1].sum())
+        return (s + size) >> (5 if size == 16 else 4)
+    if have_above:
+        s = int(plane[r - 1, c:c + size].sum())
+        return (s + (size >> 1)) >> (4 if size == 16 else 3)
+    if have_left:
+        s = int(plane[r:r + size, c - 1].sum())
+        return (s + (size >> 1)) >> (4 if size == 16 else 3)
+    return 128
+
+
+def _predict(plane, r, c, size, mode):
+    """Fill the size x size block at (r,c) with its intra prediction."""
+    if mode == DC_PRED:
+        plane[r:r + size, c:c + size] = _pred_dc(plane, r, c, size)
+    elif mode == V_PRED:
+        row = plane[r - 1, c:c + size] if r > 0 else np.full(size, 127, np.int32)
+        plane[r:r + size, c:c + size] = row[None, :]
+    elif mode == H_PRED:
+        col = plane[r:r + size, c - 1] if c > 0 else np.full(size, 129, np.int32)
+        plane[r:r + size, c:c + size] = col[:, None]
+    else:  # TM_PRED
+        above = plane[r - 1, c:c + size].astype(np.int32) if r > 0 else np.full(size, 127, np.int32)
+        left = plane[r:r + size, c - 1].astype(np.int32) if c > 0 else np.full(size, 129, np.int32)
+        al = int(plane[r - 1, c - 1]) if (r > 0 and c > 0) else (127 if r > 0 else 129)
+        blk = left[:, None] + above[None, :] - al
+        plane[r:r + size, c:c + size] = np.clip(blk, 0, 255)
+
+
+# ------------------------------------------------------- frame decode
+
+
+def decode_vp8_frame(data: bytes):
+    """Decode a VP8 KEY frame -> (y, u, v) uint8 planes (cropped) or
+    None for non-key/unsupported/malformed payloads. See module doc for
+    the supported envelope (B_PRED and nonzero loop filter reject)."""
+    try:
+        return _decode_vp8_frame(data)
+    except (IndexError, ValueError, AssertionError):
+        return None
+
+
+def _decode_vp8_frame(data: bytes):
+    if len(data) < 10:
+        return None
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        return None  # inter frame: out of scope
+    first_part_size = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        return None
+    width = (data[6] | (data[7] << 8)) & 0x3FFF
+    height = (data[8] | (data[9] << 8)) & 0x3FFF
+    if width == 0 or height == 0 or 10 + first_part_size > len(data):
+        return None
+    p1 = BoolDecoder(data[10:10 + first_part_size])
+    p1.literal(1)  # color space (0 = YCbCr per spec)
+    p1.literal(1)  # clamping type
+    if p1.get(128):  # segmentation_enabled: out of the supported envelope
+        return None
+    p1.literal(1)            # filter type
+    filter_level = p1.literal(6)
+    p1.literal(3)            # sharpness
+    if p1.get(128):          # loop filter delta adjustments present
+        return None
+    if filter_level != 0:
+        # only bit-exact paths are emitted; a filtered stream would
+        # decode with wrong pixels, so reject instead
+        return None
+    if p1.literal(2) != 0:   # log2 token partitions: single partition only
+        return None
+    y_ac_qi = p1.literal(7)
+
+    def _delta():
+        return p1.signed_literal(4) if p1.get(128) else 0
+
+    y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d = (
+        _delta(), _delta(), _delta(), _delta(), _delta()
+    )
+    p1.literal(1)  # refresh entropy probs (no effect within one frame)
+    probs = [[[list(p) for p in ctxs] for ctxs in bands] for bands in DEFAULT_COEFF_PROBS]
+    for t in range(4):
+        for b in range(8):
+            for cx in range(3):
+                for pi in range(11):
+                    if p1.get(COEFF_UPDATE_PROBS[t][b][cx][pi]):
+                        probs[t][b][cx][pi] = p1.literal(8)
+    mb_no_skip = p1.literal(1)
+    prob_skip = p1.literal(8) if mb_no_skip else 0
+
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    # pass A: all mode info from partition 1
+    modes = []
+    for _ in range(mb_w * mb_h):
+        skip = p1.get(prob_skip) if mb_no_skip else 0
+        ym = p1.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+        if ym == B_PRED:
+            return None  # sub-mode family out of the supported envelope
+        uvm = p1.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+        modes.append((skip, ym, uvm))
+
+    dq = frame_quants(y_ac_qi, y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
+    y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq
+
+    p2 = BoolDecoder(data[10 + first_part_size:])
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
+    u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+    v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+
+    # nonzero contexts: above per MB column / left per MB (reset each row)
+    # layout per MB: y2, y[16], u[4], v[4]
+    # above["y"] is per 4-px column of the MB (index sb%4), left["y"]
+    # per 4-px row (index sb//4); chroma has 2 columns x 2 rows
+    above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2} for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+        for mb_c in range(mb_w):
+            skip, ym, uvm = modes[mb_r * mb_w + mb_c]
+            a = above[mb_c]
+            ycoef = [[0] * 16 for _ in range(16)]
+            ucoef = [[0] * 16 for _ in range(4)]
+            vcoef = [[0] * 16 for _ in range(4)]
+            if skip:
+                # 13.3: zero all contexts; Y2 context survives only for
+                # modes WITHOUT a Y2 block (B_PRED) — all our modes have it
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                a["y"] = [0] * 4
+                a["u"] = [0] * 2
+                a["v"] = [0] * 2
+                left["y2"] = 0
+                a["y2"] = 0
+            else:
+                # Y2 block
+                c2, nz2 = _decode_coeffs(
+                    p2, probs, 1, 0, a["y2"] + left["y2"], y2_dc, y2_ac
+                )
+                a["y2"] = left["y2"] = 1 if nz2 else 0
+                dcs = inv_walsh4x4(c2)
+                # 16 Y blocks (type 0, first coeff 1)
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    cc, nz = _decode_coeffs(
+                        p2, probs, 0, 1, a["y"][sc] + left["y"][sr], y_dc, y_ac
+                    )
+                    cc[0] = dcs[sb]
+                    ycoef[sb] = cc
+                    a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                for pl, coefs, key in ((2, ucoef, "u"), (2, vcoef, "v")):
+                    for sb in range(4):
+                        cc, nz = _decode_coeffs(
+                            p2, probs, pl, 0,
+                            a[key][sb % 2] + left[key][sb // 2], uv_dc, uv_ac,
+                        )
+                        coefs[sb] = cc
+                        a[key][sb % 2] = left[key][sb // 2] = 1 if nz else 0
+
+            # reconstruction
+            r0, c0 = mb_r * 16, mb_c * 16
+            _predict(y, r0, c0, 16, ym)
+            _predict(u, mb_r * 8, mb_c * 8, 8, uvm)
+            _predict(v, mb_r * 8, mb_c * 8, 8, uvm)
+            if not skip:
+                for sb in range(16):
+                    rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
+                    res = inv_dct4x4(ycoef[sb])
+                    y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
+                        y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
+                    )
+                for plane, coefs in ((u, ucoef), (v, vcoef)):
+                    for sb in range(4):
+                        rr = mb_r * 8 + (sb // 2) * 4
+                        cc0 = mb_c * 8 + (sb % 2) * 4
+                        res = inv_dct4x4(coefs[sb])
+                        plane[rr:rr + 4, cc0:cc0 + 4] = np.clip(
+                            plane[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
+                        )
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    return (
+        y[:height, :width].astype(np.uint8),
+        u[:ch, :cw].astype(np.uint8),
+        v[:ch, :cw].astype(np.uint8),
+    )
+
+
+# ------------------------------------------------------- minimal encoder
+
+
+def vp8_dc_delta(level: int, qi: int = 0, y2_dc_delta: int = 0) -> int:
+    """Per-pixel delta produced by a Y2-DC-only residual with coded
+    ``level``: dequant -> inverse WHT (DC-only: (x+3)>>3) -> DC-only
+    inverse DCT ((x+4)>>3). Exact integer chain — the oracle SQL
+    recomputes it. With qi=0 (q2dc=8), level = 8*d - 4 yields delta d
+    for ANY integer d (``level_for_delta``)."""
+    q = DC_QLOOKUP[_clamp_q(qi + y2_dc_delta)] * 2
+    wht = (level * q + 3) >> 3
+    return (wht + 4) >> 3
+
+
+def level_for_delta(delta: int) -> int:
+    """Y2 DC level (at qi=0) whose decoded per-pixel delta is exactly
+    ``delta``: vp8_dc_delta(8d - 4, 0) == d."""
+    return 8 * delta - 4
+
+
+def _put_token_value(enc, probs, btype, band, ctx, value, start=0):
+    """Encode one nonzero coefficient value (token + extra bits + sign)."""
+    mag = abs(value)
+    if mag <= 4:
+        token = mag
+    else:
+        token = 10
+        for cat in range(6):
+            hi = CAT_BASE[cat + 1] - 1 if cat < 5 else 2048
+            if mag <= hi:
+                token = 5 + cat
+                break
+    enc.put_tree(COEFF_TREE, probs[btype][band][ctx], token, start)
+    if token >= 5:
+        cat = token - 5
+        extra = mag - CAT_BASE[cat]
+        cps = CAT_PROBS[cat]
+        for b, cp in enumerate(cps):
+            enc.put((extra >> (len(cps) - 1 - b)) & 1, cp)
+    enc.put(1 if value < 0 else 0, 128)
+    return 1 if mag == 1 else 2  # next-coefficient context
+
+
+def _put_eob(enc, probs, btype, band, ctx, start=0):
+    enc.put_tree(COEFF_TREE, probs[btype][band][ctx], DCT_EOB, start)
+
+
+def encode_vp8_key_two_tone(
+    width: int, height: int, delta_top: int, delta_bottom_rel: int, qi: int = 0
+) -> bytes:
+    """Minimal spec-conformant VP8 KEY frame: luma rows of the first MB
+    row reconstruct to ``128 + vp8_dc_delta(level_for_delta(delta_top))``
+    and every later MB row adds ``delta_bottom_rel`` at the second MB
+    row boundary (two-tone on the 16-row boundary); chroma flat 128.
+    Mechanics: MB(0,0) DC_PRED + Y2-DC residual; rest of row 0 skips
+    (DC_PRED from the left reproduces the tone); second-MB-row MBs are
+    V_PRED + Y2-DC residual; all later rows V_PRED skip. Loop filter
+    level 0, single token partition, default probabilities."""
+    if height < 16:
+        delta_bottom_rel = 0  # single MB row: flat frame
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    probs = DEFAULT_COEFF_PROBS
+
+    # --- partition 1: header + modes
+    p1 = BoolEncoder()
+    p1.put_literal(0, 1)   # color space
+    p1.put_literal(0, 1)   # clamping
+    p1.put(0, 128)         # segmentation_enabled
+    p1.put_literal(0, 1)   # filter type
+    p1.put_literal(0, 6)   # loop filter level 0
+    p1.put_literal(0, 3)   # sharpness
+    p1.put(0, 128)         # loop filter adjustments
+    p1.put_literal(0, 2)   # log2 token partitions = 0
+    p1.put_literal(qi, 7)  # y_ac_qi
+    for _ in range(5):     # no quant deltas
+        p1.put(0, 128)
+    p1.put_literal(1, 1)   # refresh entropy probs
+    for t in range(4):
+        for b in range(8):
+            for cx in range(3):
+                for pi in range(11):
+                    p1.put(0, COEFF_UPDATE_PROBS[t][b][cx][pi])
+    p1.put_literal(1, 1)   # mb_no_coeff_skip
+    p1.put_literal(128, 8)  # prob_skip_false
+
+    def mb_plan(mb_r, mb_c):
+        """(skip, ymode, uvmode, level or None)"""
+        if mb_r == 0:
+            if mb_c == 0:
+                return (0, DC_PRED, DC_PRED, level_for_delta(delta_top))
+            return (1, DC_PRED, DC_PRED, None)
+        if mb_r == 1 and delta_bottom_rel != 0:
+            return (0, V_PRED, V_PRED, level_for_delta(delta_bottom_rel))
+        return (1, V_PRED, V_PRED, None)
+
+    for mb_r in range(mb_h):
+        for mb_c in range(mb_w):
+            skip, ym, uvm, _ = mb_plan(mb_r, mb_c)
+            p1.put(skip, 128)
+            p1.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ym)
+            p1.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvm)
+    part1 = p1.flush()
+
+    # --- partition 2: tokens, tracking nz contexts exactly as the decoder
+    p2 = BoolEncoder()
+    above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2} for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+        for mb_c in range(mb_w):
+            skip, ym, uvm, level = mb_plan(mb_r, mb_c)
+            a = above[mb_c]
+            if skip:
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                a["y"] = [0] * 4
+                a["u"] = [0] * 2
+                a["v"] = [0] * 2
+                left["y2"] = 0
+                a["y2"] = 0
+                continue
+            # Y2: one DC value then EOB
+            ctx = a["y2"] + left["y2"]
+            nctx = _put_token_value(p2, probs, 1, COEFF_BANDS[0], ctx, level)
+            _put_eob(p2, probs, 1, COEFF_BANDS[1], nctx)
+            a["y2"] = left["y2"] = 1
+            # 16 Y blocks: all-zero AC -> immediate EOB at position 1
+            for sb in range(16):
+                sr, sc = sb // 4, sb % 4
+                _put_eob(p2, probs, 0, COEFF_BANDS[1], a["y"][sc] + left["y"][sr])
+                a["y"][sc] = left["y"][sr] = 0
+            # chroma: empty blocks
+            for key, btype in (("u", 2), ("v", 2)):
+                for sb in range(4):
+                    _put_eob(
+                        p2, probs, btype, COEFF_BANDS[0],
+                        a[key][sb % 2] + left[key][sb // 2],
+                    )
+                    a[key][sb % 2] = left[key][sb // 2] = 0
+    part2 = p2.flush()
+
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    head += b"\x9d\x01\x2a"
+    head += struct.pack("<H", width) + struct.pack("<H", height)
+    return head + part1 + part2

@@ -21,8 +21,10 @@ the spec; no reference WebP implementation exists in this container to
 cross-check streams that use 2D distance codes (this codec's own
 encoder never emits them).
 
-VP8 LOSSY pixel data (boolean arithmetic coder) remains out of scope —
-``parse_webp_header`` still reads its dimensions for metadata.
+VP8 LOSSY key frames decode for real too, via ``ops/vp8.py`` (boolean
+arithmetic decoder, token decode, WHT/DCT, intra prediction — RFC 6386
+in pure numpy); ``decode_webp`` routes both variants. Only inter-frame
+video (motion compensation) remains stubbed.
 """
 
 from __future__ import annotations
@@ -645,3 +647,53 @@ def encode_webp_lossless_two_tone(px: "np.ndarray") -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ------------------------------------------------------------ lossy VP8
+
+
+def decode_webp(payload: bytes) -> Optional["np.ndarray"]:
+    """Decode a WebP container -> HxWx3 uint8: VP8L via the lossless
+    decoder above, lossy 'VP8 ' key frames via ``ops/vp8.py`` (pure
+    numpy RFC 6386 decode). For lossy frames with FLAT chroma (U=V=128,
+    what the gate corpus emits) the output is exactly gray Y; otherwise
+    the YUV->RGB step uses the standard BT.601 full-range float formula
+    (documented approximation — the VP8 payload decode itself is exact,
+    the colorspace conversion is not part of RFC 6386)."""
+    hdr = parse_webp_header(payload)
+    if hdr is None:
+        return None
+    if hdr[2] == "vp8l":
+        return decode_webp_lossless(payload)
+    from schema_fantasy_spark.ops.vp8 import decode_vp8_frame
+
+    out = decode_vp8_frame(payload[20:])
+    if out is None:
+        return None
+    y, u, v = out
+    h, w = y.shape
+    if (u == 128).all() and (v == 128).all():
+        return np.repeat(y[:, :, None], 3, axis=2)
+    uf = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float64) - 128
+    vf = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)[:h, :w].astype(np.float64) - 128
+    yf = y.astype(np.float64)
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def encode_webp_lossy_two_tone(
+    width: int, height: int, delta_top: int, delta_bottom_rel: int
+) -> bytes:
+    """RIFF/WEBP container around a minimal lossy VP8 key frame (see
+    ``ops/vp8.encode_vp8_key_two_tone``): gray two-tone split on the
+    16-row MB boundary, exact integer reconstruction."""
+    from schema_fantasy_spark.ops.vp8 import encode_vp8_key_two_tone
+
+    frame = encode_vp8_key_two_tone(width, height, delta_top, delta_bottom_rel)
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -1,0 +1,117 @@
+"""VP8 lossy key-frame codec (ops/vp8.py): boolean coder round-trips,
+exact two-tone reconstruction, container routing, robustness."""
+
+import random
+
+import numpy as np
+import pytest
+
+from schema_fantasy_spark.ops import vp8
+
+
+def test_bool_coder_random_roundtrip():
+    """The arithmetic encoder/decoder pair is exact over random
+    bit/probability sequences (incl. extreme probs and carry chains)."""
+    rng = random.Random(1234)
+    for trial in range(300):
+        n = rng.randint(1, 500)
+        if trial % 3 == 0:
+            seq = [(rng.randint(0, 1), rng.choice([1, 2, 254, 255]))
+                   for _ in range(n)]  # extreme probs stress carries
+        else:
+            seq = [(rng.randint(0, 1), rng.randint(1, 255)) for _ in range(n)]
+        enc = vp8.BoolEncoder()
+        for bit, prob in seq:
+            enc.put(bit, prob)
+        dec = vp8.BoolDecoder(enc.flush())
+        for i, (bit, prob) in enumerate(seq):
+            assert dec.get(prob) == bit, (trial, i)
+
+
+def test_bool_coder_literals_and_trees():
+    enc = vp8.BoolEncoder()
+    enc.put_literal(0b1011001, 7)
+    enc.put_tree(vp8.KF_YMODE_TREE, vp8.KF_YMODE_PROBS, vp8.V_PRED)
+    enc.put_tree(vp8.UV_MODE_TREE, vp8.KF_UV_MODE_PROBS, vp8.TM_PRED)
+    enc.put_literal(200, 8)
+    dec = vp8.BoolDecoder(enc.flush())
+    assert dec.literal(7) == 0b1011001
+    assert dec.tree(vp8.KF_YMODE_TREE, vp8.KF_YMODE_PROBS) == vp8.V_PRED
+    assert dec.tree(vp8.UV_MODE_TREE, vp8.KF_UV_MODE_PROBS) == vp8.TM_PRED
+    assert dec.literal(8) == 200
+
+
+def test_inverse_transforms_dc_only():
+    """DC-only inputs follow the closed-form integer chains the corpus
+    (and the DuckDB oracle) rely on."""
+    for dc in (-117, -8, 0, 5, 96, 250):
+        wht = vp8.inv_walsh4x4([dc] + [0] * 15)
+        assert wht == [(dc + 3) >> 3] * 16
+        out = vp8.inv_dct4x4([dc] + [0] * 15)
+        assert (out == ((dc + 4) >> 3)).all()
+    # level_for_delta inverts vp8_dc_delta at qi=0 for any sign
+    for d in range(-100, 101):
+        assert vp8.vp8_dc_delta(vp8.level_for_delta(d)) == d
+
+
+@pytest.mark.parametrize(
+    "w,h,delta", [(18, 32, 20), (16, 32, -30), (5, 32, 77), (19, 16, 12), (33, 48, -1)]
+)
+def test_two_tone_frame_exact(w, h, delta):
+    ta = 128 + delta
+    dbrel = 255 - 2 * ta
+    frame = vp8.encode_vp8_key_two_tone(w, h, ta - 128, dbrel)
+    out = vp8.decode_vp8_frame(frame)
+    assert out is not None
+    y, u, v = out
+    assert y.shape == (h, w)
+    assert (y[:16] == ta).all()
+    if h >= 32:
+        assert (y[16:32] == 255 - ta).all()
+        if h > 32:  # V_PRED propagates the last region tone downward
+            assert (y[32:] == 255 - ta).all()
+    assert (u == 128).all() and (v == 128).all()
+
+
+def test_large_level_cat_tokens():
+    """|level| beyond the small tokens exercises cat1-cat6 extra bits."""
+    for delta in (-90, 60, 127, -128):
+        frame = vp8.encode_vp8_key_two_tone(16, 16, delta, 0)
+        y, _, _ = vp8.decode_vp8_frame(frame)
+        assert (y == np.clip(128 + delta, 0, 255)).all(), delta
+
+
+def test_decode_rejects_and_robustness():
+    full = vp8.encode_vp8_key_two_tone(18, 32, 20, -40)
+    # truncation never raises
+    for cut in range(0, len(full), 3):
+        vp8.decode_vp8_frame(full[:cut])
+    assert vp8.decode_vp8_frame(b"") is None
+    assert vp8.decode_vp8_frame(b"garbage stream!!") is None
+    # inter-frame tag bit set -> rejected (out of scope, not misdecoded)
+    inter = bytearray(full)
+    inter[0] |= 1
+    assert vp8.decode_vp8_frame(bytes(inter)) is None
+    # bad sync code
+    bad = bytearray(full)
+    bad[3] = 0x00
+    assert vp8.decode_vp8_frame(bytes(bad)) is None
+
+
+def test_webp_container_lossy_roundtrip():
+    from schema_fantasy_spark.ops.webp import (
+        decode_webp,
+        encode_webp_lossy_two_tone,
+        parse_webp_header,
+    )
+
+    pl = encode_webp_lossy_two_tone(18, 32, 25, 255 - 2 * 153)
+    assert parse_webp_header(pl) == (18, 32, "vp8")
+    px = decode_webp(pl)
+    assert px.shape == (32, 18, 3)
+    assert (px[:16] == 153).all() and (px[16:] == 102).all()
+    # multimodal generic router takes the same path
+    from schema_fantasy_spark.ops.multimodal import decode_image_pixels
+
+    px2 = decode_image_pixels(pl)
+    assert (px2 == px).all()
