@@ -604,12 +604,20 @@ def test_mm_corpus_roundtrip(spark):
     }
     assert len(meta) == 64
     for i in range(64):
-        fsel, w, h, ca = mc.image_params(i)
-        assert (meta[i]["width"], meta[i]["height"]) == (w, h)
+        nib = mc._nibbles(i)
+        fsel, w, h, ca = mc.image_params(i, nib)
+        lossy = fsel == 3 and nib[13] % 2 == 1
+        if lossy:
+            # lossy-VP8 rows: gray two-tone (top tone = ca[0]) on the
+            # 16-row MB boundary, h fixed at 32
+            h, bright = 32, ca[0] >= 128
+        else:
+            bright = sum(ca) >= 383
+        assert (meta[i]["width"], meta[i]["height"]) == (w, h), i
         assert meta[i]["format"] == {0: "bmp", 1: "ppm", 2: "png", 3: "webp"}[fsel]
         assert meta[i]["phash"] == (
-            4294967295 if sum(ca) >= 383 else 9223372032559808512
-        )
+            4294967295 if bright else 9223372032559808512
+        ), i
     audio = {
         r["doc_id"]: r
         for r in multimodal.audio_metadata(
