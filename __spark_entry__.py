@@ -1007,9 +1007,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # == base, expressible directly from doc_id in SQL. A
         # deterministically corrupted copy (every 97th doc gets '!'
         # appended) must surface EXACTLY those keys with both hashes.
+        # The corrupted side additionally derives its text through a
+        # FULL HTML ROUND TRIP (ops/html.py under the gate): each doc is
+        # wrapped in a synthesized page — head with style/script (the
+        # script contains a literal '</p>' and a '<'), comments, quoted
+        # attributes, inline <b> tags, and numeric (dec + hex) entity
+        # encodings of letters — and extract_text must recover the text
+        # BYTE-IDENTICALLY or rows mismatch (extra rows and wrong
+        # hashes), since the oracle compares against the original text.
+        from schema_fantasy_spark.ops.html import extract_text
         from schema_fantasy_spark.ops.urls import canonicalize_url
 
         docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        enc = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.regexp_replace(F.col("text"), "a", "&#97;"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.regexp_replace(F.col("text"), "e", "&#x65;"),
+            )
+            .otherwise(F.col("text"))
+        )
+        enc = F.regexp_replace(enc, r"\btable\b", "<b>table</b>")
+        page = F.concat(
+            F.lit('<html><head><title>d</title><style>p { c: "<div>" }</style>'),
+            F.lit('<script>if (1 < 2) { s = "</p>"; }</script></head>'),
+            F.lit('<body data-x="a>b"><!-- nav <span> --><p class="m">'),
+            enc,
+            F.lit('</p><script async src="x.js"></script></body></html>'),
+        )
+        roundtripped = docs.withColumn("text", extract_text(page))
         n = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
         i = F.col("doc_id").cast("string")
         host = F.concat(F.lit("h"), n, F.lit(".example.com"))
@@ -1031,7 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(v == 2, cc("  https://", host, ":443/p/", i, "?a=1&b=2  "))
             .otherwise(cc("https://", host, "/p/", i, "?a=%31&b=2"))
         )
-        corrupted = docs.withColumn("url", spelled_a).withColumn(
+        corrupted = roundtripped.withColumn("url", spelled_a).withColumn(
             "text",
             F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!")))
             .otherwise(F.col("text")),

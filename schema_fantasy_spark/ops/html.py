@@ -1,0 +1,93 @@
+"""HTML -> text extraction in pure Column expressions — the step that
+produces the north-star table's ``text`` column from its ``html`` one
+(BASELINE input_hint: pages arrive as ``html:binary`` and the per-row
+invariant is byte-identical extracted text per url).
+
+Runs entirely in whole-stage codegen (regexp chains + one split/
+transform fold for numeric entities): no Python, no shuffle — at
+10^12 documents extraction is scan-bandwidth work, exactly like the
+validation kernels.
+
+Extraction contract (the standard crawl-pipeline cleaning subset, NOT
+a browser-grade HTML5 parser — scope documented per step):
+
+1. ``<script>``/``<style>`` elements removed wholesale (non-greedy,
+   case-insensitive, dotall — a ``</p>`` inside script text does not
+   terminate it), then the whole ``<head>`` element (title/meta are
+   metadata, not page text; script/style removal runs FIRST so a
+   script containing a literal ``</head>`` cannot truncate it);
+2. comments ``<!-- ... -->`` removed;
+3. tags stripped, honoring quoted attribute values (``<div
+   data-x="a>b">`` is one tag);
+4. entities decoded: the five standard named ones (``&amp; &lt; &gt;
+   &quot; &apos;``), ``&nbsp;`` (to a PLAIN SPACE — the crawl-pipeline
+   convention, so it participates in whitespace collapse), and numeric
+   character references, decimal and hex, for code points < 128
+   (``F.char`` is ASCII; non-ASCII references pass through unchanged,
+   documented). ``&amp;`` decodes LAST so ``&amp;lt;`` yields the
+   literal ``&lt;``;
+5. whitespace runs collapse to a single space, trimmed.
+
+CDATA sections, conditional comments, and non-ASCII numeric references
+are out of scope (each passes through recognizably rather than being
+silently mangled)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tag token: honors double- and single-quoted attribute values
+_TAG = r"(?s)<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+
+def _decode_numeric_entities(s: Column) -> Column:
+    """Decode ``&#NNN;`` / ``&#xHH;`` (ASCII range) with the same
+    split/transform shape as the url percent decoder: split on '&#',
+    each later token starts at a reference."""
+    parts = F.split(s, "&#", -1)
+
+    def _tok(t: Column) -> Column:
+        dec = F.regexp_extract(t, r"^([0-9]{1,3});", 1)
+        hexd = F.regexp_extract(t, r"^[xX]([0-9A-Fa-f]{1,2});", 1)
+        dv = F.when(dec != "", dec.cast("int")).otherwise(
+            F.when(hexd != "", F.conv(hexd, 16, 10).cast("int"))
+        )
+        ref_len = (
+            F.when(dec != "", F.length(dec) + 1)
+            .when(hexd != "", F.length(hexd) + 2)
+            .otherwise(F.lit(0))
+        )
+        tail = F.substring(t, ref_len + 1, F.lit(1 << 30))
+        return (
+            F.when(dv.isNull() | (dv >= 128), F.concat(F.lit("&#"), t))
+            .otherwise(F.concat(F.char(dv), tail))
+        )
+
+    return F.array_join(
+        F.transform(parts, lambda t, i: F.when(i == F.lit(0), t).otherwise(_tok(t))),
+        "",
+    )
+
+
+def extract_text(html: Column) -> Column:
+    """Extracted text of an HTML document column (see module contract)."""
+    s = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<head\b.*?</head\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, _TAG, " ")
+    s = _decode_numeric_entities(s)
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Append the extracted-text column (html may be binary or string)."""
+    col = F.col(html_col)
+    return df.withColumn(out_col, extract_text(col.cast("string")))

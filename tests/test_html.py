@@ -1,0 +1,78 @@
+"""ops/html.py — HTML -> text extraction in pure Column expressions."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from schema_fantasy_spark.ops.html import extract_text, with_extracted_text
+
+
+def _run(spark, cases):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i: long, html: string"
+    )
+    got = {r["i"]: r["t"] for r in df.select("i", extract_text(F.col("html")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_extract_text_hand_cases(spark):
+    _run(spark, [
+        ("<p>hello world</p>", "hello world"),
+        ("<html><body><div><p>a b</p></div></body></html>", "a b"),
+        # script/style removed wholesale, incl. embedded closing tags + '<'
+        ('<script>if (1 < 2) { s = "</p>"; }</script>after', "after"),
+        ("<style>p { content: \"<div>\" }</style>x", "x"),
+        ("<SCRIPT>var a=1;</SCRIPT>ok", "ok"),               # case-insensitive
+        ("a<!-- hidden <b>bold</b> -->b", "a b"),            # comments
+        ('<div data-x="a>b">quoted attr</div>', "quoted attr"),
+        ("<div data-x='c>d'>single</div>", "single"),
+        # entities: named, &nbsp; -> space, numeric dec + hex, &amp; last
+        ("1 &lt; 2 &amp;&amp; 3 &gt; 2", '1 < 2 && 3 > 2'),
+        ("say &quot;hi&quot; &apos;there&apos;", "say \"hi\" 'there'"),
+        ("a&nbsp;&nbsp;b", "a b"),
+        ("&#97;&#98;&#x63;&#X64;", "abcd"),
+        ("&amp;lt; stays literal", "&lt; stays literal"),
+        # non-ASCII numeric refs and malformed refs pass through
+        ("&#233; &#xE9; &#; &#xZZ;", "&#233; &#xE9; &#; &#xZZ;"),
+        # whitespace collapse + trim
+        ("  <p>\n  a \t b  </p>\n ", "a b"),
+        ("<br/>line<br>break", "line break"),
+        # the head element (title/meta) is metadata, not page text
+        ("<head><title>Site Name</title><meta x=1></head><p>body</p>", "body"),
+        ("<HEAD><script>t='</head>'</script><title>n</title></HEAD>x", "x"),
+    ])
+
+
+def test_extract_text_roundtrip_and_plan(spark):
+    """A synthesized page recovers the source text byte-identically, and
+    the plan stays Python-free (codegen Column expressions only)."""
+    texts = [
+        "key agg row scan slow fast table value",
+        "batch window spark order data column",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "orig: string")
+    page = F.concat(
+        F.lit('<html><head><style>p{x:"<div>"}</style>'
+              '<script>if(1<2){s="</p>";}</script></head><body data-x="a>b">'
+              '<!-- c --><p>'),
+        F.regexp_replace(F.regexp_replace(F.col("orig"), "a", "&#97;"),
+                         r"\btable\b", "<b>table</b>"),
+        F.lit("</p></body></html>"),
+    )
+    out = df.select("orig", extract_text(page).alias("t"))
+    for r in out.collect():
+        assert r["t"] == r["orig"], (r["t"], r["orig"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
+
+
+def test_with_extracted_text_binary(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<p>from binary</p>"))], "doc_id: long, html: binary"
+    )
+    got = with_extracted_text(df).collect()[0]
+    assert got["text"] == "from binary"
