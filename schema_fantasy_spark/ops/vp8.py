@@ -15,10 +15,13 @@ inline). Scope notes:
   16x16 modes (DC/V/H/TM + Y2 WHT) and chroma DC/V/H/TM. B_PRED
   (per-4x4 sub-modes) decodes the mode bits but is rejected as
   unsupported payload (returns None) rather than mis-reconstructing.
-* The in-loop deblocking filter is parsed and applied only at level 0
-  (= disabled, a no-op); streams with a nonzero filter level return
-  None rather than emitting not-bit-exact pixels. The gate corpus
-  encodes filter level 0.
+* The in-loop deblocking filter (normal AND simple variants, RFC
+  section 15) is implemented and applied; the gate corpus still
+  encodes filter level 0 so its decoded tones stay closed-form. No
+  reference decoder exists in this container to cross-check the
+  filter (or probability-table) CONSTANTS against real streams — the
+  tests validate the documented algebraic properties and round-trips,
+  and every constant cites its RFC section for auditability.
 * Output is the Y plane (the gate corpus codes flat U=V=128 chroma =
   achromatic); ``decode_vp8_gray`` documents that contract. Chroma
   planes are fully decoded and returned too.
@@ -521,14 +524,10 @@ def _decode_vp8_frame(data: bytes):
     p1.literal(1)  # clamping type
     if p1.get(128):  # segmentation_enabled: out of the supported envelope
         return None
-    p1.literal(1)            # filter type
+    filter_type = p1.literal(1)
     filter_level = p1.literal(6)
-    p1.literal(3)            # sharpness
+    sharpness = p1.literal(3)
     if p1.get(128):          # loop filter delta adjustments present
-        return None
-    if filter_level != 0:
-        # only bit-exact paths are emitted; a filtered stream would
-        # decode with wrong pixels, so reject instead
         return None
     if p1.literal(2) != 0:   # log2 token partitions: single partition only
         return None
@@ -571,6 +570,7 @@ def _decode_vp8_frame(data: bytes):
     u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
     v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
 
+    has_coeffs = []
     # nonzero contexts: above per MB column / left per MB (reset each row)
     # layout per MB: y2, y[16], u[4], v[4]
     # above["y"] is per 4-px column of the MB (index sb%4), left["y"]
@@ -580,6 +580,7 @@ def _decode_vp8_frame(data: bytes):
         left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
         for mb_c in range(mb_w):
             skip, ym, uvm = modes[mb_r * mb_w + mb_c]
+            has_coeffs.append(not skip)
             a = above[mb_c]
             ycoef = [[0] * 16 for _ in range(16)]
             ucoef = [[0] * 16 for _ in range(4)]
@@ -640,6 +641,8 @@ def _decode_vp8_frame(data: bytes):
                         plane[rr:rr + 4, cc0:cc0 + 4] = np.clip(
                             plane[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
                         )
+    apply_loop_filter(y, u, v, modes, has_coeffs, filter_level, sharpness,
+                      filter_type, mb_w, mb_h)
     cw, ch = (width + 1) // 2, (height + 1) // 2
     return (
         y[:height, :width].astype(np.uint8),
@@ -696,7 +699,8 @@ def _put_eob(enc, probs, btype, band, ctx, start=0):
 
 
 def encode_vp8_key_two_tone(
-    width: int, height: int, delta_top: int, delta_bottom_rel: int, qi: int = 0
+    width: int, height: int, delta_top: int, delta_bottom_rel: int, qi: int = 0,
+    filter_level: int = 0, sharpness: int = 0, filter_type: int = 0,
 ) -> bytes:
     """Minimal spec-conformant VP8 KEY frame: luma rows of the first MB
     row reconstruct to ``128 + vp8_dc_delta(level_for_delta(delta_top))``
@@ -717,9 +721,9 @@ def encode_vp8_key_two_tone(
     p1.put_literal(0, 1)   # color space
     p1.put_literal(0, 1)   # clamping
     p1.put(0, 128)         # segmentation_enabled
-    p1.put_literal(0, 1)   # filter type
-    p1.put_literal(0, 6)   # loop filter level 0
-    p1.put_literal(0, 3)   # sharpness
+    p1.put_literal(filter_type, 1)
+    p1.put_literal(filter_level, 6)
+    p1.put_literal(sharpness, 3)
     p1.put(0, 128)         # loop filter adjustments
     p1.put_literal(0, 2)   # log2 token partitions = 0
     p1.put_literal(qi, 7)  # y_ac_qi
@@ -795,3 +799,186 @@ def encode_vp8_key_two_tone(
     head += b"\x9d\x01\x2a"
     head += struct.pack("<H", width) + struct.pack("<H", height)
     return head + part1 + part2
+
+
+# ------------------------------------------------- loop filter (15.x)
+# Transcribed from the RFC 6386 section 15 pseudocode. No reference VP8
+# decoder exists in this container to cross-check constants; the tests
+# validate the documented algebraic properties (flat regions and
+# above-limit edges are untouched; adjustments preserve the +-1 step
+# relations) and hand-computed small profiles.
+
+
+def _c(x: int) -> int:
+    """clamp to signed char range."""
+    return -128 if x < -128 else (127 if x > 127 else x)
+
+
+def _u2s(x: int) -> int:
+    return x - 128
+
+
+def _s2u(x: int) -> int:
+    return _c(x) + 128
+
+
+def _common_adjust(use_outer_taps, px, i1, i0, j0, j1):
+    """RFC 15.3 common_adjust over pixel indices into list px."""
+    p1, p0, q0, q1 = (_u2s(px[i1]), _u2s(px[i0]), _u2s(px[j0]), _u2s(px[j1]))
+    a = _c((_c(p1 - q1) if use_outer_taps else 0) + 3 * (q0 - p0))
+    f = _c(a + 4) >> 3
+    e = _c(a + 3) >> 3
+    px[j0] = _s2u(q0 - f)
+    px[i0] = _s2u(p0 + e)
+    return f
+
+
+def _filter_mask(px, idx, interior, edge) -> bool:
+    p3, p2, p1, p0, q0, q1, q2, q3 = (px[i] for i in idx)
+    return (
+        abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge
+        and abs(p3 - p2) <= interior and abs(p2 - p1) <= interior
+        and abs(p1 - p0) <= interior and abs(q1 - q0) <= interior
+        and abs(q2 - q1) <= interior and abs(q3 - q2) <= interior
+    )
+
+
+def _hev(px, idx, thresh) -> bool:
+    _, _, p1, p0, q0, q1, _, _ = (px[i] for i in idx)
+    return abs(p1 - p0) > thresh or abs(q1 - q0) > thresh
+
+
+def _subblock_filter(px, idx, hev_t, interior, edge):
+    """RFC 15.3: interior (subblock) edge filter."""
+    if not _filter_mask(px, idx, interior, edge):
+        return
+    hev = _hev(px, idx, hev_t)
+    f = _common_adjust(hev, px, idx[2], idx[3], idx[4], idx[5])
+    if not hev:
+        a = _c(f + 1) >> 1
+        px[idx[5]] = _s2u(_u2s(px[idx[5]]) - a)
+        px[idx[2]] = _s2u(_u2s(px[idx[2]]) + a)
+
+
+def _mb_filter(px, idx, hev_t, interior, edge):
+    """RFC 15.3: macroblock edge filter (wider taps)."""
+    if not _filter_mask(px, idx, interior, edge):
+        return
+    if _hev(px, idx, hev_t):
+        _common_adjust(True, px, idx[2], idx[3], idx[4], idx[5])
+        return
+    p2, p1, p0, q0, q1, q2 = (_u2s(px[i]) for i in idx[1:7])
+    w = _c(_c(p1 - q1) + 3 * (q0 - p0))
+    a = _c((27 * w + 63) >> 7)
+    px[idx[4]] = _s2u(q0 - a)
+    px[idx[3]] = _s2u(p0 + a)
+    a = _c((18 * w + 63) >> 7)
+    px[idx[5]] = _s2u(q1 - a)
+    px[idx[2]] = _s2u(p1 + a)
+    a = _c((9 * w + 63) >> 7)
+    px[idx[6]] = _s2u(q2 - a)
+    px[idx[1]] = _s2u(p2 + a)
+
+
+def _filter_params(filter_level: int, sharpness: int, keyframe: bool = True):
+    """(interior_limit, hev_threshold, mb_edge_limit, sub_edge_limit)
+    per RFC 15.1/15.2."""
+    interior = filter_level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev_t = 0
+    if keyframe:
+        if filter_level >= 40:
+            hev_t = 2
+        elif filter_level >= 15:
+            hev_t = 1
+    else:
+        if filter_level >= 40:
+            hev_t = 3
+        elif filter_level >= 20:
+            hev_t = 2
+        elif filter_level >= 15:
+            hev_t = 1
+    mb_edge = ((filter_level + 2) * 2) + interior
+    sub_edge = (filter_level * 2) + interior
+    return interior, hev_t, mb_edge, sub_edge
+
+
+def _filter_edge_v(plane, r0, col, n_rows, fn, hev_t, interior, edge):
+    """Vertical edge at x=col: pixels col-4..col+3 on each row."""
+    for r in range(r0, r0 + n_rows):
+        row = plane[r]
+        idx = list(range(col - 4, col + 4))
+        buf = [int(row[i]) for i in idx]
+        tmp = list(buf)
+        fn(tmp, list(range(8)), hev_t, interior, edge)
+        for k, i in enumerate(idx):
+            row[i] = tmp[k]
+
+
+def _filter_edge_h(plane, row, c0, n_cols, fn, hev_t, interior, edge):
+    """Horizontal edge at y=row: pixels row-4..row+3 in each column."""
+    for c in range(c0, c0 + n_cols):
+        idx = list(range(row - 4, row + 4))
+        buf = [int(plane[i][c]) for i in idx]
+        tmp = list(buf)
+        fn(tmp, list(range(8)), hev_t, interior, edge)
+        for k, i in enumerate(idx):
+            plane[i][c] = tmp[k]
+
+
+def apply_loop_filter(y, u, v, modes, has_coeffs, filter_level, sharpness,
+                      filter_type, mb_w, mb_h):
+    """In-loop deblocking over reconstructed planes (int32 numpy), per
+    RFC 6386 15.2 ordering: per MB raster, vertical edges (MB-left then
+    interior x=4,8,12) then horizontal (MB-top then interior). Interior
+    edges are skipped for MBs with no coefficients (our 16x16 modes all
+    carry the always-filter-interior exemption only for B_PRED/SPLITMV,
+    which this decoder rejects). filter_type 1 = simple (Y only, via
+    common_adjust with both-outer-taps and the edge-only mask)."""
+    if filter_level == 0:
+        return
+    interior, hev_t, mb_edge, sub_edge = _filter_params(filter_level, sharpness)
+
+    def simple_seg(px, idx, _hev_t, _interior, edge):
+        p1, p0, q0, q1 = (px[idx[2]], px[idx[3]], px[idx[4]], px[idx[5]])
+        if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge:
+            _common_adjust(True, px, idx[2], idx[3], idx[4], idx[5])
+
+    if filter_type == 1:  # simple: Y only
+        mbf = subf = simple_seg
+        mb_e, sub_e = filter_level * 2 + 2 + interior, filter_level * 2 + interior
+    else:
+        mbf, subf = _mb_filter, _subblock_filter
+        mb_e, sub_e = mb_edge, sub_edge
+
+    for mb_r in range(mb_h):
+        for mb_c in range(mb_w):
+            inner = has_coeffs[mb_r * mb_w + mb_c]
+            r0, c0 = mb_r * 16, mb_c * 16
+            if mb_c > 0:
+                _filter_edge_v(y, r0, c0, 16, mbf, hev_t, interior, mb_e)
+            if inner:
+                for dx in (4, 8, 12):
+                    _filter_edge_v(y, r0, c0 + dx, 16, subf, hev_t, interior, sub_e)
+            if mb_r > 0:
+                _filter_edge_h(y, r0, c0, 16, mbf, hev_t, interior, mb_e)
+            if inner:
+                for dy in (4, 8, 12):
+                    _filter_edge_h(y, r0 + dy, c0, 16, subf, hev_t, interior, sub_e)
+            if filter_type == 1:
+                continue  # simple filter: no chroma
+            cr0, cc0 = mb_r * 8, mb_c * 8
+            for plane in (u, v):
+                if mb_c > 0:
+                    _filter_edge_v(plane, cr0, cc0, 8, mbf, hev_t, interior, mb_e)
+                if inner:
+                    _filter_edge_v(plane, cr0, cc0 + 4, 8, subf, hev_t, interior, sub_e)
+                if mb_r > 0:
+                    _filter_edge_h(plane, cr0, cc0, 8, mbf, hev_t, interior, mb_e)
+                if inner:
+                    _filter_edge_h(plane, cr0 + 4, cc0, 8, subf, hev_t, interior, sub_e)

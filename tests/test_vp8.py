@@ -115,3 +115,55 @@ def test_webp_container_lossy_roundtrip():
 
     px2 = decode_image_pixels(pl)
     assert (px2 == px).all()
+
+
+def test_loop_filter_flat_identity():
+    """The in-loop filter is an identity on flat content at any level,
+    for both normal and simple variants."""
+    from schema_fantasy_spark.ops import vp8
+
+    for ft in (0, 1):
+        for lvl in (0, 10, 25, 63):
+            fr = vp8.encode_vp8_key_two_tone(
+                32, 16, 30, 0, filter_level=lvl, sharpness=0, filter_type=ft
+            )
+            y, u, v = vp8.decode_vp8_frame(fr)
+            assert (y == 158).all(), (ft, lvl)
+            assert (u == 128).all() and (v == 128).all()
+
+
+def test_loop_filter_edge_preservation_and_smoothing():
+    from schema_fantasy_spark.ops import vp8
+
+    # large step at the MB boundary, small level: the mask fails and the
+    # edge is preserved exactly
+    fr = vp8.encode_vp8_key_two_tone(16, 32, 100, -200, filter_level=4)
+    y, _, _ = vp8.decode_vp8_frame(fr)
+    assert (y[:16] == 228).all() and (y[16:] == 28).all()
+
+    # small step, big level: the normal MB filter applies the exact
+    # RFC 15.3 arithmetic. Hand derivation for p=2,q=-2 (signed):
+    # w = clamp(clamp(p1-q1) + 3(q0-p0)) = -8; 27w+63>>7 = -2 ->
+    # P0/Q0 -> 128; 18w+63>>7 = -1 -> P1=129,Q1=127; 9w+63>>7 = -1 ->
+    # P2=129,Q2=127. Rows 13..18 read 129,129,128,128,127,127.
+    fr1 = vp8.encode_vp8_key_two_tone(16, 32, 2, -4, filter_level=40)
+    y1, _, _ = vp8.decode_vp8_frame(fr1)
+    assert (y1[:13] == 130).all() and (y1[19:] == 126).all()
+    col = [int(y1[r, 0]) for r in range(13, 19)]
+    assert col == [129, 129, 128, 128, 127, 127], col
+    # every column is filtered identically
+    assert (y1 == y1[:, :1]).all()
+
+
+def test_loop_filter_simple_variant_y_only():
+    from schema_fantasy_spark.ops import vp8
+
+    fr = vp8.encode_vp8_key_two_tone(16, 32, 2, -4, filter_level=40,
+                                     filter_type=1)
+    y, u, v = vp8.decode_vp8_frame(fr)
+    # simple filter: only p0/q0 adjust (common_adjust with outer taps):
+    # a = clamp(clamp(p1-q1) + 3(q0-p0)) = -8; F = (a+4)>>3 = -1;
+    # E = (a+3)>>3 = -1 -> Q0 = -2+1 = -1 -> 127, P0 = 2-1 = 1 -> 129
+    col = [int(y[r, 0]) for r in range(13, 19)]
+    assert col == [130, 130, 129, 127, 126, 126], col
+    assert (u == 128).all() and (v == 128).all()
