@@ -1159,7 +1159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_frames").alias("c_n_frames"),
             F.col("duration_sec").alias("c_duration_sec"),
         )
-        return frames.join(cmeta, "doc_id")
+        # broadcast the per-doc metadata (tiny) so the frame rows never
+        # shuffle — at 10^12 docs the frames side is the heavy one
+        return frames.join(F.broadcast(cmeta), "doc_id")
 
     def audio_metadata_synthetic(spark, sf):
         # PCM-WAV decode under the gate: square-wave payloads make RMS an

@@ -101,6 +101,14 @@ def _a(v: Column, a: Optional[Column]) -> Column:
     return a if a is not None else as_array(v)
 
 
+def _vt(v: Column, m, a, t) -> Column:
+    """The runtime type of v: the pre-materialized type string when the
+    barrier provides one (interpreted variant exprs re-evaluate every
+    inline vtype chain; a materialized depth-1 property type makes all
+    of a child node's type dispatches one attribute read)."""
+    return t if t is not None else vtype(v, m, a)
+
+
 def as_double(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
 
@@ -277,10 +285,10 @@ def compile_variant(
     def compile_node(cur_base: str, cur_doc: Any, node: Any, depth: int, spath: str) -> VariantNode:
         cur_base, cur_doc, node = resolve_ref(refs, cur_base, cur_doc, node)
         if not isinstance(node, dict):
-            return VariantNode(lambda v, p, m=None, a=None: _empty_errors())
+            return VariantNode(lambda v, p, m=None, a=None, t=None, pm=None: _empty_errors())
         if depth > max_depth:
             warning.truncated_paths.append(spath)
-            return VariantNode(lambda v, p, m=None, a=None: _empty_errors())
+            return VariantNode(lambda v, p, m=None, a=None, t=None, pm=None: _empty_errors())
 
         emitters = []
         for kw in node:
@@ -288,8 +296,8 @@ def compile_variant(
             if e is not None:
                 emitters.append(e)
 
-        def emit(v: Column, path: Column, m=None, a=None) -> Column:
-            return _concat_errors([em(v, path, m, a) for em in emitters])
+        def emit(v: Column, path: Column, m=None, a=None, t=None, pm=None) -> Column:
+            return _concat_errors([em(v, path, m, a, t, pm) for em in emitters])
 
         return VariantNode(emit)
 
@@ -315,7 +323,8 @@ class VariantPlan:
         self.kernel_routed = kernel_routed
 
     def errors_for_variant(
-        self, v: Column, m: Optional[Column] = None, a: Optional[Column] = None
+        self, v: Column, m: Optional[Column] = None, a: Optional[Column] = None,
+        pm=None,
     ) -> Column:
         """errors for an already-materialized VariantType column (e.g. a
         VARIANT table column at rest — the preferred input). ``m``/``a``
@@ -328,7 +337,7 @@ class VariantPlan:
             from schema_fantasy_spark.dynamic import json_errors_udf
 
             return json_errors_udf(self.schema, refs=self.refs)(F.to_json(v))
-        return self._root.emit(v, F.array().cast("array<string>"), m, a)
+        return self._root.emit(v, F.array().cast("array<string>"), m, a, None, pm)
 
     def apply(
         self,
@@ -369,30 +378,77 @@ class VariantPlan:
         # them (guards + member access), and interpreted variant
         # expressions re-evaluate each inline reference (no CSE);
         # measured ~1.4x on the recursion-keyword parity query at sf0.1
-        out = (
-            df.select("*", F.explode(F.array(F.try_parse_json(doc_col))).alias("__v"))
-            .select(
+        step = df.select(
+            "*", F.explode(F.array(F.try_parse_json(doc_col))).alias("__v")
+        ).select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(
+                        as_map(F.col("__v")).alias("m"),
+                        as_array(F.col("__v")).alias("a"),
+                    )
+                )
+            ).alias("__vx"),
+        )
+        # third/fourth barriers: the schema's DIRECT root properties are
+        # compile-time-known, so project each child variant AND its
+        # runtime type out of the document once — every keyword under a
+        # property then type-dispatches on one attribute read instead of
+        # re-walking the variant per reference (interpreted mode has no
+        # CSE). This is the "project out the paths the schema reads"
+        # optimization; measured ~2x on the 3-keyword props gate query.
+        pm = None
+        drop = ["__v", "__vx"]
+        props = (
+            list(self.schema.get("properties") or {})
+            if isinstance(self.schema, dict)
+            else []
+        )
+        if props:
+            m_attr = F.col("__vx.m")
+            step = step.select(
                 "*",
                 F.explode(
                     F.array(
                         F.struct(
-                            as_map(F.col("__v")).alias("m"),
-                            as_array(F.col("__v")).alias("a"),
+                            *[
+                                F.try_element_at(m_attr, F.lit(k)).alias(f"c{i}")
+                                for i, k in enumerate(props)
+                            ]
                         )
                     )
-                ).alias("__vx"),
+                ).alias("__vp"),
+            ).select(
+                "*",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            *[
+                                vtype(F.col(f"__vp.c{i}")).alias(f"t{i}")
+                                for i in range(len(props))
+                            ]
+                        )
+                    )
+                ).alias("__vt"),
             )
-            .withColumn(
+            pm = {
+                k: (F.col(f"__vp.c{i}"), F.col(f"__vt.t{i}"))
+                for i, k in enumerate(props)
+            }
+            drop += ["__vp", "__vt"]
+        out = (
+            step.withColumn(
                 errors_col,
                 F.when(F.col(doc_col).isNull(), _empty_errors())
                 .when(F.col("__v").isNull(), parse_err)
                 .otherwise(
                     self.errors_for_variant(
-                        F.col("__v"), F.col("__vx.m"), F.col("__vx.a")
+                        F.col("__v"), F.col("__vx.m"), F.col("__vx.a"), pm
                     )
                 ),
             )
-            .drop("__v", "__vx")
+            .drop(*drop)
         )
         return out.withColumn(verdict_col, F.size(F.col(errors_col)) == 0)
 
@@ -460,8 +516,8 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         return _vk_dependencies(deps)
     if kw == "allOf":
         subs = [rec(s, f"allOf/{i}") for i, s in enumerate(sch)]
-        return lambda v, p, m=None, a=None: _compound(
-            F.size(ch := _concat_errors([s.emit(v, p, m, a) for s in subs])) > 0,
+        return lambda v, p, m=None, a=None, t=None, pm=None: _compound(
+            F.size(ch := _concat_errors([s.emit(v, p, m, a, t, pm) for s in subs])) > 0,
             p, "allOf", F.lit("Not all conditions valid"), ch,
         )
     if kw == "anyOf":
@@ -469,8 +525,8 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         if not subs:
             return None
 
-        def any_emit(v, p, m=None, a=None, _subs=subs):
-            arrs = [s.emit(v, p, m, a) for s in _subs]
+        def any_emit(v, p, m=None, a=None, t=None, pm=None, _subs=subs):
+            arrs = [s.emit(v, p, m, a, t, pm) for s in _subs]
             n_fail = sum((F.when(F.size(x) > 0, 1).otherwise(0) for x in arrs), start=F.lit(0))
             return _compound(
                 n_fail == len(_subs), p, "anyOf", F.lit("No conditions valid"),
@@ -481,8 +537,8 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
     if kw == "oneOf":
         subs = [rec(s, f"oneOf/{i}") for i, s in enumerate(sch)]
 
-        def one_emit(v, p, m=None, a=None, _subs=subs):
-            arrs = [s.emit(v, p, m, a) for s in _subs]
+        def one_emit(v, p, m=None, a=None, t=None, pm=None, _subs=subs):
+            arrs = [s.emit(v, p, m, a, t, pm) for s in _subs]
             n_ok = sum((F.when(F.size(x) == 0, 1).otherwise(0) for x in arrs), start=F.lit(0))
             none_valid = _compound(
                 n_ok == 0, p, "oneOf", F.lit("No conditions valid"), _concat_errors(arrs)
@@ -495,8 +551,8 @@ def _compile_keyword(kw, sch, node, base, doc, depth, spath, compile_node):
         return one_emit
     if kw == "not":
         sub = rec(sch, "not")
-        return lambda v, p, m=None, a=None: _leaf(
-            F.size(sub.emit(v, p, m, a)) == 0,
+        return lambda v, p, m=None, a=None, t=None, pm=None: _leaf(
+            F.size(sub.emit(v, p, m, a, t, pm)) == 0,
             _err_struct(p, "not", F.lit("condition valid")),
         )
     return None
@@ -507,11 +563,12 @@ def _vk_type(sch):
     expected = " or ".join(str(t) for t in types)
     tset = set(types)
 
-    def emit(v, p, m=None, a=None):
-        actual = vtype(v, m, a)
+    def emit(v, p, m=None, a=None, t=None, pm=None):
+        actual = _vt(v, m, a, t)
         ok = actual.isin([t for t in tset if t != "integer"])
         if "integer" in tset:
-            ok = ok | is_integer_variant(v, m, a)
+            d = as_double(v)
+            ok = ok | ((actual == "number") & d.isNotNull() & (d == F.floor(d)))
         err = _err_struct(p, "type", F.lit("Invalid type"), F.lit(expected), actual)
         return _leaf(v.isNotNull() & ~ok, err)
 
@@ -526,8 +583,8 @@ def _vk_enum(sch):
     has_null = any(x is None for x in sch)
     composite = [x for x in sch if isinstance(x, (list, dict))]
 
-    def emit(v, p, m=None, a=None):
-        t = vtype(v, m, a)
+    def emit(v, p, m=None, a=None, t=None, pm=None):
+        t = _vt(v, m, a, t)
         ok = F.lit(False)
         if num_targets:
             ok = ok | ((t == "number") & as_double(v).isin(num_targets))
@@ -574,7 +631,7 @@ def _vk_enum(sch):
 def _vk_bound(sch, excl, is_min):
     excl = excl if isinstance(excl, bool) else False
 
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         d = as_double(v)
         bound = F.lit(float(sch))
         if is_min:
@@ -584,30 +641,30 @@ def _vk_bound(sch, excl, is_min):
             ok = d < bound if excl else d <= bound
             msg, kw = f"greater than {'or equal to ' if excl else ''}{sch}", "maximum"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v, m, a) == "number") & ~ok, err)
+        return _leaf((_vt(v, m, a, t) == "number") & ~ok, err)
 
     return emit
 
 
 def _vk_multiple_of(sch):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         d = as_double(v)
         ok = (d / F.lit(float(sch))) % 1 == 0
         err = _err_struct(p, "multipleOf", F.lit(f"not a multiple of {sch}"))
-        return _leaf((vtype(v, m, a) == "number") & ~ok, err)
+        return _leaf((_vt(v, m, a, t) == "number") & ~ok, err)
 
     return emit
 
 
 def _vk_length(sch, is_min):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         n = F.length(as_string(v))
         if is_min:
             ok, kw, msg = n >= sch, "minLength", f"shorter than {sch} characters"
         else:
             ok, kw, msg = n <= sch, "maxLength", f"longer than {sch} characters"
         err = _err_struct(p, kw, F.lit(msg))
-        return _leaf((vtype(v, m, a) == "string") & ~ok, err)
+        return _leaf((_vt(v, m, a, t) == "string") & ~ok, err)
 
     return emit
 
@@ -615,9 +672,9 @@ def _vk_length(sch, is_min):
 def _vk_pattern(sch):
     jp = _jrx(sch)  # dialect-divergent constructs raise at compile time
 
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         err = _err_struct(p, "pattern", F.lit(f"does not match /{sch}/"))
-        return _leaf((vtype(v, m, a) == "string") & ~as_string(v).rlike(jp), err)
+        return _leaf((_vt(v, m, a, t) == "string") & ~as_string(v).rlike(jp), err)
 
     return emit
 
@@ -626,7 +683,7 @@ def _vk_items_count(sch, is_min):
     # guard via the array probe directly (vtype=='array' is equivalent
     # but builds the map probe first; trap: interpreted mode re-evaluates
     # every inline reference)
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         arr = _a(v, a)
         n = F.size(arr)
         if is_min:
@@ -640,7 +697,7 @@ def _vk_items_count(sch, is_min):
 
 
 def _vk_unique_items(sch):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         if sch is False:
             return _empty_errors()
         arr = _a(v, a)
@@ -660,7 +717,7 @@ def _vk_unique_items(sch):
 
 
 def _vk_props_count(sch, is_min):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         mm = _m(v, m)
         n = F.size(F.map_keys(mm))
         if is_min:
@@ -674,7 +731,7 @@ def _vk_props_count(sch, is_min):
 
 
 def _vk_required(sch):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         mm = _m(v, m)
         guard = mm.isNotNull()
         parts = [
@@ -690,13 +747,18 @@ def _vk_required(sch):
 
 
 def _vk_properties(subs: Dict[str, VariantNode]):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         mm = _m(v, m)
         guard = mm.isNotNull()
         parts = []
         for key, sub in subs.items():
-            child_v = F.try_element_at(mm, F.lit(key))
-            child = sub.emit(child_v, F.concat(p, F.array(F.lit(key))))
+            if pm is not None and key in pm:
+                child_v, child_t = pm[key]
+            else:
+                child_v, child_t = F.try_element_at(mm, F.lit(key)), None
+            child = sub.emit(
+                child_v, F.concat(p, F.array(F.lit(key))), None, None, child_t
+            )
             parts.append(
                 F.when(guard & F.map_contains_key(mm, key), child).otherwise(_empty_errors())
             )
@@ -706,7 +768,7 @@ def _vk_properties(subs: Dict[str, VariantNode]):
 
 
 def _vk_pattern_properties(subs: List[Tuple[str, VariantNode]]):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         mm = _m(v, m)
         guard = mm.isNotNull()
         parts = []
@@ -732,7 +794,7 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
 
         return F.filter(F.map_keys(m), is_add)
 
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         if sch is True:
             return _empty_errors()
         mm = _m(v, m)
@@ -772,7 +834,7 @@ def _vk_additional_properties(sch, sub, props: List[str], patterns: List[str]):
 
 
 def _vk_items_homogeneous(sub: VariantNode):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         arr = _a(v, a)
         per_elem = F.transform(
             arr, lambda x, i: sub.emit(x, F.concat(p, F.array(i.cast("string"))))
@@ -789,7 +851,7 @@ def _vk_items_tuple(subs: List[VariantNode], add_sch, add_node):
     # in interpreted variant mode — measured ~2x on the tuple-items
     # parity query at sf0.1. Error order is unchanged: each tuple slot
     # touches exactly its own element, so slot order == element order.
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         arr = _a(v, a)
         guard = arr.isNotNull()
         k = len(subs)
@@ -817,7 +879,7 @@ def _vk_items_tuple(subs: List[VariantNode], add_sch, add_node):
 
 
 def _vk_dependencies(deps):
-    def emit(v, p, m=None, a=None):
+    def emit(v, p, m=None, a=None, t=None, pm=None):
         mm = _m(v, m)
         guard = mm.isNotNull()
         parts = []
@@ -842,7 +904,7 @@ def _vk_dependencies(deps):
                 )
                 parts.append(_compound(present & (nm > 0), p, "dependencies", msg, children))
             elif sub is not None:
-                children = sub.emit(v, p, m, a)
+                children = sub.emit(v, p, m, a, t, pm)
                 parts.append(
                     _compound(
                         present & (F.size(children) > 0),
