@@ -33,16 +33,21 @@ Documented approximations (route to dynamic mode if they matter):
   composites deeper than ``CANON_DEPTH`` remain the one manual-routing
   case.
 
-MEASURED tradeoff (sf0.1 events, 100k docs, local[32], this container):
-the Arrow-batched compiled-kernel UDF beats this mode 1.4x on a 3-keyword
-schema and ~8x on a 12-keyword nested schema, because today's variant
-expressions (try_variant_get / schema_of_variant) evaluate interpreted
-(no whole-stage codegen, so no subexpression elimination) and the flat
-error-accumulation DAG duplicates subtrees across combinators. Conformance
-is identical (211/211 fixture cases). Use this mode when (a) documents are
-stored as VARIANT at rest (Parquet/Iceberg v3) so parse cost is already
-paid, AND (b) the schema touches a small fraction of large documents
-(variant reads only referenced paths; the UDF must json.loads everything).
+MEASURED tradeoff (sf0.1 events, 100k docs, local[32], this container,
+re-measured round 5): this mode now BEATS the Arrow-batched
+compiled-kernel UDF ~1.8x on a 3-keyword schema (1.0s vs 1.8s warm);
+the UDF keeps ~2x on a 12-keyword nested schema (4.3s vs 8.2s — down
+from ~8x before the barrier work). Variant expressions evaluate
+interpreted (no whole-stage codegen, so no subexpression elimination),
+so ``VariantPlan.apply`` materializes the parsed document, its root
+map/array casts, and every root property's value + runtime type as
+Generate-barrier attributes; what remains slower on nested schemas is
+per-element HOF lambdas re-evaluating their subtrees. Conformance is
+identical (211/211 fixture cases). Prefer this mode when (a) documents
+are stored as VARIANT at rest (Parquet/Iceberg v3) so parse cost is
+already paid, and/or (b) the schema is flat-ish or touches a small
+fraction of large documents (variant reads only referenced paths; the
+UDF must json.loads everything).
 For JSON-string columns, ``VariantPlan.apply`` inserts an explode-barrier
 so the document is parsed exactly once per row (a naive inline
 ``parse_json`` re-parses per keyword: measured 3.8x slower).
