@@ -544,10 +544,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counting, BPE-ish subword estimate, rolling-hash fingerprint
         # (md5-hex so the oracle replays it; xxhash64 is the scale
         # default), quality scoring, and marker-word language ID — all
-        # chained column pipelines, no joins
+        # chained column pipelines, no joins. PLUS the PII battery
+        # (ops/pii.py): deterministic PII spans are injected from doc_id
+        # (an email on every doc; phone on %3; IPv4 on %5; a card-like
+        # run on %4, Luhn-VALID only on %8) and the staged scrub must
+        # find exactly those spans and redact them to placeholders — the
+        # oracle rebuilds the scrubbed text and every count from the
+        # same construction (corpus text is letters+spaces only, so the
+        # injected spans are the only possible matches).
         from schema_fantasy_spark.ops import text as tx
+        from schema_fantasy_spark.ops.pii import pii_scrub
 
         docs = tables.load(spark, sf, "documents")
+        i = F.col("doc_id")
+        injected = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact bob"), i.cast("string"),
+            F.lit("@mail"), F.pmod(i, F.lit(7)).cast("string"),
+            F.lit(".example.com"),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit(" call +1 (555) 010-"),
+                         F.lpad(F.pmod(i, F.lit(9000)).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.concat(F.lit(" from 10.0."), F.pmod(i, F.lit(256)).cast("string"),
+                         F.lit("."), F.pmod(i * 7, F.lit(256)).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 4 == 0,
+                F.when(i % 8 == 0, F.lit(" pay 4242 4242 4242 4242"))
+                .otherwise(F.lit(" pay 4242424242424241")),
+            ).otherwise(F.lit("")),
+        )
+        p = pii_scrub(injected)
         out = tx.lang_id(tx.quality_score(tx.fingerprint(docs, method="md5"), "text"))
         return out.select(
             "doc_id",
@@ -556,6 +587,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint",
             "mean_token_len", "punct_ratio", "stopword_ratio",
             "distinct_token_ratio", "quality_score", "lang_pred",
+            p["n_emails"].alias("pii_emails"),
+            p["n_ips"].alias("pii_ips"),
+            p["n_cards"].alias("pii_cards"),
+            p["n_cards_luhn"].alias("pii_cards_luhn"),
+            p["n_phones"].alias("pii_phones"),
+            F.md5(p["scrubbed"]).alias("pii_scrub_md5"),
         )
 
     def cosine_topk_embeddings(spark, sf):
@@ -1636,7 +1673,17 @@ def oracle_sql() -> dict[str, str]:
            distinct_token_ratio,
            round(least(n_tokens / 20.0, 1.0) * distinct_token_ratio
                  * greatest(0.0, 1.0 - punct_ratio * 4), 6) AS quality_score,
-           CASE WHEN gmax = 0 THEN 'und' {_case} END AS lang_pred
+           CASE WHEN gmax = 0 THEN 'und' {_case} END AS lang_pred,
+           1 AS pii_emails,
+           CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS pii_ips,
+           CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS pii_cards,
+           CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS pii_cards_luhn,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pii_phones,
+           md5(coalesce(text, '') || ' contact <EMAIL>'
+               || CASE WHEN doc_id % 3 = 0 THEN ' call <PHONE>' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' from <IP>' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN ' pay <CARD>' ELSE '' END)
+             AS pii_scrub_md5
       FROM m
     """
 

@@ -1,0 +1,71 @@
+"""ops/pii.py — staged PII detection + redaction, Luhn checksum."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from schema_fantasy_spark.ops.pii import luhn_valid, pii_scrub, with_pii_scrubbed
+
+
+def test_pii_scrub_hand_cases(spark):
+    cases = [
+        ("mail me at bob.smith+x@mail.example.com today",
+         "mail me at <EMAIL> today", (1, 0, 0, 0, 0)),
+        ("server 192.168.3.77 and 8.8.8.8 up", "server <IP> and <IP> up",
+         (0, 2, 0, 0, 0)),
+        ("card 4242 4242 4242 4242 on file", "card <CARD> on file",
+         (0, 0, 1, 1, 0)),
+        ("card 4242424242424241 bad", "card <CARD> bad", (0, 0, 1, 0, 0)),
+        ("call +1 (555) 010-1234 now", "call <PHONE> now", (0, 0, 0, 0, 1)),
+        ("bare words only", "bare words only", (0, 0, 0, 0, 0)),
+        # staged classes: every span is counted once, most-specific wins
+        ("a@b.co and 10.0.0.1 and 4111 1111 1111 1111 and +44 20 7946 0958",
+         "<EMAIL> and <IP> and <CARD> and <PHONE>", (1, 1, 1, 1, 1)),
+        # out-of-range octets are NOT an IP (and dots make it non-phone
+        # only when digits exceed the phone span) — stays untouched
+        ("v 999.999.999.999 w", "v <PHONE> w", (0, 0, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)], "i: long, t: string"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select("i", pii_scrub(F.col("t")).alias("p"))
+        .select("i", "p.*")
+        .collect()
+    }
+    for i, (t, want, counts) in enumerate(cases):
+        r = got[i]
+        assert r["scrubbed"] == want, (t, r["scrubbed"])
+        assert (
+            r["n_emails"], r["n_ips"], r["n_cards"], r["n_cards_luhn"],
+            r["n_phones"],
+        ) == counts, t
+
+
+def test_luhn_checksum(spark):
+    cases = [
+        ("4242424242424242", True),   # canonical valid test PAN
+        ("4111111111111111", True),
+        ("4242424242424241", False),
+        ("79927398713", True),        # the ISO/IEC 7812 worked example
+        ("79927398714", False),
+    ]
+    df = spark.createDataFrame(cases, "d: string, want: boolean")
+    for r in df.select("want", luhn_valid(F.col("d")).alias("ok")).collect():
+        assert r["ok"] == r["want"]
+
+
+def test_with_pii_scrubbed_plan_python_free(spark):
+    df = spark.createDataFrame(
+        [(1, "reach a@b.co or 10.1.2.3")], "doc_id: long, text: string"
+    )
+    out = with_pii_scrubbed(df)
+    row = out.collect()[0]
+    assert row["pii_scrubbed"] == "reach <EMAIL> or <IP>"
+    assert (row["pii_n_emails"], row["pii_n_ips"]) == (1, 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "EvalPython" not in buf.getvalue()
