@@ -1014,17 +1014,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FULL Gopher repetition/quality rule family (Rae et al. 2021
         # table A1): top 2/3/4-gram fractions, duplicate 5-10-gram
         # character fractions, no-alpha words, symbol-to-word ratio,
-        # bullet/ellipsis line fractions — standard pre-training filters
+        # bullet/ellipsis line fractions — standard pre-training filters.
+        # PLUS train/test DECONTAMINATION (ops/decontaminate.py): a
+        # deterministic benchmark slice (doc_id % 61 == 0) stands in for
+        # the eval set; any doc sharing an 8-gram with it is flagged
+        # (distinct-gram explode -> broadcast hash join -> per-doc
+        # count), and the oracle replays gram extraction + join in SQL
+        from schema_fantasy_spark.ops import decontaminate as dc
         from schema_fantasy_spark.ops import text as tx
 
         docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
         out = tx.repetition_metrics(docs)
+        bench = docs.filter(F.col("doc_id") % 61 == 0)
+        hits = dc.contamination_hits(docs, bench, n=8, method="md5")
+        out = (
+            out.join(F.broadcast(hits), "doc_id", "left")
+            .withColumn("contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0)))
+            .withColumn("contaminated", F.col("contam_hits") > 0)
+        )
         return out.select(
             "doc_id", "n_words", "frac_top_bigram", "frac_top_trigram",
             "frac_top_fourgram", "frac_dup_trigrams",
             *[f"frac_dup_{g}gram_chars" for g in range(5, 11)],
             "frac_no_alpha", "symbol_word_ratio", "frac_bullet_lines",
-            "frac_ellipsis_lines", "gopher_pass",
+            "frac_ellipsis_lines", "gopher_pass", "contam_hits", "contaminated",
         )
 
     def text_consistency_documents(spark, sf):
@@ -1977,8 +1990,22 @@ def oracle_sql() -> dict[str, str]:
             AND frac_no_alpha <= 0.20
             AND symbol_word_ratio <= 0.10
             AND frac_bullet_lines <= 0.90
-            AND frac_ellipsis_lines <= 0.30) AS gopher_pass
+            AND frac_ellipsis_lines <= 0.30) AS gopher_pass,
+           coalesce(h.contam_hits, 0) AS contam_hits,
+           coalesce(h.contam_hits, 0) > 0 AS contaminated
       FROM m
+      LEFT JOIN (
+        WITH dg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 7, 0) + 1),
+                   i -> md5(array_to_string(list_slice(tk, i, i + 7), ' '))
+                 ))) AS gr
+            FROM toks),
+        b AS (SELECT DISTINCT gr FROM dg WHERE doc_id % 61 = 0)
+        SELECT dg.doc_id, count(*) AS contam_hits
+          FROM dg JOIN b USING (gr) GROUP BY dg.doc_id
+      ) h USING (doc_id)
     """
 
     # ---- multimodal: the oracle re-derives every decoded value from the

@@ -69,3 +69,49 @@ def test_with_pii_scrubbed_plan_python_free(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "EvalPython" not in buf.getvalue()
+
+
+# ---------------------------------------------------- decontamination
+
+
+def test_contamination_hits_hand_case(spark):
+    from schema_fantasy_spark.ops.decontaminate import (
+        contamination_hits,
+        with_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id: long, text: string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares the 8-gram "quick brown fox jumps over the lazy dog"
+            (1, "he said quick brown fox jumps over the lazy dog again"),
+            (2, "completely different words with no overlap at all here now"),
+            (3, "short text"),                       # < 8 tokens: no grams
+            (4, "The QUICK brown fox jumps over the LAZY dog"),  # case-folded
+        ],
+        "doc_id: long, text: string",
+    )
+    for method in ("md5", "xxhash64"):
+        hits = {
+            r["doc_id"]: r["contam_hits"]
+            for r in contamination_hits(docs, bench, n=8, method=method).collect()
+        }
+        assert hits == {1: 1, 4: 2}, (method, hits)
+    flagged = {r["doc_id"]: (r["contam_hits"], r["contaminated"])
+               for r in with_contamination(docs, bench).collect()}
+    assert flagged == {1: (1, True), 2: (0, False), 3: (0, False), 4: (2, True)}
+
+
+def test_ngram_hashes_short_and_dedup(spark):
+    from schema_fantasy_spark.ops.decontaminate import ngram_hashes
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "w w w w w w w w w w")], "i: long, t: string"
+    )
+    out = {r["i"]: r["g"] for r in df.select(
+        "i", ngram_hashes(F.col("t"), 8).alias("g")).collect()}
+    assert out[1] == []          # shorter than n: no grams, no sequence(1,0)
+    assert len(out[2]) == 1      # 3 windows of the same gram -> distinct = 1
