@@ -9,10 +9,17 @@
 The standard corpus-cleaning composition, each stage an operator this
 engine ships and gates:
 
+   -1. HTML EXTRACTION    — (--html-col) derive the text column from
+                            raw html via ops.html.extract_text (pure
+                            codegen, scan-bandwidth);
     0. SAMPLE (optional)  — deterministic content-hash slice, the SAME
                             rows on any engine/partitioning
                             (scale.deterministic_sample,
                             --sample-sixteenths < 16 enables);
+    0b. URL COLLAPSE      — (--url-col) canonicalize urls (ops.urls)
+                            and keep ONE row per canonical url
+                            (min id): recrawl spellings collapse
+                            before any content work;
     1. FILTER FUNNEL      — sequential quality rules with per-rule drop
                             accounting in ONE aggregation pass
                             (ops.text.filter_funnel); the surviving
@@ -26,6 +33,11 @@ engine ships and gates:
     5. KEEP-BEST          — one survivor per cluster, highest
                             quality_score (ties -> min id)
                             (ops.dedup.keep_cluster_representatives);
+    5b. DECONTAMINATE     — (--benchmark) drop docs sharing any word
+                            8-gram with the eval set
+                            (ops.decontaminate, broadcast join);
+    5c. PII SCRUB         — (--scrub-pii) redact emails/IPs/cards/
+                            phones in the surviving text (ops.pii);
     6. write the cleaned table + ONE JSON stats line on stdout
        (including the per-rule funnel rows).
 
@@ -56,6 +68,17 @@ def main() -> int:
     ap.add_argument("--sample-sixteenths", type=int, default=16,
                     help="deterministic content-hash sample rate n/16 "
                          "(16 = whole corpus)")
+    ap.add_argument("--html-col", default=None,
+                    help="derive the text column from this raw-html column "
+                         "first (ops.html.extract_text)")
+    ap.add_argument("--url-col", default=None,
+                    help="canonicalize this url column and keep one row per "
+                         "canonical url before content dedup")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet path of eval texts: drop docs sharing any "
+                         "8-gram with it (train/test decontamination)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/cards/phones in surviving text")
     ap.add_argument("--min-words", type=int, default=5,
                     help="funnel rule: minimum whitespace-token count")
     ap.add_argument("--max-chars", type=int, default=1_000_000,
@@ -76,12 +99,33 @@ def main() -> int:
 
     df = spark.read.parquet(args.input)
 
+    # -1. html -> text (codegen; the north-star table ships html:binary)
+    if args.html_col:
+        from schema_fantasy_spark.ops.html import extract_text
+
+        df = df.withColumn(
+            args.text_col, extract_text(F.col(args.html_col).cast("string"))
+        )
+
     # 0. deterministic sample — a pure pushed filter, same rows anywhere
     if args.sample_sixteenths < 16:
         df = scale.deterministic_sample(
             df, args.id_col, args.sample_sixteenths, method=args.method
         )
     n_in = df.count()
+
+    # 0b. canonical-url collapse: one row per canonical url (min id) —
+    # only (url_key, id) shuffles, the winning ids semi-join back
+    n_url_collapsed = 0
+    if args.url_col:
+        from schema_fantasy_spark.ops.urls import canonicalize_url
+
+        keyed = df.withColumn("__uk", canonicalize_url(F.col(args.url_col)))
+        winners = keyed.groupBy("__uk").agg(F.min(args.id_col).alias(args.id_col))
+        df = keyed.join(
+            winners.select(args.id_col), args.id_col, "left_semi"
+        ).drop("__uk")
+        n_url_collapsed = n_in - df.count()
 
     # 1. quality funnel: stats in ONE aggregation pass, then the same
     # chained predicate gates the data path (both are cheap scan passes)
@@ -128,6 +172,30 @@ def main() -> int:
         score_col="quality_score",
     ).drop("quality_score")
 
+    # 5b. decontamination against the eval set (broadcast join)
+    n_contaminated = 0
+    if args.benchmark:
+        from schema_fantasy_spark.ops import decontaminate as dc
+
+        bench = spark.read.parquet(args.benchmark)
+        hits = dc.contamination_hits(
+            cleaned, bench, id_col=args.id_col, text_col=args.text_col,
+            bench_text_col=args.text_col, n=8, method=args.method,
+        )
+        before = cleaned.count()
+        cleaned = cleaned.join(
+            F.broadcast(hits.select(args.id_col)), args.id_col, "left_anti"
+        )
+        n_contaminated = before - cleaned.count()
+
+    # 5c. PII redaction on the survivors
+    if args.scrub_pii:
+        from schema_fantasy_spark.ops.pii import pii_scrub
+
+        cleaned = cleaned.withColumn(
+            args.text_col, pii_scrub(F.col(args.text_col))["scrubbed"]
+        )
+
     cleaned.write.mode("overwrite").parquet(args.output)
     distinct.unpersist()
     n_out = spark.read.parquet(args.output).count()
@@ -135,12 +203,14 @@ def main() -> int:
     print(json.dumps({
         "n_in": n_in,
         "sample_sixteenths": args.sample_sixteenths,
+        "removed_url_collapse": n_url_collapsed,
+        "removed_contaminated": n_contaminated,
         "funnel": funnel_rows,
         "n_after_funnel": n_funnel,
         "n_after_exact": n_distinct,
         "n_near_dup_clusters": n_clusters,
         "n_out": n_out,
-        "removed_funnel": n_in - n_funnel,
+        "removed_funnel": (n_in - n_url_collapsed) - n_funnel,
         "removed_exact": n_funnel - n_distinct,
         "removed_near_dup": n_distinct - n_out,
     }))
