@@ -913,8 +913,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def snapshot_diff_documents(spark, sf):
         # cross-snapshot set ops under the gate: base vs a derived next
         # snapshot (every 101st doc removed, every 97th lang changed,
-        # every 113th re-added under a shifted key)
+        # every 113th re-added under a shifted key). The two snapshots
+        # round-trip through a REAL ICEBERG TABLE (sources/iceberg_lite:
+        # spec-layout metadata json + avro manifest lists + manifests,
+        # no runtime jar needed) — snapshot 1 committed, snapshot 2 an
+        # overwrite commit, both read back by snapshot-id time travel,
+        # so the table-format read/write path sits under the oracle too.
+        import shutil
+        import tempfile
+
         from schema_fantasy_spark import snapshots as sn
+        from schema_fantasy_spark.sources import iceberg_lite as il
 
         docs = tables.load(spark, sf, "documents")
         base = docs.select("doc_id", "lang", "n_chars")
@@ -925,7 +934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         added = base.filter(F.col("doc_id") % 113 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "n_chars"
         )
-        return sn.snapshot_diff(base, nxt.unionAll(added), ["doc_id"], ["lang", "n_chars"])
+        tp = os.path.join(
+            tempfile.gettempdir(),
+            f"sfspark_icelite_{os.path.basename(os.path.abspath(sf))}",
+        )
+        shutil.rmtree(tp, ignore_errors=True)  # fresh 2-snapshot history
+        s1 = il.append(spark, base, tp)
+        s2 = il.overwrite(spark, nxt.unionAll(added), tp)
+        snap_base = il.read_snapshot(spark, tp, snapshot_id=s1)
+        snap_next = il.read_snapshot(spark, tp, snapshot_id=s2)
+        return sn.snapshot_diff(snap_base, snap_next, ["doc_id"], ["lang", "n_chars"])
 
     def salted_agg_orders(spark, sf):
         # the skew path itself under the oracle gate: two-phase salted
