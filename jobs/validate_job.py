@@ -32,6 +32,11 @@ def main() -> int:
                     help="timestamp column to derive a 'day' partition column from")
     ap.add_argument("--host-verdicts-out", default=None,
                     help="also write per-host verdicts (salted agg) to this path")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="iceberg time travel: validate this snapshot")
+    ap.add_argument("--from-snapshot-id", type=int, default=None,
+                    help="iceberg incremental: validate only the file delta "
+                         "from this snapshot to --snapshot-id/current")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -52,7 +57,8 @@ def main() -> int:
     else:
         schema = PAGES_SCHEMA
 
-    df = read_pages(spark, args.input)
+    df = read_pages(spark, args.input, snapshot_id=args.snapshot_id,
+                    from_snapshot_id=args.from_snapshot_id)
     if args.derive_day_from:
         df = df.withColumn(args.partition_col, F.to_date(F.col(args.derive_day_from)))
 

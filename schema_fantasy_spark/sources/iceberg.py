@@ -78,11 +78,32 @@ def read_incremental(
     return reader.load(identifier)
 
 
-def read_pages(spark: SparkSession, location: str) -> DataFrame:
-    """Unified entry: Iceberg identifier (catalog.db.table) when the
-    runtime is present, else a parquet path. All engine call sites go
-    through here so the swap is one config change."""
+def read_pages(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: Optional[int] = None,
+    from_snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Unified entry: an Iceberg identifier (catalog.db.table) when the
+    runtime jar is present; a jar-free iceberg_lite TABLE DIRECTORY
+    (contains metadata/*.metadata.json) with optional time travel
+    (``snapshot_id``) or incremental delta (``from_snapshot_id`` ->
+    snapshot_id/current); else a plain parquet path. All engine call
+    sites go through here so the swap is one config change."""
     looks_like_table = "/" not in location and "." in location
     if looks_like_table and iceberg_available(spark):
-        return read_table(spark, location)
+        return read_table(spark, location, snapshot_id=snapshot_id)
+    import glob as _glob
+    import os as _os
+
+    if _glob.glob(_os.path.join(location, "metadata", "*.metadata.json")):
+        from schema_fantasy_spark.sources import iceberg_lite as il
+
+        if from_snapshot_id is not None:
+            to = snapshot_id
+            if to is None:
+                md = il.table_metadata(location)
+                to = il._resolve_snapshot(md)["snapshot-id"]
+            return il.read_incremental(spark, location, from_snapshot_id, to)
+        return il.read_snapshot(spark, location, snapshot_id=snapshot_id)
     return spark.read.parquet(location)
