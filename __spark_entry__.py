@@ -330,14 +330,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_id", "keyword", "message")
 
     def suite_documents(spark, sf):
+        # the CheckSuite bundle — with the corpus round-tripped through
+        # the WARC INGESTION EDGE first (sources/warc.py): every doc is
+        # serialized as a spec-layout gzip-member response record
+        # (fields in HTTP headers, text as the body; absent header ==
+        # NULL) and parsed back, per partition, no shuffle. The suite's
+        # three verdict rows only match the oracle if the archive
+        # encode/parse is lossless — nulls, bytes, and ids included.
+        from typing import Iterator as _It
+
+        import pandas as pd
+
+        from schema_fantasy_spark.sources import warc as W
         from schema_fantasy_spark.suite import CheckSuite
 
         docs = tables.load(spark, sf, "documents")
+        cols = ["doc_id", "text", "lang", "n_chars", "source"]
+
+        def enc(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            for pdf in batches:
+                recs = []
+                for r in pdf.itertuples(index=False):
+                    hdrs = {"Content-Type": "text/plain; charset=utf-8"}
+                    for name, val in (("X-Doc-Id", r.doc_id),
+                                      ("X-Lang", r.lang),
+                                      ("X-N-Chars", r.n_chars),
+                                      ("X-Source", r.source)):
+                        if val is not None and not pd.isna(val):
+                            hdrs[name] = str(val)
+                    body = b"" if r.text is None else str(r.text).encode("utf-8")
+                    if r.text is None:
+                        hdrs["X-Text-Null"] = "1"
+                    recs.append(W.build_record(
+                        "https://crawl.example.com/doc",
+                        "2026-01-01T00:00:00Z", body, hdrs))
+                yield pd.DataFrame({"payload": pd.Series(
+                    [W.build_warc(recs, compress=True)], dtype="object")})
+
+        def dec(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+            for pdf in batches:
+                rows = {c: [] for c in cols}
+                for payload in pdf["payload"]:
+                    for rec in W.parse_warc(bytes(payload)):
+                        h = rec["http_headers"]
+                        rows["doc_id"].append(
+                            int(h["x-doc-id"]) if "x-doc-id" in h else None)
+                        rows["text"].append(
+                            None if h.get("x-text-null") == "1"
+                            else rec["body"].decode("utf-8"))
+                        rows["lang"].append(h.get("x-lang"))
+                        rows["n_chars"].append(
+                            int(h["x-n-chars"]) if "x-n-chars" in h else None)
+                        rows["source"].append(h.get("x-source"))
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(rows["doc_id"], dtype="object"),
+                    "text": pd.Series(rows["text"], dtype="object"),
+                    "lang": pd.Series(rows["lang"], dtype="object"),
+                    "n_chars": pd.Series(rows["n_chars"], dtype="object"),
+                    "source": pd.Series(rows["source"], dtype="object"),
+                })
+
+        archives = docs.select(*cols).mapInPandas(enc, "payload binary")
+        roundtripped = archives.mapInPandas(
+            dec, "doc_id long, text string, lang string, n_chars long, source string"
+        )
         report = (
             CheckSuite(schema=DOCUMENTS_SCHEMA, id_cols=("doc_id",))
             .with_null_rate("lang", 0.05)
             .with_uniqueness(["doc_id"])
-            .run(docs)
+            .run(roundtripped)
         )
         return report.to_df(spark).select(
             "check", "pass", F.round("metric", 6).alias("metric")

@@ -1,0 +1,222 @@
+"""WARC (ISO 28500) reader/writer — Common Crawl's native archive
+format, pure stdlib. The ingestion edge of the north-star pipeline:
+crawl archives arrive as ``*.warc.gz`` (one gzip MEMBER per record,
+concatenated), each response record carrying the fetched URL, the
+WARC-Date timestamp, HTTP headers, and the raw HTML payload — exactly
+the ``(url, warc_ts, html)`` columns of the pages table.
+
+Scale shape: ``read_warc`` lists archives with Spark's binaryFile
+source and parses each archive inside ``mapInPandas`` — partition-
+preserving, records never shuffle, and per-record gzip members mean a
+truncated archive loses only its tail records (parse stops cleanly at
+corruption: per-row quarantine, like every decoder in ops/).
+
+Writer emits spec-layout records (WARC/1.0 headers, Content-Length,
+CRLF framing, HTTP response blocks) for tests and corpus synthesis.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import Any, Dict, Iterator, List, Optional
+
+CRLF = b"\r\n"
+
+
+# --------------------------------------------------------------- writing
+
+
+def build_record(
+    url: str,
+    date: str,
+    body: bytes,
+    http_headers: Optional[Dict[str, str]] = None,
+    warc_type: str = "response",
+    status: int = 200,
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+) -> bytes:
+    """One spec-layout WARC record (uncompressed). ``date`` is the
+    ISO-8601 WARC-Date (e.g. ``2026-01-01T00:00:00Z``)."""
+    http = bytearray()
+    if warc_type == "response":
+        http += f"HTTP/1.1 {status} OK".encode() + CRLF
+        for k, v in (http_headers or {}).items():
+            http += f"{k}: {v}".encode() + CRLF
+        http += f"Content-Length: {len(body)}".encode() + CRLF + CRLF
+    http += body
+    block = bytes(http)
+    head = bytearray(b"WARC/1.0" + CRLF)
+    fields = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", record_id),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", url),
+        ("Content-Type",
+         'application/http; msgtype=response' if warc_type == "response"
+         else "application/octet-stream"),
+        ("Content-Length", str(len(block))),
+    ]
+    for k, v in fields:
+        head += f"{k}: {v}".encode() + CRLF
+    return bytes(head) + CRLF + block + CRLF + CRLF
+
+
+def build_warc(records: List[bytes], compress: bool = True) -> bytes:
+    """Concatenate records into an archive; ``compress`` gzips each
+    record as its OWN member (the Common Crawl convention — members are
+    independently seekable/decodable)."""
+    if not compress:
+        return b"".join(records)
+    return b"".join(gzip.compress(r) for r in records)
+
+
+# --------------------------------------------------------------- parsing
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress concatenated gzip members; stops cleanly at a
+    corrupt/truncated tail (everything decoded so far is kept)."""
+    out = bytearray()
+    i = 0
+    while i < len(payload) and payload[i : i + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(payload[i:])
+            out += d.flush()
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        consumed = len(payload) - i - len(d.unused_data)
+        if consumed <= 0:
+            break
+        i += consumed
+    return bytes(out)
+
+
+def _parse_headers(data: bytes, start: int):
+    """(headers_dict, next_index) for CRLF-terminated header lines up to
+    the blank line; None on malformed."""
+    headers: Dict[str, str] = {}
+    i = start
+    while True:
+        j = data.find(CRLF, i)
+        if j < 0:
+            return None
+        line = data[i:j]
+        i = j + 2
+        if line == b"":
+            return headers, i
+        k, sep, v = line.partition(b":")
+        if not sep:
+            return None
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+
+
+def parse_warc(payload: bytes) -> List[Dict[str, Any]]:
+    """Records of an archive (gzipped or plain): dicts with ``type``,
+    ``url``, ``date``, ``headers`` (WARC), and for responses
+    ``http_status``, ``http_headers``, ``body``. Malformed tails stop
+    the parse cleanly — records before the corruption survive."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    out: List[Dict[str, Any]] = []
+    i = 0
+    n = len(payload)
+    while i < n:
+        # tolerate inter-record padding
+        while i < n and payload[i : i + 1] in (b"\r", b"\n"):
+            i += 1
+        if i >= n:
+            break
+        if not payload.startswith(b"WARC/", i):
+            break
+        j = payload.find(CRLF, i)
+        if j < 0:
+            break
+        parsed = _parse_headers(payload, j + 2)
+        if parsed is None:
+            break
+        headers, body_start = parsed
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        if body_start + length > n:
+            break  # truncated record: quarantine the tail
+        block = payload[body_start : body_start + length]
+        rec: Dict[str, Any] = {
+            "type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "date": headers.get("warc-date"),
+            "headers": headers,
+        }
+        if rec["type"] == "response" and block.startswith(b"HTTP/"):
+            eol = block.find(CRLF)
+            parts = block[:eol].split(b" ", 2)
+            try:
+                rec["http_status"] = int(parts[1])
+            except (IndexError, ValueError):
+                rec["http_status"] = None
+            hp = _parse_headers(block, eol + 2)
+            if hp is None:
+                rec["http_headers"], rec["body"] = {}, b""
+            else:
+                rec["http_headers"], rec["body"] = hp[0], block[hp[1]:]
+        else:
+            rec["http_status"] = None
+            rec["http_headers"] = {}
+            rec["body"] = block
+        out.append(rec)
+        i = body_start + length
+    return out
+
+
+# ------------------------------------------------------------ spark edge
+
+
+def read_warc(spark, path: str):
+    """DataFrame(url, warc_ts, html, http_status, content_type,
+    warc_file) over the RESPONSE records of ``path``'s archives
+    (binaryFile listing + mapInPandas parse: partition-preserving,
+    bodies never shuffle)."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("warc_file", T.StringType()),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            urls, tss, bodies, stats, ctypes, files = [], [], [], [], [], []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content)):
+                    if rec["type"] != "response":
+                        continue
+                    urls.append(rec["url"])
+                    # WARC-Date is UTC ('Z'); session tz is UTC, store naive
+                    tss.append(pd.Timestamp(rec["date"].rstrip("Z"))
+                               if rec["date"] else None)
+                    bodies.append(rec["body"])
+                    stats.append(rec["http_status"])
+                    ctypes.append(rec["http_headers"].get("content-type"))
+                    files.append(fpath)
+            yield pd.DataFrame({
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(tss, dtype="datetime64[ns]"),
+                "html": pd.Series(bodies, dtype="object"),
+                "http_status": pd.Series(stats, dtype="object"),
+                "content_type": pd.Series(ctypes, dtype="object"),
+                "warc_file": pd.Series(files, dtype="object"),
+            })
+
+    binfiles = spark.read.format("binaryFile").load(path).select("path", "content")
+    return binfiles.mapInPandas(run, schema)

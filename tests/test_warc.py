@@ -1,0 +1,61 @@
+"""sources/warc.py — WARC (ISO 28500) writer/parser + the Spark edge."""
+
+import os
+
+from schema_fantasy_spark.sources import warc as W
+
+
+def _records():
+    return [
+        W.build_record("https://a.example.com/x", "2026-01-01T00:00:00Z",
+                       b"<html><body>hello</body></html>",
+                       {"Content-Type": "text/html; charset=utf-8"}),
+        W.build_record("https://b.example.com/y", "2026-01-02T12:30:00Z",
+                       b"\x00\x01binary body\xff",
+                       {"Content-Type": "application/octet-stream"}, status=404),
+        W.build_record("meta", "2026-01-01T00:00:00Z", b"warcinfo-ish",
+                       warc_type="metadata"),
+    ]
+
+
+def test_parse_roundtrip_plain_and_gzip():
+    recs = _records()
+    for compress in (False, True):
+        out = W.parse_warc(W.build_warc(recs, compress=compress))
+        assert len(out) == 3
+        assert out[0]["url"] == "https://a.example.com/x"
+        assert out[0]["date"] == "2026-01-01T00:00:00Z"
+        assert out[0]["body"] == b"<html><body>hello</body></html>"
+        assert out[0]["http_status"] == 200
+        assert out[0]["http_headers"]["content-type"] == "text/html; charset=utf-8"
+        assert out[1]["http_status"] == 404
+        assert out[1]["body"] == b"\x00\x01binary body\xff"  # bytes survive
+        assert out[2]["type"] == "metadata" and out[2]["body"] == b"warcinfo-ish"
+
+
+def test_truncation_quarantines_tail_only():
+    arc = W.build_warc(_records(), compress=True)
+    for cut in range(0, len(arc), 53):
+        W.parse_warc(arc[:cut])  # never raises
+    partial = W.parse_warc(arc[: len(arc) - 10])
+    assert 0 < len(partial) < 3  # per-member gzip: head records survive
+    assert W.parse_warc(b"not a warc at all") == []
+
+
+def test_read_warc_spark_edge(spark, tmp_path):
+    d = str(tmp_path / "arcs")
+    os.makedirs(d)
+    recs = _records()
+    with open(os.path.join(d, "p1.warc.gz"), "wb") as fh:
+        fh.write(W.build_warc(recs[:2], compress=True))
+    with open(os.path.join(d, "p2.warc.gz"), "wb") as fh:
+        fh.write(W.build_warc([recs[0]], compress=True))
+    rows = W.read_warc(spark, d).collect()
+    assert len(rows) == 3  # response records only; metadata skipped
+    by_url = sorted(r["url"] for r in rows)
+    assert by_url == ["https://a.example.com/x", "https://a.example.com/x",
+                      "https://b.example.com/y"]
+    a = next(r for r in rows if r["http_status"] == 404)
+    assert bytes(a["html"]) == b"\x00\x01binary body\xff"
+    assert str(next(r for r in rows if r["http_status"] == 200)["warc_ts"]) \
+        == "2026-01-01 00:00:00"
