@@ -37,8 +37,12 @@ def test_truncation_quarantines_tail_only():
     arc = W.build_warc(_records(), compress=True)
     for cut in range(0, len(arc), 53):
         W.parse_warc(arc[:cut])  # never raises
-    partial = W.parse_warc(arc[: len(arc) - 10])
-    assert 0 < len(partial) < 3  # per-member gzip: head records survive
+    # removing only the final gzip trailer still yields the full data
+    # (best-effort decode of a complete deflate stream)
+    assert 0 < len(W.parse_warc(arc[: len(arc) - 10])) <= 3
+    # cutting into member DATA loses only the tail records
+    partial = W.parse_warc(arc[: int(len(arc) * 0.55)])
+    assert 0 < len(partial) < 3
     assert W.parse_warc(b"not a warc at all") == []
 
 
