@@ -32,6 +32,11 @@ def main() -> int:
                     help="timestamp column to derive a 'day' partition column from")
     ap.add_argument("--host-verdicts-out", default=None,
                     help="also write per-host verdicts (salted agg) to this path")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "warc"],
+                    help="'warc': ingest raw crawl archives (*.warc.gz) - "
+                         "parse records, extract text from html, language-ID "
+                         "- then validate; 'auto': parquet/iceberg path")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="iceberg time travel: validate this snapshot")
     ap.add_argument("--from-snapshot-id", type=int, default=None,
@@ -57,8 +62,20 @@ def main() -> int:
     else:
         schema = PAGES_SCHEMA
 
-    df = read_pages(spark, args.input, snapshot_id=args.snapshot_id,
-                    from_snapshot_id=args.from_snapshot_id)
+    if args.input_format == "warc":
+        # raw crawl archives -> the pages shape, all engine operators:
+        # WARC parse (mapInPandas, no body shuffle) -> html -> text
+        # (codegen extract_text) -> marker-word language ID
+        from schema_fantasy_spark.ops.html import extract_text
+        from schema_fantasy_spark.ops.text import lang_id
+        from schema_fantasy_spark.sources.warc import read_warc
+
+        df = read_warc(spark, args.input)
+        df = df.withColumn("text", extract_text(F.col("html").cast("string")))
+        df = lang_id(df).withColumnRenamed("lang_pred", "lang")
+    else:
+        df = read_pages(spark, args.input, snapshot_id=args.snapshot_id,
+                        from_snapshot_id=args.from_snapshot_id)
     if args.derive_day_from:
         df = df.withColumn(args.partition_col, F.to_date(F.col(args.derive_day_from)))
 
