@@ -183,6 +183,13 @@ def main() -> None:
         "video_frames gained a container-metadata join (mp4/mkv) and "
         "image_decode gained lossy-VP8 rows in r5 - small per-query "
         "cost increases there are added WORK, not regressions",
+        "r5 also folded new gated work into existing queries: "
+        "suite (WARC archive round trip), snapshot_diff (iceberg_lite "
+        "table write+time-travel read), text_consistency (html "
+        "extraction + url canonicalization), text_features (PII "
+        "battery), gopher_quality (decontamination join) - their "
+        "absolute times grew by the cost of that work while the "
+        "50-query total still dropped 76.2s -> ~67s vs r4",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:

@@ -268,3 +268,42 @@ def test_duplicate_clusters_one_action_per_round(spark):
     # budget: 1 edges-checkpoint + <=6 rounds + 1 final count; the old
     # two-actions-per-round shape lands at ~14 and must fail this
     assert len(jobs) <= 8, f"{len(jobs)} jobs: {sorted(jobs)}"
+
+
+def test_webtext_ops_plan_shapes(spark):
+    """The round-5 web-pipeline operators keep their scale shapes:
+    html/pii/url expressions are Python-free and shuffle-free;
+    decontamination broadcast-joins the benchmark grams (the corpus
+    never sort-merges)."""
+    import contextlib
+    import io
+
+    from schema_fantasy_spark.ops import decontaminate as dc
+    from schema_fantasy_spark.ops.html import extract_text
+    from schema_fantasy_spark.ops.pii import pii_scrub
+    from schema_fantasy_spark.ops.urls import canonicalize_url
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i}", f"https://H{i}.Ex.com:443/p?b=2&a=1")
+         for i in range(50)],
+        "doc_id: long, text: string, url: string",
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan(docs.select(
+        extract_text(F.col("text")).alias("t"),
+        pii_scrub(F.col("text")).alias("p"),
+        canonicalize_url(F.col("url")).alias("u"),
+    ))
+    assert "EvalPython" not in p
+    assert "Exchange" not in p
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    p2 = plan(dc.contamination_hits(docs, bench))
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
