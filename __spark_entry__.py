@@ -639,8 +639,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.lit(" pay 4242424242424241")),
             ).otherwise(F.lit("")),
         )
-        p = pii_scrub(injected)
         out = tx.lang_id(tx.quality_score(tx.fingerprint(docs, method="md5"), "text"))
+        # Generate barrier: six field reads of the scrub struct would
+        # otherwise re-inline the whole staged regex chain per field
+        # (CollapseProject; known trap #1)
+        out = out.select(
+            "*", F.explode(F.array(pii_scrub(injected))).alias("__pii")
+        )
+        p = F.col("__pii")
         return out.select(
             "doc_id",
             "n_tokens",
