@@ -639,6 +639,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .otherwise(F.lit(" pay 4242424242424241")),
             ).otherwise(F.lit("")),
         )
+        # PLUS CCNet-style statistical fluency (ops/lm.py): a char-bigram
+        # transition model trained on the deterministic doc_id%7 slice,
+        # every doc scored by mean quantized transition likelihood —
+        # integer-exact (probabilities in millionths, floor division),
+        # so the oracle replays the score bit-for-bit in SQL
+        from schema_fantasy_spark.ops import lm
+
+        model = lm.train_char_bigram(docs, sample_mod=7)
         out = tx.lang_id(tx.quality_score(tx.fingerprint(docs, method="md5"), "text"))
         # Generate barrier: six field reads of the scrub struct would
         # otherwise re-inline the whole staged regex chain per field
@@ -654,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint",
             "mean_token_len", "punct_ratio", "stopword_ratio",
             "distinct_token_ratio", "quality_score", "lang_pred",
+            lm.bigram_fluency_col(F.col("text"), model).alias("lm_bigram_score"),
             p["n_emails"].alias("pii_emails"),
             p["n_ips"].alias("pii_ips"),
             p["n_cards"].alias("pii_cards"),
@@ -1772,6 +1781,10 @@ def oracle_sql() -> dict[str, str]:
            round(least(n_tokens / 20.0, 1.0) * distinct_token_ratio
                  * greatest(0.0, 1.0 - punct_ratio * 4), 6) AS quality_score,
            CASE WHEN gmax = 0 THEN 'und' {_case} END AS lang_pred,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN sc.np IS NULL THEN 0.0
+                ELSE round(CAST(sc.tot AS DOUBLE) / (sc.np * 1000000.0), 6)
+           END AS lm_bigram_score,
            1 AS pii_emails,
            CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS pii_ips,
            CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS pii_cards,
@@ -1783,6 +1796,31 @@ def oracle_sql() -> dict[str, str]:
                || CASE WHEN doc_id % 4 = 0 THEN ' pay <CARD>' ELSE '' END)
              AS pii_scrub_md5
       FROM m
+      LEFT JOIN (
+        -- replay the char-bigram fluency model: train on doc_id%7,
+        -- add-one-smoothed transition probs quantized to millionths
+        -- (exact BIGINT floor division -> order-independent sums)
+        WITH trn AS (SELECT text FROM documents
+                      WHERE text IS NOT NULL AND doc_id % 7 = 0),
+        tp AS (SELECT substr(text, i, 2) AS pr
+                 FROM trn, unnest(range(1, length(text))) AS t(i)),
+        m2c AS (SELECT pr, count(*) AS c2 FROM tp GROUP BY pr),
+        m1c AS (SELECT substr(pr, 1, 1) AS ch, CAST(sum(c2) AS BIGINT) AS c1
+                  FROM m2c GROUP BY 1),
+        vv AS (SELECT count(DISTINCT substr(text, i, 1)) AS V
+                 FROM trn, unnest(range(1, length(text) + 1)) AS t(i)),
+        dp AS (SELECT doc_id, substr(text, i, 2) AS pr, substr(text, i, 1) AS ch
+                 FROM documents, unnest(range(1, length(text))) AS t(i)
+                WHERE text IS NOT NULL),
+        jj AS (SELECT dp.doc_id,
+                      ((coalesce(m2c.c2, 0) + 1) * 1000000)
+                        // (coalesce(m1c.c1, 0) + vv.V) AS term
+                 FROM dp LEFT JOIN m2c USING (pr)
+                      LEFT JOIN m1c ON m1c.ch = dp.ch
+                      CROSS JOIN vv)
+        SELECT doc_id, CAST(sum(term) AS BIGINT) AS tot, count(*) AS np
+          FROM jj GROUP BY doc_id
+      ) sc USING (doc_id)
     """
 
     # ---- full-pipeline replicas for the formerly rows-only queries ------

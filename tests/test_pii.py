@@ -115,3 +115,37 @@ def test_ngram_hashes_short_and_dedup(spark):
         "i", ngram_hashes(F.col("t"), 8).alias("g")).collect()}
     assert out[1] == []          # shorter than n: no grams, no sequence(1,0)
     assert len(out[2]) == 1      # 3 windows of the same gram -> distinct = 1
+
+
+# --------------------------------------------------- bigram fluency (lm)
+
+
+def test_bigram_fluency_hand_case(spark):
+    """CCNet-style fluency: model-fitting text scores far above
+    gibberish; integer-exact quantized arithmetic replicates in plain
+    python; null/short texts handled."""
+    from schema_fantasy_spark.ops import lm
+
+    df = spark.createDataFrame([
+        (0, "the cat sat on the mat and the dog sat too"),
+        (7, "the cat and the dog sat on the mat again ok"),
+        (14, "the mat and the cat sat with the dog there"),
+        (1, "the cat sat on the mat"),
+        (2, "zqxj vw kqz jxq wvz qqq"),
+        (3, None),
+        (4, "a"),
+    ], "doc_id: long, text: string")
+    model = lm.train_char_bigram(df, sample_mod=7)
+    out = {r["doc_id"]: r["lm_bigram_score"]
+           for r in lm.with_bigram_fluency(df, model).collect()}
+    assert out[3] is None and out[4] == 0.0
+    assert out[1] > 3 * out[2]  # fluent >> gibberish
+
+    pc, pv, vocab = model
+    def ref(t):
+        terms = [((pc.get(t[i:i + 2], 0) + 1) * lm.SCALE)
+                 // (pv.get(t[i], 0) + vocab) for i in range(len(t) - 1)]
+        return round(sum(terms) / (len(terms) * lm.SCALE), 6)
+    for k, t in [(1, "the cat sat on the mat"), (2, "zqxj vw kqz jxq wvz qqq"),
+                 (0, "the cat sat on the mat and the dog sat too")]:
+        assert abs(out[k] - ref(t)) < 1e-12, (k, out[k], ref(t))
