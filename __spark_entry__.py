@@ -989,12 +989,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def snapshot_diff_documents(spark, sf):
         # cross-snapshot set ops under the gate: base vs a derived next
         # snapshot (every 101st doc removed, every 97th lang changed,
-        # every 113th re-added under a shifted key). The two snapshots
+        # every 113th re-added under a shifted key). The snapshots
         # round-trip through a REAL ICEBERG TABLE (sources/iceberg_lite:
-        # spec-layout metadata json + avro manifest lists + manifests,
+        # spec-layout v2 metadata json + avro manifest lists + manifests,
         # no runtime jar needed) — snapshot 1 committed, snapshot 2 an
-        # overwrite commit, both read back by snapshot-id time travel,
-        # so the table-format read/write path sits under the oracle too.
+        # overwrite commit, then TWO v2 ROW-LEVEL DELETE commits
+        # (a positional delete of every 89th doc and an equality delete
+        # of lang='xx'), all read back by snapshot-id time travel, so
+        # the table-format read/write path INCLUDING delete-file
+        # application sits under the oracle too.
         import shutil
         import tempfile
 
@@ -1016,9 +1019,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         shutil.rmtree(tp, ignore_errors=True)  # fresh 2-snapshot history
         s1 = il.append(spark, base, tp)
-        s2 = il.overwrite(spark, nxt.unionAll(added), tp)
+        il.overwrite(spark, nxt.unionAll(added), tp)
+        il.delete_where(spark, tp, F.col("doc_id") % 89 == 0)
+        s4 = il.delete_equality(
+            spark, tp, spark.createDataFrame([("xx",)], "lang string"), ["lang"]
+        )
         snap_base = il.read_snapshot(spark, tp, snapshot_id=s1)
-        snap_next = il.read_snapshot(spark, tp, snapshot_id=s2)
+        snap_next = il.read_snapshot(spark, tp, snapshot_id=s4)
         return sn.snapshot_diff(snap_base, snap_next, ["doc_id"], ["lang", "n_chars"])
 
     def salted_agg_orders(spark, sf):
@@ -2466,12 +2473,16 @@ def oracle_sql() -> dict[str, str]:
     """,
         "snapshot_diff_documents": """
     WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
-    nxt AS (
+    nxt0 AS (
       SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN 'xx' ELSE lang END AS lang,
              n_chars
         FROM base WHERE doc_id % 101 <> 0
       UNION ALL
       SELECT doc_id + 1000000, lang, n_chars FROM base WHERE doc_id % 113 = 0),
+    -- v2 row-level deletes: positional (doc_id % 89) then equality (lang='xx';
+    -- NULL lang does NOT match a non-null delete value)
+    nxt AS (SELECT * FROM nxt0
+             WHERE doc_id % 89 <> 0 AND (lang IS DISTINCT FROM 'xx')),
     j AS (SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
                  b.doc_id IS NOT NULL AS in_b, n.doc_id IS NOT NULL AS in_n,
                  ((b.lang IS DISTINCT FROM n.lang)

@@ -95,7 +95,7 @@ def test_iceberg_lite_snapshots(spark, tmp_path):
         il.read_incremental(spark, tp, s2, s1)  # no delta backwards
 
 
-def test_iceberg_lite_deleted_entries_and_v2_rejection(spark, tmp_path):
+def test_iceberg_lite_deleted_entries(spark, tmp_path):
     tp = str(tmp_path / "tbl2")
     df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
     s1 = il.append(spark, df, tp)
@@ -108,15 +108,87 @@ def test_iceberg_lite_deleted_entries_and_v2_rejection(spark, tmp_path):
         e["status"] = 2
     open(mpath, "wb").write(al.write_container(il._MANIFEST_SCHEMA, entries))
     assert il.snapshot_files(tp, s1) == []
-    # a v2 delete MANIFEST must raise, not misread
-    lpath = os.path.join(tp, "metadata", f"snap-{s1}.avro")
-    lschema = {
-        "type": "record", "name": "manifest_file", "fields":
-        il._MANIFEST_LIST_SCHEMA["fields"] + [{"name": "content", "type": "int"}],
-    }
-    _, rows = al.read_container(open(lpath, "rb").read())
-    for r in rows:
-        r["content"] = 1
-    open(lpath, "wb").write(al.write_container(lschema, rows))
+
+
+def test_iceberg_lite_positional_delete(spark, tmp_path):
+    tp = str(tmp_path / "tblp")
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") % 7).alias("v"))
+    s1 = il.append(spark, df, tp)
+    s2 = il.delete_where(spark, tp, F.col("doc_id") % 10 == 0)
+    # current snapshot: multiples of 10 gone, everything else intact
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # delete files are part of the closure but NOT of the data-file list
+    assert il.snapshot_files(tp, s2) == il.snapshot_files(tp, s1)
+    # time travel BEFORE the delete still sees all rows
+    assert il.read_snapshot(spark, tp, snapshot_id=s1).count() == 100
+    # second delete stacks (including a re-delete of dead rows: no-op)
+    il.delete_where(spark, tp, F.col("doc_id") < 25)
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [i for i in range(25, 100) if i % 10 != 0]
+    # sequence gate: data appended AFTER a delete is untouched by it
+    s4 = il.append(spark, spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("v")), tp)
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp, snapshot_id=s4).collect())
+    assert got == [0, 1, 2, 3, 4] + [i for i in range(25, 100) if i % 10 != 0]
+    # a delete-only commit appends no data files
     with pytest.raises(il.IcebergLiteError):
-        il.snapshot_files(tp, s1)
+        il.read_incremental(spark, tp, s1, s2)
+
+
+def test_iceberg_lite_equality_delete(spark, tmp_path):
+    tp = str(tmp_path / "tble")
+    rows = [(0, "en"), (1, "xx"), (2, None), (3, "de"), (4, "xx"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    il.append(spark, df, tp)
+    il.delete_equality(
+        spark, tp, spark.createDataFrame([("xx",)], "lang string"), ["lang"])
+    # 'xx' rows gone; NULL does not match 'xx'
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [0, 2, 3, 5]
+    # null-safe equality: a NULL delete value matches NULL rows
+    il.delete_equality(
+        spark, tp, spark.createDataFrame([(None,)], "lang string"), ["lang"])
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [0, 3]
+    # STRICT sequence gate: 'xx' rows appended after the delete survive
+    il.append(spark, spark.createDataFrame([(9, "xx")], "doc_id long, lang string"), tp)
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [0, 3, 9]
+    # multi-column equality ids resolve by FIELD ID through the schema
+    il.delete_equality(
+        spark, tp,
+        spark.createDataFrame([(0, "en")], "doc_id long, lang string"),
+        ["doc_id", "lang"])
+    got = sorted(r["doc_id"] for r in il.read_snapshot(spark, tp).collect())
+    assert got == [3, 9]
+    with pytest.raises(il.IcebergLiteError):
+        il.delete_equality(
+            spark, tp, spark.createDataFrame([(1,)], "nope long"), ["nope"])
+
+
+def test_iceberg_lite_malformed_content_mixes(spark, tmp_path):
+    tp = str(tmp_path / "tblm")
+    s1 = il.append(spark, spark.range(0, 10).select(F.col("id").alias("doc_id")), tp)
+    s2 = il.delete_where(spark, tp, F.col("doc_id") == 3)
+    assert il.read_snapshot(spark, tp).count() == 9
+    # a delete file listed in a DATA manifest must raise, not misread
+    mpath = os.path.join(tp, "metadata", f"manifest-{s1}.avro")
+    _, entries = al.read_container(open(mpath, "rb").read())
+    for e in entries:
+        e["data_file"]["content"] = 1
+    open(mpath, "wb").write(al.write_container(il._MANIFEST_SCHEMA, entries))
+    with pytest.raises(il.IcebergLiteError):
+        il.snapshot_files(tp, s2)
+    for e in entries:
+        e["data_file"]["content"] = 0
+    open(mpath, "wb").write(al.write_container(il._MANIFEST_SCHEMA, entries))
+    # a data file listed in a DELETE manifest must raise too
+    dpath = os.path.join(tp, "metadata", f"manifest-del1-{s2}.avro")
+    _, dentries = al.read_container(open(dpath, "rb").read())
+    for e in dentries:
+        e["data_file"]["content"] = 0
+    open(dpath, "wb").write(al.write_container(il._MANIFEST_SCHEMA, dentries))
+    with pytest.raises(il.IcebergLiteError):
+        il.snapshot_files(tp, s2)
