@@ -1805,20 +1805,40 @@ def oracle_sql() -> dict[str, str]:
       FROM m
       LEFT JOIN (
         -- replay the char-bigram fluency model: train on doc_id%7,
+        -- top-128 chars by (count desc, char asc) kept, the rest mapped
+        -- to the single UNK symbol chr(1) BEFORE bigram counting (the
+        -- CCNet vocabulary cut — bounds the model on multilingual text),
         -- add-one-smoothed transition probs quantized to millionths
-        -- (exact BIGINT floor division -> order-independent sums)
+        -- (exact BIGINT floor division -> order-independent sums);
+        -- smoothing V = |vocab| + (1 if any char was cut)
         WITH trn AS (SELECT text FROM documents
                       WHERE text IS NOT NULL AND doc_id % 7 = 0),
-        tp AS (SELECT substr(text, i, 2) AS pr
-                 FROM trn, unnest(range(1, length(text))) AS t(i)),
+        cc AS (SELECT substr(text, i, 1) AS ch, count(*) AS c
+                 FROM trn, unnest(range(1, length(text) + 1)) AS t(i)
+                GROUP BY 1),
+        voc AS (SELECT ch FROM cc ORDER BY c DESC, ch ASC LIMIT 128),
+        vv AS (SELECT (SELECT count(*) FROM voc)
+                      + CASE WHEN (SELECT count(*) FROM cc)
+                                  > (SELECT count(*) FROM voc)
+                             THEN 1 ELSE 0 END AS V),
+        tp AS (SELECT coalesce(a.ch, chr(1)) || coalesce(b.ch, chr(1)) AS pr
+                 FROM (SELECT substr(text, i, 1) AS c1,
+                              substr(text, i + 1, 1) AS c2
+                         FROM trn, unnest(range(1, length(text))) AS t(i)) p
+                 LEFT JOIN voc a ON a.ch = p.c1
+                 LEFT JOIN voc b ON b.ch = p.c2),
         m2c AS (SELECT pr, count(*) AS c2 FROM tp GROUP BY pr),
         m1c AS (SELECT substr(pr, 1, 1) AS ch, CAST(sum(c2) AS BIGINT) AS c1
                   FROM m2c GROUP BY 1),
-        vv AS (SELECT count(DISTINCT substr(text, i, 1)) AS V
-                 FROM trn, unnest(range(1, length(text) + 1)) AS t(i)),
-        dp AS (SELECT doc_id, substr(text, i, 2) AS pr, substr(text, i, 1) AS ch
-                 FROM documents, unnest(range(1, length(text))) AS t(i)
-                WHERE text IS NOT NULL),
+        dp AS (SELECT doc_id,
+                      coalesce(a.ch, chr(1)) || coalesce(b.ch, chr(1)) AS pr,
+                      coalesce(a.ch, chr(1)) AS ch
+                 FROM (SELECT doc_id, substr(text, i, 1) AS c1,
+                              substr(text, i + 1, 1) AS c2
+                         FROM documents, unnest(range(1, length(text))) AS t(i)
+                        WHERE text IS NOT NULL) p
+                 LEFT JOIN voc a ON a.ch = p.c1
+                 LEFT JOIN voc b ON b.ch = p.c2),
         jj AS (SELECT dp.doc_id,
                       ((coalesce(m2c.c2, 0) + 1) * 1000000)
                         // (coalesce(m1c.c1, 0) + vv.V) AS term

@@ -78,11 +78,17 @@ def with_contamination(
     method: str = "xxhash64",
 ) -> DataFrame:
     """Append (contam_hits, contaminated) to the corpus — the decision
-    column a cleaning funnel filters on."""
+    column a cleaning funnel filters on.
+
+    The hits side is a full-corpus aggregate, so its size is unbounded
+    (a dirty corpus against a large benchmark set can flag billions of
+    docs) — unlike the benchmark-gram set it must NOT be force-
+    broadcast. Plain left equi join: AQE broadcasts it at runtime only
+    when its measured size allows."""
     hits = contamination_hits(
         docs, benchmark, id_col=id_col, text_col=text_col, n=n, method=method
     )
-    out = docs.join(F.broadcast(hits), id_col, "left")
+    out = docs.join(hits, id_col, "left")
     return out.withColumn(
         "contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0))
     ).withColumn("contaminated", F.col("contam_hits") > 0)

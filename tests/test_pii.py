@@ -141,11 +141,49 @@ def test_bigram_fluency_hand_case(spark):
     assert out[3] is None and out[4] == 0.0
     assert out[1] > 3 * out[2]  # fluent >> gibberish
 
-    pc, pv, vocab = model
+    pc, pv, v_smooth, vocab = model
     def ref(t):
-        terms = [((pc.get(t[i:i + 2], 0) + 1) * lm.SCALE)
-                 // (pv.get(t[i], 0) + vocab) for i in range(len(t) - 1)]
+        m = [c if c in vocab else lm.UNK for c in t]
+        terms = [((pc.get(m[i] + m[i + 1], 0) + 1) * lm.SCALE)
+                 // (pv.get(m[i], 0) + v_smooth) for i in range(len(m) - 1)]
         return round(sum(terms) / (len(terms) * lm.SCALE), 6)
     for k, t in [(1, "the cat sat on the mat"), (2, "zqxj vw kqz jxq wvz qqq"),
                  (0, "the cat sat on the mat and the dog sat too")]:
         assert abs(out[k] - ref(t)) < 1e-12, (k, out[k], ref(t))
+
+
+def test_bigram_fluency_vocab_cap(spark):
+    """The CCNet vocabulary cut: a corpus with ~10^4 distinct chars
+    (synthetic CJK-ish) trains to <= max_vocab chars + UNK, model size
+    hard-bounded; in-vocab scoring is unchanged by the cap; OOV chars
+    score through the UNK bucket identically cross-checked in python."""
+    from schema_fantasy_spark.ops import lm
+
+    # 10,000 distinct BMP chars, one doc per 100-char run (training
+    # slice = all docs), plus a latin doc that stays fully in-vocab
+    big = [(i * 7, "".join(chr(0x4E00 + i * 100 + j) for j in range(100)))
+           for i in range(100)]
+    # dominate the counts with repeated latin text so the top-V cut
+    # keeps the latin alphabet deterministically
+    latin = [(7000 + 7 * k, "the cat sat on the mat " * 40) for k in range(30)]
+    df = spark.createDataFrame(big + latin, "doc_id: long, text: string")
+    model = lm.train_char_bigram(df, sample_mod=7, max_vocab=32)
+    pc, pv, v_smooth, vocab = model
+    assert len(vocab) <= 32
+    assert v_smooth == len(vocab) + 1          # something was cut -> UNK live
+    assert len(pc) <= (32 + 1) ** 2
+    # every latin char survived the cut (they dominate by count)
+    assert set("the cats onm ") <= vocab
+    # scoring replays bit-for-bit through the UNK bucket
+    probe = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "一丁 the 香")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r["lm_bigram_score"]
+           for r in lm.with_bigram_fluency(probe, model).collect()}
+    def ref(t):
+        m = [c if c in vocab else lm.UNK for c in t]
+        terms = [((pc.get(m[i] + m[i + 1], 0) + 1) * lm.SCALE)
+                 // (pv.get(m[i], 0) + v_smooth) for i in range(len(m) - 1)]
+        return round(sum(terms) / (len(terms) * lm.SCALE), 6)
+    assert abs(out[0] - ref("the cat sat")) < 1e-12
+    assert abs(out[1] - ref("一丁 the 香")) < 1e-12

@@ -307,3 +307,16 @@ def test_webtext_ops_plan_shapes(spark):
     p2 = plan(dc.contamination_hits(docs, bench))
     assert "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
+
+    # The hits side of with_contamination is a full-corpus aggregate
+    # (unbounded) — it must NOT carry a broadcast hint. With auto-
+    # broadcast off, only the bounded benchmark-gram join may still
+    # broadcast; the docs<->hits join must plan as a non-broadcast join.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p3 = plan(dc.with_contamination(docs, bench))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin LeftOuter" in p3, p3  # docs<->hits: not broadcast
+    assert "BroadcastHashJoin LeftOuter" not in p3, p3
