@@ -1166,10 +1166,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encodings of letters — and extract_text must recover the text
         # BYTE-IDENTICALLY or rows mismatch (extra rows and wrong
         # hashes), since the oracle compares against the original text.
+        # Both corpora carry a non-ASCII suffix (Latin-1 é, BMP CJK 中,
+        # supplementary-plane 😀) that the page spells as NUMERIC
+        # ENTITIES — the UTF-16BE/surrogate-pair decode path in
+        # ops/html.py is under the gate too (the oracle hashes the
+        # suffixed original, so a single undecoded reference breaks
+        # every row's hashes).
         from schema_fantasy_spark.ops.html import extract_text
         from schema_fantasy_spark.ops.urls import canonicalize_url
 
         docs = tables.load(spark, sf, "documents").filter(F.col("text").isNotNull())
+        docs = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" café 中\U0001f600"))
+        )
         enc = (
             F.when(
                 F.col("doc_id") % 3 == 0,
@@ -1181,6 +1190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .otherwise(F.col("text"))
         )
+        for ch, ref in (
+            ("é", "&#233;"), ("中", "&#x4E2D;"),
+            ("\U0001f600", "&#128512;"),
+        ):
+            enc = F.replace(enc, F.lit(ch), F.lit(ref))
         enc = F.regexp_replace(enc, r"\btable\b", "<b>table</b>")
         page = F.concat(
             F.lit('<html><head><title>d</title><style>p { c: "<div>" }</style>'),
@@ -1310,8 +1324,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_frames").alias("c_n_frames"),
             F.col("duration_sec").alias("c_duration_sec"),
         )
-        # broadcast the per-doc metadata (tiny) so the frame rows never
-        # shuffle — at 10^12 docs the frames side is the heavy one
+        # GATE-ONLY composition: this join exists to fit two operators
+        # (frame sampling + container metadata) into one gate row. cmeta
+        # is per-doc, so at 10^12 docs broadcasting it is NOT the scale
+        # plan — there you'd run the two operators as separate scans, or
+        # co-partition both sides on doc_id (both derive from the same
+        # source partitioning, so the join needs no extra shuffle). The
+        # broadcast here only keeps the sf0.01 gate plan exchange-free.
         return frames.join(F.broadcast(cmeta), "doc_id")
 
     def audio_metadata_synthetic(spark, sf):
@@ -2456,7 +2475,8 @@ def oracle_sql() -> dict[str, str]:
         "text_consistency_documents": """
     SELECT 'https://h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com/p/'
              || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
-           md5(text || '!') AS h_actual, md5(text) AS h_expected
+           md5(text || ' café 中\U0001f600' || '!') AS h_actual,
+           md5(text || ' café 中\U0001f600') AS h_expected
       FROM documents
      WHERE text IS NOT NULL AND doc_id % 97 = 0
     """,

@@ -178,18 +178,17 @@ def main() -> None:
     notes = [
         "gopher_quality grew 4 -> 17 Rae-family metrics in r4: its ~1.6s "
         "at sf0.1 is the operator's real cost, not a regression",
-        "variant_props/variant_rich_props dropped ~2-3x in r5 (root "
-        "map/array Generate barrier + single-pass tuple items); "
-        "video_frames gained a container-metadata join (mp4/mkv) and "
-        "image_decode gained lossy-VP8 rows in r5 - small per-query "
-        "cost increases there are added WORK, not regressions",
-        "r5 also folded new gated work into existing queries: "
-        "suite (WARC archive round trip), snapshot_diff (iceberg_lite "
-        "table write+time-travel read), text_consistency (html "
-        "extraction + url canonicalization), text_features (PII "
-        "battery), gopher_quality (decontamination join) - their "
-        "absolute times grew by the cost of that work while the "
-        "50-query total still dropped 76.2s -> ~67s vs r4",
+        "r5 folded new gated work into existing queries (suite: WARC "
+        "round trip; snapshot_diff: iceberg_lite write+time-travel; "
+        "text_consistency: html extraction + url canonicalization; "
+        "text_features: PII + fluency; gopher_quality: decontamination; "
+        "image_decode: lossy VP8; video_frames: container metadata) - "
+        "their absolute times grew by the cost of that work while the "
+        "50-query total held ~flat (76.2s r4 -> 75.6s r5)",
+        "r6: snapshot_diff now round-trips an Iceberg v2 positional "
+        "DELETE under the gate; text_features scores through the "
+        "vocab-capped (top-128 + UNK) fluency model - added work, "
+        "not regressions",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:

@@ -22,15 +22,19 @@ a browser-grade HTML5 parser — scope documented per step):
 4. entities decoded: the five standard named ones (``&amp; &lt; &gt;
    &quot; &apos;``), ``&nbsp;`` (to a PLAIN SPACE — the crawl-pipeline
    convention, so it participates in whitespace collapse), and numeric
-   character references, decimal and hex, for code points < 128
-   (``F.char`` is ASCII; non-ASCII references pass through unchanged,
-   documented). ``&amp;`` decodes LAST so ``&amp;lt;`` yields the
-   literal ``&lt;``;
+   character references, decimal and hex, for EVERY valid Unicode
+   scalar value 1..0x10FFFF — BMP code points via a two-byte UTF-16BE
+   decode built in-expression, supplementary-plane ones via an
+   in-expression surrogate pair (``&#128512;`` -> 😀). Invalid
+   references (``&#0;``, surrogates, > 0x10FFFF, malformed) pass
+   through unchanged. ``&amp;`` decodes LAST so ``&amp;lt;`` yields
+   the literal ``&lt;``;
 5. whitespace runs collapse to a single space, trimmed.
 
-CDATA sections, conditional comments, and non-ASCII numeric references
-are out of scope (each passes through recognizably rather than being
-silently mangled)."""
+CDATA sections, conditional comments, and the extended named-entity
+table (``&eacute;`` etc. — numeric refs cover the decode machinery;
+the name table is data, not mechanism) are out of scope (each passes
+through recognizably rather than being silently mangled)."""
 
 from __future__ import annotations
 
@@ -40,15 +44,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 _TAG = r"(?s)<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
 
 
+def _codepoint_char(dv: Column) -> Column:
+    """The character for a scalar code point, built in-expression: the
+    UTF-16BE byte string of the code point (one unit for the BMP, a
+    surrogate pair above it) decoded back to a string — no Python, no
+    dictionary, full Unicode range."""
+    cpp = dv - 0x10000  # supplementary-plane offset
+    hi = F.lit(0xD800) + F.floor(cpp / 1024).cast("int")
+    lo = F.lit(0xDC00) + F.pmod(cpp, F.lit(1024))
+    units = F.when(
+        dv < 0x10000, F.lpad(F.hex(dv), 4, "0")
+    ).otherwise(F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")))
+    return F.decode(F.unhex(units), "UTF-16BE")
+
+
 def _decode_numeric_entities(s: Column) -> Column:
-    """Decode ``&#NNN;`` / ``&#xHH;`` (ASCII range) with the same
+    """Decode ``&#NNN;`` / ``&#xHH;`` for every valid Unicode scalar
+    value (1..0x10FFFF excluding the surrogate block — invalid refs,
+    including ``&#0;``, pass through recognizably), with the same
     split/transform shape as the url percent decoder: split on '&#',
     each later token starts at a reference."""
     parts = F.split(s, "&#", -1)
 
     def _tok(t: Column) -> Column:
-        dec = F.regexp_extract(t, r"^([0-9]{1,3});", 1)
-        hexd = F.regexp_extract(t, r"^[xX]([0-9A-Fa-f]{1,2});", 1)
+        dec = F.regexp_extract(t, r"^([0-9]{1,7});", 1)
+        hexd = F.regexp_extract(t, r"^[xX]([0-9A-Fa-f]{1,6});", 1)
         dv = F.when(dec != "", dec.cast("int")).otherwise(
             F.when(hexd != "", F.conv(hexd, 16, 10).cast("int"))
         )
@@ -58,9 +78,15 @@ def _decode_numeric_entities(s: Column) -> Column:
             .otherwise(F.lit(0))
         )
         tail = F.substring(t, ref_len + 1, F.lit(1 << 30))
+        bad = (
+            dv.isNull()
+            | (dv < 1)
+            | (dv > 0x10FFFF)
+            | ((dv >= 0xD800) & (dv <= 0xDFFF))
+        )
         return (
-            F.when(dv.isNull() | (dv >= 128), F.concat(F.lit("&#"), t))
-            .otherwise(F.concat(F.char(dv), tail))
+            F.when(bad, F.concat(F.lit("&#"), t))
+            .otherwise(F.concat(_codepoint_char(dv), tail))
         )
 
     return F.array_join(

@@ -34,8 +34,16 @@ def test_extract_text_hand_cases(spark):
         ("a&nbsp;&nbsp;b", "a b"),
         ("&#97;&#98;&#x63;&#X64;", "abcd"),
         ("&amp;lt; stays literal", "&lt; stays literal"),
-        # non-ASCII numeric refs and malformed refs pass through
-        ("&#233; &#xE9; &#; &#xZZ;", "&#233; &#xE9; &#; &#xZZ;"),
+        # non-ASCII numeric refs: Latin-1, BMP CJK, supplementary plane
+        # (surrogate pair built in-expression), dec + hex forms
+        ("&#233; &#xE9;", "é é"),
+        ("&#x4E2D;&#20013;", "中中"),
+        ("&#128512; &#x1F600;", "\U0001f600 \U0001f600"),
+        ("&#x10FFFF;", "\U0010ffff"),                   # range ceiling
+        # invalid refs pass through: malformed, &#0;, surrogates, beyond
+        # the Unicode range, overlong digit strings
+        ("&#; &#xZZ; &#0; &#xD800; &#1114112; &#99999999;",
+         "&#; &#xZZ; &#0; &#xD800; &#1114112; &#99999999;"),
         # whitespace collapse + trim
         ("  <p>\n  a \t b  </p>\n ", "a b"),
         ("<br/>line<br>break", "line break"),
