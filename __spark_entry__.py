@@ -349,7 +349,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         def enc(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
             for pdf in batches:
-                recs = []
+                # raw-Common-Crawl layout: warcinfo leads the archive,
+                # and captures interleave request/metadata records with
+                # the responses — dec() must skip them by TYPE or the
+                # roundtrip gains rows and every suite verdict breaks
+                recs = [W.build_record(
+                    None, "2026-01-01T00:00:00Z",
+                    b"software: sfs-gate/1.0\r\n", warc_type="warcinfo")]
                 for r in pdf.itertuples(index=False):
                     hdrs = {"Content-Type": "text/plain; charset=utf-8"}
                     for name, val in (("X-Doc-Id", r.doc_id),
@@ -361,9 +367,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     body = b"" if r.text is None else str(r.text).encode("utf-8")
                     if r.text is None:
                         hdrs["X-Text-Null"] = "1"
+                    if r.doc_id is not None and r.doc_id % 3 == 0:
+                        recs.append(W.build_record(
+                            "https://crawl.example.com/doc",
+                            "2026-01-01T00:00:00Z", b"",
+                            {"Host": "crawl.example.com"},
+                            warc_type="request",
+                            request_line="GET /doc HTTP/1.1"))
                     recs.append(W.build_record(
                         "https://crawl.example.com/doc",
                         "2026-01-01T00:00:00Z", body, hdrs))
+                    if r.doc_id is not None and r.doc_id % 5 == 0:
+                        recs.append(W.build_record(
+                            "https://crawl.example.com/doc",
+                            "2026-01-01T00:00:00Z",
+                            b"fetchTimeMs: 7\r\n", warc_type="metadata"))
                 yield pd.DataFrame({"payload": pd.Series(
                     [W.build_warc(recs, compress=True)], dtype="object")})
 
@@ -372,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows = {c: [] for c in cols}
                 for payload in pdf["payload"]:
                     for rec in W.parse_warc(bytes(payload)):
+                        if rec["type"] != "response":
+                            continue
                         h = rec["http_headers"]
                         rows["doc_id"].append(
                             int(h["x-doc-id"]) if "x-doc-id" in h else None)

@@ -28,20 +28,37 @@ CRLF = b"\r\n"
 # --------------------------------------------------------------- writing
 
 
+#: spec Content-Type per record type (ISO 28500 §6; the warc-fields
+#: media type carries colon-separated metadata lines, the http ones a
+#: full HTTP message)
+_CONTENT_TYPES = {
+    "response": "application/http; msgtype=response",
+    "request": "application/http; msgtype=request",
+    "warcinfo": "application/warc-fields",
+    "metadata": "application/warc-fields",
+}
+
+
 def build_record(
-    url: str,
+    url: Optional[str],
     date: str,
     body: bytes,
     http_headers: Optional[Dict[str, str]] = None,
     warc_type: str = "response",
     status: int = 200,
     record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    request_line: str = "GET / HTTP/1.1",
 ) -> bytes:
     """One spec-layout WARC record (uncompressed). ``date`` is the
-    ISO-8601 WARC-Date (e.g. ``2026-01-01T00:00:00Z``)."""
+    ISO-8601 WARC-Date (e.g. ``2026-01-01T00:00:00Z``). ``response``
+    and ``request`` records wrap ``body`` in an HTTP message (status
+    line / ``request_line``); ``warcinfo``/``metadata`` carry it raw as
+    warc-fields. ``url`` may be None (warcinfo records have none)."""
     http = bytearray()
-    if warc_type == "response":
-        http += f"HTTP/1.1 {status} OK".encode() + CRLF
+    if warc_type in ("response", "request"):
+        first = (f"HTTP/1.1 {status} OK" if warc_type == "response"
+                 else request_line)
+        http += first.encode() + CRLF
         for k, v in (http_headers or {}).items():
             http += f"{k}: {v}".encode() + CRLF
         http += f"Content-Length: {len(body)}".encode() + CRLF + CRLF
@@ -52,10 +69,12 @@ def build_record(
         ("WARC-Type", warc_type),
         ("WARC-Record-ID", record_id),
         ("WARC-Date", date),
-        ("WARC-Target-URI", url),
+    ]
+    if url is not None:
+        fields.append(("WARC-Target-URI", url))
+    fields += [
         ("Content-Type",
-         'application/http; msgtype=response' if warc_type == "response"
-         else "application/octet-stream"),
+         _CONTENT_TYPES.get(warc_type, "application/octet-stream")),
         ("Content-Length", str(len(block))),
     ]
     for k, v in fields:
@@ -117,9 +136,12 @@ def _parse_headers(data: bytes, start: int):
 
 def parse_warc(payload: bytes) -> List[Dict[str, Any]]:
     """Records of an archive (gzipped or plain): dicts with ``type``,
-    ``url``, ``date``, ``headers`` (WARC), and for responses
-    ``http_status``, ``http_headers``, ``body``. Malformed tails stop
-    the parse cleanly — records before the corruption survive."""
+    ``url``, ``date``, ``headers`` (WARC), ``body``, plus per type:
+    ``http_status``/``http_headers`` for responses, ``http_method``/
+    ``http_target``/``http_headers`` for requests, and ``fields`` (the
+    parsed warc-fields map) for warcinfo/metadata records — Common
+    Crawl raw archives interleave all four. Malformed tails stop the
+    parse cleanly — records before the corruption survive."""
     if payload[:2] == b"\x1f\x8b":
         payload = _gunzip_members(payload)
     out: List[Dict[str, Any]] = []
@@ -153,22 +175,39 @@ def parse_warc(payload: bytes) -> List[Dict[str, Any]]:
             "date": headers.get("warc-date"),
             "headers": headers,
         }
+        rec["http_status"] = None
+        rec["http_method"] = None
+        rec["http_target"] = None
+        rec["http_headers"] = {}
+        rec["fields"] = {}
+        rec["body"] = block
         if rec["type"] == "response" and block.startswith(b"HTTP/"):
             eol = block.find(CRLF)
             parts = block[:eol].split(b" ", 2)
             try:
                 rec["http_status"] = int(parts[1])
             except (IndexError, ValueError):
-                rec["http_status"] = None
+                pass
             hp = _parse_headers(block, eol + 2)
             if hp is None:
                 rec["http_headers"], rec["body"] = {}, b""
             else:
                 rec["http_headers"], rec["body"] = hp[0], block[hp[1]:]
-        else:
-            rec["http_status"] = None
-            rec["http_headers"] = {}
-            rec["body"] = block
+        elif rec["type"] == "request" and CRLF in block:
+            # request line: METHOD SP target SP HTTP-version
+            eol = block.find(CRLF)
+            parts = block[:eol].split(b" ", 2)
+            if len(parts) == 3 and parts[2].startswith(b"HTTP/"):
+                rec["http_method"] = parts[0].decode("latin-1")
+                rec["http_target"] = parts[1].decode("latin-1")
+                hp = _parse_headers(block, eol + 2)
+                if hp is not None:
+                    rec["http_headers"], rec["body"] = hp[0], block[hp[1]:]
+        elif rec["type"] in ("warcinfo", "metadata"):
+            # warc-fields: colon-separated lines, same grammar as headers
+            fp = _parse_headers(block + CRLF + CRLF, 0)
+            if fp is not None:
+                rec["fields"] = fp[0]
         out.append(rec)
         i = body_start + length
     return out
@@ -177,46 +216,73 @@ def parse_warc(payload: bytes) -> List[Dict[str, Any]]:
 # ------------------------------------------------------------ spark edge
 
 
-def read_warc(spark, path: str):
-    """DataFrame(url, warc_ts, html, http_status, content_type,
-    warc_file) over the RESPONSE records of ``path``'s archives
-    (binaryFile listing + mapInPandas parse: partition-preserving,
-    bodies never shuffle)."""
+def read_warc(spark, path: str, records: str = "response"):
+    """DataFrame over ``path``'s archives (binaryFile listing +
+    mapInPandas parse: partition-preserving, bodies never shuffle).
+
+    ``records="response"`` (default): (url, warc_ts, html, http_status,
+    content_type, warc_file) — the pages-table ingestion contract;
+    non-response records (warcinfo/request/metadata, which raw Common
+    Crawl archives interleave with responses) are parsed and skipped.
+
+    ``records="all"``: every record surfaced TYPED — adds
+    ``record_type`` plus ``http_method`` (requests) and ``info``
+    (warcinfo/metadata warc-fields rendered ``k=v`` newline-joined,
+    sorted); ``html`` carries each record's raw body."""
     import pandas as pd
     from pyspark.sql import functions as F, types as T
 
-    schema = T.StructType([
+    if records not in ("response", "all"):
+        raise ValueError(f"records must be 'response' or 'all': {records!r}")
+    fields = [
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("html", T.BinaryType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("warc_file", T.StringType()),
-    ])
+    ]
+    if records == "all":
+        fields += [
+            T.StructField("record_type", T.StringType()),
+            T.StructField("http_method", T.StringType()),
+            T.StructField("info", T.StringType()),
+        ]
+    schema = T.StructType(fields)
+    want_all = records == "all"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            urls, tss, bodies, stats, ctypes, files = [], [], [], [], [], []
+            rows: Dict[str, list] = {f.name: [] for f in fields}
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc(bytes(content)):
-                    if rec["type"] != "response":
+                    if not want_all and rec["type"] != "response":
                         continue
-                    urls.append(rec["url"])
+                    rows["url"].append(rec["url"])
                     # WARC-Date is UTC ('Z'); session tz is UTC, store naive
-                    tss.append(pd.Timestamp(rec["date"].rstrip("Z"))
-                               if rec["date"] else None)
-                    bodies.append(rec["body"])
-                    stats.append(rec["http_status"])
-                    ctypes.append(rec["http_headers"].get("content-type"))
-                    files.append(fpath)
-            yield pd.DataFrame({
-                "url": pd.Series(urls, dtype="object"),
-                "warc_ts": pd.Series(tss, dtype="datetime64[ns]"),
-                "html": pd.Series(bodies, dtype="object"),
-                "http_status": pd.Series(stats, dtype="object"),
-                "content_type": pd.Series(ctypes, dtype="object"),
-                "warc_file": pd.Series(files, dtype="object"),
-            })
+                    rows["warc_ts"].append(
+                        pd.Timestamp(rec["date"].rstrip("Z"))
+                        if rec["date"] else None)
+                    rows["html"].append(rec["body"])
+                    rows["http_status"].append(rec["http_status"])
+                    rows["content_type"].append(
+                        rec["http_headers"].get("content-type")
+                        if rec["type"] in ("response", "request")
+                        else rec["headers"].get("content-type"))
+                    rows["warc_file"].append(fpath)
+                    if want_all:
+                        rows["record_type"].append(rec["type"])
+                        rows["http_method"].append(rec["http_method"])
+                        rows["info"].append(
+                            "\n".join(f"{k}={v}" for k, v in
+                                      sorted(rec["fields"].items()))
+                            if rec["fields"] else None)
+            out = {"warc_ts": pd.Series(rows["warc_ts"],
+                                        dtype="datetime64[ns]")}
+            for f in fields:
+                if f.name != "warc_ts":
+                    out[f.name] = pd.Series(rows[f.name], dtype="object")
+            yield pd.DataFrame(out)[[f.name for f in fields]]
 
     binfiles = spark.read.format("binaryFile").load(path).select("path", "content")
     return binfiles.mapInPandas(run, schema)

@@ -63,3 +63,67 @@ def test_read_warc_spark_edge(spark, tmp_path):
     assert bytes(a["html"]) == b"\x00\x01binary body\xff"
     assert str(next(r for r in rows if r["http_status"] == 200)["warc_ts"]) \
         == "2026-01-01 00:00:00"
+
+
+def _mixed_archive():
+    """A raw-Common-Crawl-style archive: warcinfo first, then a
+    request/response pair and a metadata record per capture."""
+    return [
+        W.build_record(None, "2026-01-01T00:00:00Z",
+                       b"software: sfs-test/1.0\r\nformat: WARC/1.0\r\n",
+                       warc_type="warcinfo"),
+        W.build_record("https://a.example.com/x", "2026-01-01T00:00:01Z",
+                       b"", {"Host": "a.example.com", "Accept": "*/*"},
+                       warc_type="request", request_line="GET /x HTTP/1.1"),
+        W.build_record("https://a.example.com/x", "2026-01-01T00:00:02Z",
+                       b"<html>hi</html>",
+                       {"Content-Type": "text/html; charset=utf-8"}),
+        W.build_record("https://a.example.com/x", "2026-01-01T00:00:02Z",
+                       b"fetchTimeMs: 123\r\n", warc_type="metadata"),
+        W.build_record("https://b.example.com/y", "2026-01-02T00:00:00Z",
+                       b"second response",
+                       {"Content-Type": "text/plain"}, status=301),
+    ]
+
+
+def test_parse_mixed_record_types():
+    for compress in (False, True):
+        out = W.parse_warc(W.build_warc(_mixed_archive(), compress=compress))
+        assert [r["type"] for r in out] == [
+            "warcinfo", "request", "response", "metadata", "response"]
+        info = out[0]
+        assert info["url"] is None
+        assert info["fields"] == {"software": "sfs-test/1.0",
+                                  "format": "WARC/1.0"}
+        req = out[1]
+        assert req["http_method"] == "GET" and req["http_target"] == "/x"
+        assert req["http_headers"]["host"] == "a.example.com"
+        assert req["http_status"] is None
+        meta = out[3]
+        assert meta["fields"] == {"fetchtimems": "123"}
+        assert meta["url"] == "https://a.example.com/x"
+        # the interleaved records do not perturb response parsing
+        assert out[2]["body"] == b"<html>hi</html>"
+        assert out[4]["http_status"] == 301
+
+
+def test_read_warc_mixed(spark, tmp_path):
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "cc.warc.gz"), "wb") as fh:
+        fh.write(W.build_warc(_mixed_archive(), compress=True))
+    # default mode: responses only, interleaved records skipped cleanly
+    resp = W.read_warc(spark, d).collect()
+    assert sorted(r["http_status"] for r in resp) == [200, 301]
+    # records="all": every record surfaced TYPED
+    rows = sorted(W.read_warc(spark, d, records="all").collect(),
+                  key=lambda r: (str(r["warc_ts"]), r["record_type"]))
+    assert [r["record_type"] for r in rows] == [
+        "warcinfo", "request", "metadata", "response", "response"]
+    assert rows[0]["url"] is None
+    assert rows[0]["info"] == "format=WARC/1.0\nsoftware=sfs-test/1.0"
+    assert rows[0]["content_type"] == "application/warc-fields"
+    assert rows[1]["http_method"] == "GET" and rows[1]["http_status"] is None
+    assert rows[2]["record_type"] == "metadata"
+    assert rows[2]["http_method"] is None and rows[2]["info"] == "fetchtimems=123"
+    assert bytes(rows[3]["html"]) == b"<html>hi</html>"
