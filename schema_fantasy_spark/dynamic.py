@@ -84,15 +84,15 @@ def validate_json(
     from schema_fantasy_spark.ops.dedup import _ensure_parallelism
 
     udf = json_errors_udf(schema, refs)
-    # The Arrow UDF inherits the scan's parallelism. File-backed inputs
-    # keep Spark's byte-split partitioning (>= cores at any real scale;
-    # repartitioning a small single-row-group file shuffles every document
-    # string for ~nothing — measured ~1s of a 2.4s run). Only non-file
-    # inputs (createDataFrame with few slices) get spread across cores.
-    try:
-        file_backed = not df.isStreaming and bool(df.inputFiles())
-    except Exception:
-        file_backed = False
-    src = df if file_backed else _ensure_parallelism(df)
+    # The Arrow UDF inherits the scan's parallelism; spread low-split
+    # inputs (a single-row-group bench file, a small createDataFrame)
+    # across cores first. _ensure_parallelism is a NO-OP whenever the
+    # scan already has >= defaultParallelism partitions — always true
+    # for a 100 TB table — so at scale this never adds a shuffle; on
+    # the single-partition sf0.1 file the shuffle of document strings
+    # costs far less than the idle cores (measured 1.65s -> 0.75s once
+    # the violations() double-eval was fixed; an earlier measurement
+    # that found repartitioning a wash predated that fix).
+    src = _ensure_parallelism(df)
     out = src.withColumn(errors_col, udf(F.col(doc_col)))
     return out.withColumn(verdict_col, F.size(F.col(errors_col)) == 0)

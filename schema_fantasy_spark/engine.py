@@ -80,11 +80,27 @@ class ValidationEngine:
         errors_col: str = "errors",
         verdict_col: str = "verdict",
     ) -> DataFrame:
-        """One row per (document, error): the violation-rows sink."""
-        err = F.explode(F.col(errors_col)).alias("error")
+        """One row per (document, error): the violation-rows sink.
+
+        No verdict filter (``explode`` already emits zero rows for an
+        empty or null errors array), and the errors column crosses a
+        Generate BARRIER before the explode: Spark's
+        InferFiltersFromGenerate infers ``size(errors) > 0 AND
+        isnotnull(errors)`` below the explode, and without the barrier
+        that inferred Filter re-evaluates the errors expression — for
+        the Arrow-UDF mode a SECOND full kernel pass over every
+        document (two ArrowEvalPython nodes, measured ~2x the query),
+        for the columnar mode a re-inlined expression tree (CLAUDE.md
+        trap #1). The barrier costs one array wrap of an
+        already-computed value; the inferred filter then tests the
+        barrier attribute, not the kernel."""
+        barrier = validated.select(
+            *[F.col(c) for c in id_cols],
+            F.explode(F.array(F.col(errors_col))).alias("_errs"),
+        )
+        err = F.explode(F.col("_errs")).alias("error")
         return (
-            validated.filter(~F.col(verdict_col))
-            .select(*[F.col(c) for c in id_cols], err)
+            barrier.select(*[F.col(c) for c in id_cols], err)
             .select(
                 *id_cols,
                 F.col("error.path").alias("path"),
