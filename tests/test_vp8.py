@@ -167,3 +167,37 @@ def test_loop_filter_simple_variant_y_only():
     col = [int(y[r, 0]) for r in range(13, 19)]
     assert col == [130, 130, 129, 127, 126, 126], col
     assert (u == 128).all() and (v == 128).all()
+
+
+def test_libwebp_reference_cross_decode():
+    """GROUND-TRUTH check: frames from our encoder decode bit-identically
+    through Google's libwebp (ctypes, tests/_libwebp.py) AND through our
+    decoder — cross-validating the boolean coder, header layout, the
+    extracted probability tables (ops/vp8_tables.py), token bands (the
+    tokens-read band indexing), dequant int16 wrap, inverse transforms,
+    prediction, and BOTH loop-filter variants against the reference
+    codec rather than only our own round-trip."""
+    import pytest
+
+    from _libwebp import load_libwebp, reference_decode_yuv, wrap_vp8_container
+
+    if load_libwebp() is None:
+        pytest.skip("libwebp shared library not available")
+    cases = [
+        (32, 32, 40, -30, 0, 0, 0, 0),    # unfiltered
+        (48, 32, -50, 90, 10, 35, 3, 0),  # normal filter + sharpness
+        (32, 32, 60, -80, 0, 63, 0, 0),   # max filter level
+        (48, 48, 25, 50, 5, 40, 7, 1),    # simple filter + max sharpness
+        (33, 17, 25, 10, 80, 12, 1, 0),   # odd crop dims, high qi
+        (64, 32, -20, 100, 40, 31, 2, 0), # int16 coefficient wrap
+        (32, 32, 100, -100, 127, 63, 7, 1),  # extreme qi + wrap
+    ]
+    for (w, h, dt, db, qi, fl, sh, ft) in cases:
+        frame = vp8.encode_vp8_key_two_tone(
+            w, h, dt, db, qi=qi, filter_level=fl, sharpness=sh, filter_type=ft
+        )
+        ours = vp8.decode_vp8_frame(frame)
+        ref = reference_decode_yuv(wrap_vp8_container(frame))
+        assert ours is not None
+        for name, a, b in zip("yuv", ours, ref):
+            assert (a == b).all(), (w, h, dt, db, qi, fl, sh, ft, name)
