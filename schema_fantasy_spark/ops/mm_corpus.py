@@ -239,13 +239,22 @@ def _image_payload(doc_id: int) -> bytes:
     if fsel == 3:
         # webp rows split lossless VP8L / LOSSY VP8 by nibble 13: the
         # lossy frames are gray two-tone on the 16-row MB boundary
-        # (h=32), top tone = the same n4*16+n5 nibble pair the jpeg
-        # corpus uses, bottom its exact inverse — the VP8 integer
-        # reconstruction (ops/vp8.vp8_dc_delta) hits both tones exactly
+        # (h=32), top tone keyed on the same n4*16+n5 nibble pair the
+        # jpeg corpus uses, bottom on its inverse. Nibble 12 further
+        # splits the lossy family between the 16x16 path (DC/V_PRED +
+        # Y2 WHT chain, exact tones via ops/vp8.vp8_dc_delta) and the
+        # B_PRED path (all-B_TM sub-modes, type-3 DC residuals; levels
+        # DOUBLED so the bottom delta keeps its sign through the >>3,
+        # preserving the oracle's ta*3 >= 383 brighter-half predicate)
         if nib[13] % 2 == 1:
+            ta = nib[3] * 16 + nib[4]
+            if nib[12] % 2 == 1:
+                from schema_fantasy_spark.ops.webp import encode_webp_lossy_bpred
+
+                return encode_webp_lossy_bpred(
+                    w, 32, 2 * (ta - 128), 2 * (255 - 2 * ta))
             from schema_fantasy_spark.ops.webp import encode_webp_lossy_two_tone
 
-            ta = nib[3] * 16 + nib[4]
             return encode_webp_lossy_two_tone(w, 32, ta - 128, 255 - 2 * ta)
         from schema_fantasy_spark.ops.webp import encode_webp_lossless_two_tone
 

@@ -11,17 +11,22 @@ inline). Scope notes:
 * KEY frames only (intra). Inter-frame decode (motion vectors,
   reference buffers) is the remaining stub in ``ops/multimodal.py`` —
   a training pipeline samples keyframes anyway.
-* Both intra families are supported at the MB level the corpus uses:
-  16x16 modes (DC/V/H/TM + Y2 WHT) and chroma DC/V/H/TM. B_PRED
-  (per-4x4 sub-modes) decodes the mode bits but is rejected as
-  unsupported payload (returns None) rather than mis-reconstructing.
+* BOTH intra families are fully decoded: 16x16 modes (DC/V/H/TM +
+  Y2 WHT) and B_PRED — all ten per-4x4 sub-modes (RFC 11.2/12.3)
+  with contextual key-frame mode coding (KF_BMODE_PROBS), the no-Y2
+  residual path (block type 3), and reconstructed-neighbor /
+  above-right edge semantics. Chroma DC/V/H/TM.
 * The in-loop deblocking filter (normal AND simple variants, RFC
   section 15) is implemented and applied; the gate corpus still
-  encodes filter level 0 so its decoded tones stay closed-form. No
-  reference decoder exists in this container to cross-check the
-  filter (or probability-table) CONSTANTS against real streams — the
-  tests validate the documented algebraic properties and round-trips,
-  and every constant cites its RFC section for auditability.
+  encodes filter level 0 so its decoded tones stay closed-form.
+* Everything above is cross-checked BIT-EXACT against Google's
+  libwebp reference codec (tests/test_vp8.py decodes our encoder's
+  frames through libwebp via ctypes): probability tables are
+  extracted from the library itself (tools/gen_vp8_tables.py), and
+  the token-band indexing, int16 coefficient wrap, edge-pixel
+  conventions, B_PRED sub-mode table orientation, and the
+  interior-deblock nonzero-coefficient predicate were all pinned
+  down empirically against it.
 * Output is the Y plane (the gate corpus codes flat U=V=128 chroma =
   achromatic); ``decode_vp8_gray`` documents that contract. Chroma
   planes are fully decoded and returned too.
@@ -105,6 +110,26 @@ KF_YMODE_PROBS = [145, 156, 163, 128]
 # chroma mode tree (0=DC 1=V 2=H 3=TM)
 UV_MODE_TREE = [-0, 2, -1, 4, -2, -3]
 KF_UV_MODE_PROBS = [142, 114, 183]
+
+# RFC 6386 11.2: the ten intra 4x4 sub-modes (B_PRED) and their tree.
+# Key frames code each sub-mode contextually on the above/left
+# neighbors' sub-modes via KF_BMODE_PROBS (ops/vp8_tables.py); 16x16
+# MBs contribute their implied sub-mode to neighbor context (11.3).
+(B_DC_PRED, B_TM_PRED, B_VE_PRED, B_HE_PRED, B_LD_PRED,
+ B_RD_PRED, B_VR_PRED, B_VL_PRED, B_HD_PRED, B_HU_PRED) = range(10)
+BMODE_TREE = [
+    -B_DC_PRED, 2,
+    -B_TM_PRED, 4,
+    -B_VE_PRED, 6,
+    8, 12,
+    -B_HE_PRED, 10,
+    -B_RD_PRED, -B_VR_PRED,
+    -B_LD_PRED, 14,
+    -B_VL_PRED, 16,
+    -B_HD_PRED, -B_HU_PRED,
+]
+MODE_TO_BMODE = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
+                 H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
 
 # RFC 6386 13.5 / 13.4 / 11.4: the normative probability tables
 # (default coefficient probs, their update flags, and the key-frame
@@ -415,6 +440,137 @@ def _pred_dc(plane, r, c, size):
     return 128
 
 
+def _avg2(a: int, b: int) -> int:
+    return (a + b + 1) >> 1
+
+
+def _avg3(a: int, b: int, c: int) -> int:
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _edges4(plane, r, c):
+    """(A[4], AR[4], L[4], P) edge pixels for the 4x4 at global (r, c).
+    Out-of-frame substitutes: above row (incl. above-left/above-right)
+    127, left column (incl. above-left below the top row) 129. For the
+    rightmost sub-block column the above-right comes from the row above
+    the MB (the reference decoders reuse the MB's saved top-right for
+    all four sub-block rows); for the frame's rightmost MB column it is
+    the replicated last top pixel (cross-checked against libwebp)."""
+    w = plane.shape[1]
+    if r == 0:
+        A = [127, 127, 127, 127]
+        AR = [127, 127, 127, 127]
+        P = 127
+    else:
+        A = [int(x) for x in plane[r - 1, c:c + 4]]
+        P = int(plane[r - 1, c - 1]) if c > 0 else 129
+        if (c % 16) // 4 < 3:
+            AR = [int(x) for x in plane[r - 1, c + 4:c + 8]]
+        else:
+            mb_right = (c // 16) * 16 + 16
+            ar_row = (r // 16) * 16 - 1
+            if ar_row < 0:
+                AR = [127, 127, 127, 127]
+            elif mb_right >= w:
+                AR = [int(plane[ar_row, w - 1])] * 4
+            else:
+                AR = [int(x) for x in plane[ar_row, mb_right:mb_right + 4]]
+    L = [129, 129, 129, 129] if c == 0 else [int(x) for x in plane[r:r + 4, c - 1]]
+    return A, AR, L, P
+
+
+def _predict4(plane, r, c, mode) -> None:
+    """Fill the 4x4 at (r, c) with its intra sub-mode prediction
+    (RFC 6386 12.3; every variant cross-checked bit-exact against the
+    libwebp reference decoder in tests/test_vp8.py)."""
+    A, AR, L, P = _edges4(plane, r, c)
+    T = A + AR
+    p = [[0] * 4 for _ in range(4)]
+    if mode == B_DC_PRED:
+        dc = (sum(A) + sum(L) + 4) >> 3
+        for rr in range(4):
+            for cc in range(4):
+                p[rr][cc] = dc
+    elif mode == B_TM_PRED:
+        for rr in range(4):
+            for cc in range(4):
+                p[rr][cc] = min(255, max(0, L[rr] + A[cc] - P))
+    elif mode == B_VE_PRED:
+        X = [P] + T[:5]
+        row = [_avg3(X[i], X[i + 1], X[i + 2]) for i in range(4)]
+        for rr in range(4):
+            p[rr] = row[:]
+    elif mode == B_HE_PRED:
+        col = [_avg3(P, L[0], L[1]), _avg3(L[0], L[1], L[2]),
+               _avg3(L[1], L[2], L[3]), _avg3(L[2], L[3], L[3])]
+        for rr in range(4):
+            for cc in range(4):
+                p[rr][cc] = col[rr]
+    elif mode == B_LD_PRED:
+        for rr in range(4):
+            for cc in range(4):
+                i = rr + cc
+                p[rr][cc] = (_avg3(T[i], T[i + 1], T[i + 2]) if i < 6
+                             else _avg3(T[6], T[7], T[7]))
+    elif mode == B_RD_PRED:
+        E = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        for rr in range(4):
+            for cc in range(4):
+                i = cc - rr + 4
+                p[rr][cc] = _avg3(E[i - 1], E[i], E[i + 1])
+    elif mode == B_VR_PRED:
+        I, J, K = L[0], L[1], L[2]
+        a, b, cN, d = A
+        p[0][0] = p[2][1] = _avg2(P, a)
+        p[0][1] = p[2][2] = _avg2(a, b)
+        p[0][2] = p[2][3] = _avg2(b, cN)
+        p[0][3] = _avg2(cN, d)
+        p[3][0] = _avg3(K, J, I)
+        p[2][0] = _avg3(J, I, P)
+        p[1][0] = p[3][1] = _avg3(I, P, a)
+        p[1][1] = p[3][2] = _avg3(P, a, b)
+        p[1][2] = p[3][3] = _avg3(a, b, cN)
+        p[1][3] = _avg3(b, cN, d)
+    elif mode == B_VL_PRED:
+        a, b, cN, d, e, f, g, h = T
+        p[0][0] = _avg2(a, b)
+        p[0][1] = p[2][0] = _avg2(b, cN)
+        p[0][2] = p[2][1] = _avg2(cN, d)
+        p[0][3] = p[2][2] = _avg2(d, e)
+        p[1][0] = _avg3(a, b, cN)
+        p[1][1] = p[3][0] = _avg3(b, cN, d)
+        p[1][2] = p[3][1] = _avg3(cN, d, e)
+        p[1][3] = p[3][2] = _avg3(d, e, f)
+        p[2][3] = _avg3(e, f, g)
+        p[3][3] = _avg3(f, g, h)
+    elif mode == B_HD_PRED:
+        I, J, K, Lp = L
+        a, b, cN = A[0], A[1], A[2]
+        p[0][0] = p[1][2] = _avg2(I, P)
+        p[1][0] = p[2][2] = _avg2(J, I)
+        p[2][0] = p[3][2] = _avg2(K, J)
+        p[3][0] = _avg2(Lp, K)
+        p[0][3] = _avg3(a, b, cN)
+        p[0][2] = _avg3(P, a, b)
+        p[0][1] = p[1][3] = _avg3(I, P, a)
+        p[1][1] = p[2][3] = _avg3(P, I, J)
+        p[2][1] = p[3][3] = _avg3(I, J, K)
+        p[3][1] = _avg3(J, K, Lp)
+    elif mode == B_HU_PRED:
+        I, J, K, Lp = L
+        p[0][0] = _avg2(I, J)
+        p[0][2] = p[1][0] = _avg2(J, K)
+        p[1][2] = p[2][0] = _avg2(K, Lp)
+        p[0][1] = _avg3(I, J, K)
+        p[0][3] = p[1][1] = _avg3(J, K, Lp)
+        p[1][3] = p[2][1] = _avg3(K, Lp, Lp)
+        p[2][2] = p[2][3] = Lp
+        p[3][0] = p[3][1] = p[3][2] = p[3][3] = Lp
+    else:
+        raise ValueError(f"bad sub-mode {mode}")
+    plane[r:r + 4, c:c + 4] = np.array(p, dtype=np.int32)
+
+
 def _predict(plane, r, c, size, mode):
     """Fill the size x size block at (r,c) with its intra prediction."""
     if mode == DC_PRED:
@@ -428,7 +584,10 @@ def _predict(plane, r, c, size, mode):
     else:  # TM_PRED
         above = plane[r - 1, c:c + size].astype(np.int32) if r > 0 else np.full(size, 127, np.int32)
         left = plane[r:r + size, c - 1].astype(np.int32) if c > 0 else np.full(size, 129, np.int32)
-        al = int(plane[r - 1, c - 1]) if (r > 0 and c > 0) else (127 if r > 0 else 129)
+        # above-left: part of the 127-valued above row on the frame's
+        # top edge, part of the 129-valued left column otherwise
+        # (cross-checked against libwebp; same convention as _edges4)
+        al = int(plane[r - 1, c - 1]) if (r > 0 and c > 0) else (127 if r == 0 else 129)
         blk = left[:, None] + above[None, :] - al
         plane[r:r + size, c:c + size] = np.clip(blk, 0, 255)
 
@@ -438,8 +597,10 @@ def _predict(plane, r, c, size, mode):
 
 def decode_vp8_frame(data: bytes):
     """Decode a VP8 KEY frame -> (y, u, v) uint8 planes (cropped) or
-    None for non-key/unsupported/malformed payloads. See module doc for
-    the supported envelope (B_PRED and nonzero loop filter reject)."""
+    None for non-key/unsupported/malformed payloads. Both intra
+    families (16x16 and B_PRED) decode fully; see the module doc for
+    the envelope (inter frames, segmentation, and multi-partition
+    token streams are out of scope)."""
     try:
         return _decode_vp8_frame(data)
     except (IndexError, ValueError, AssertionError):
@@ -492,15 +653,34 @@ def _decode_vp8_frame(data: bytes):
 
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
-    # pass A: all mode info from partition 1
+    # pass A: all mode info from partition 1. B_PRED sub-modes code
+    # contextually on the above/left neighbors' sub-modes (out-of-frame
+    # context is B_DC_PRED); 16x16 MBs contribute their implied
+    # sub-mode (RFC 6386 11.3).
     modes = []
-    for _ in range(mb_w * mb_h):
+    above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+    left_bm = [B_DC_PRED] * 4
+    for mb_i in range(mb_w * mb_h):
+        if mb_i % mb_w == 0:
+            left_bm = [B_DC_PRED] * 4
         skip = p1.get(prob_skip) if mb_no_skip else 0
         ym = p1.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+        abm = above_bm[mb_i % mb_w]
         if ym == B_PRED:
-            return None  # sub-mode family out of the supported envelope
+            bm = [0] * 16
+            for sb in range(16):
+                sr, sc = sb // 4, sb % 4
+                ctx_a = abm[sc] if sr == 0 else bm[sb - 4]
+                ctx_l = left_bm[sr] if sc == 0 else bm[sb - 1]
+                bm[sb] = p1.tree(BMODE_TREE, KF_BMODE_PROBS[ctx_a][ctx_l])
+        else:
+            bm = [MODE_TO_BMODE[ym]] * 16
+        for sc in range(4):
+            abm[sc] = bm[12 + sc]
+        for sr in range(4):
+            left_bm[sr] = bm[4 * sr + 3]
         uvm = p1.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
-        modes.append((skip, ym, uvm))
+        modes.append((skip, ym, uvm, bm))
 
     dq = frame_quants(y_ac_qi, y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
     y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq
@@ -519,39 +699,53 @@ def _decode_vp8_frame(data: bytes):
     for mb_r in range(mb_h):
         left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
         for mb_c in range(mb_w):
-            skip, ym, uvm = modes[mb_r * mb_w + mb_c]
-            has_coeffs.append(not skip)
+            skip, ym, uvm, bm = modes[mb_r * mb_w + mb_c]
             a = above[mb_c]
+            mb_nz = False  # any nonzero coefficient in this MB
             ycoef = [[0] * 16 for _ in range(16)]
             ucoef = [[0] * 16 for _ in range(4)]
             vcoef = [[0] * 16 for _ in range(4)]
             if skip:
-                # 13.3: zero all contexts; Y2 context survives only for
-                # modes WITHOUT a Y2 block (B_PRED) — all our modes have it
+                # 13.3: zero all contexts; the Y2 context survives for
+                # modes WITHOUT a Y2 block (B_PRED)
                 left["y"] = [0] * 4
                 left["u"] = [0] * 2
                 left["v"] = [0] * 2
                 a["y"] = [0] * 4
                 a["u"] = [0] * 2
                 a["v"] = [0] * 2
-                left["y2"] = 0
-                a["y2"] = 0
+                if ym != B_PRED:
+                    left["y2"] = 0
+                    a["y2"] = 0
             else:
-                # Y2 block
-                c2, nz2 = _decode_coeffs(
-                    p2, probs, 1, 0, a["y2"] + left["y2"], y2_dc, y2_ac
-                )
-                a["y2"] = left["y2"] = 1 if nz2 else 0
-                dcs = inv_walsh4x4(c2)
-                # 16 Y blocks (type 0, first coeff 1)
-                for sb in range(16):
-                    sr, sc = sb // 4, sb % 4
-                    cc, nz = _decode_coeffs(
-                        p2, probs, 0, 1, a["y"][sc] + left["y"][sr], y_dc, y_ac
+                if ym == B_PRED:
+                    # no Y2: Y blocks are type 3, coefficients 0..15
+                    for sb in range(16):
+                        sr, sc = sb // 4, sb % 4
+                        cc, nz = _decode_coeffs(
+                            p2, probs, 3, 0, a["y"][sc] + left["y"][sr], y_dc, y_ac
+                        )
+                        ycoef[sb] = cc
+                        a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                        mb_nz = mb_nz or nz
+                else:
+                    # Y2 block
+                    c2, nz2 = _decode_coeffs(
+                        p2, probs, 1, 0, a["y2"] + left["y2"], y2_dc, y2_ac
                     )
-                    cc[0] = dcs[sb]
-                    ycoef[sb] = cc
-                    a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                    a["y2"] = left["y2"] = 1 if nz2 else 0
+                    mb_nz = mb_nz or nz2 or any(c2)
+                    dcs = inv_walsh4x4(c2)
+                    # 16 Y blocks (type 0, first coeff 1)
+                    for sb in range(16):
+                        sr, sc = sb // 4, sb % 4
+                        cc, nz = _decode_coeffs(
+                            p2, probs, 0, 1, a["y"][sc] + left["y"][sr], y_dc, y_ac
+                        )
+                        cc[0] = dcs[sb]
+                        ycoef[sb] = cc
+                        a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                        mb_nz = mb_nz or nz
                 for pl, coefs, key in ((2, ucoef, "u"), (2, vcoef, "v")):
                     for sb in range(4):
                         cc, nz = _decode_coeffs(
@@ -560,19 +754,40 @@ def _decode_vp8_frame(data: bytes):
                         )
                         coefs[sb] = cc
                         a[key][sb % 2] = left[key][sb // 2] = 1 if nz else 0
+                        mb_nz = mb_nz or nz
+
+            # interior loop-filter edges run only for MBs that decoded
+            # at least one nonzero coefficient - a CODED mb whose tokens
+            # are all EOB/zero counts as coefficient-free, same as a
+            # skipped one - except B_PRED MBs, which always filter
+            # interior edges (RFC 6386 15.1; cross-checked vs libwebp)
+            has_coeffs.append(mb_nz or ym == B_PRED)
 
             # reconstruction
             r0, c0 = mb_r * 16, mb_c * 16
-            _predict(y, r0, c0, 16, ym)
+            if ym == B_PRED:
+                # per sub-block in raster order: each prediction reads
+                # the previously RECONSTRUCTED neighbors
+                for sb in range(16):
+                    rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
+                    _predict4(y, rr, cc0, bm[sb])
+                    if not skip:
+                        res = inv_dct4x4(ycoef[sb])
+                        y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
+                            y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
+                        )
+            else:
+                _predict(y, r0, c0, 16, ym)
+                if not skip:
+                    for sb in range(16):
+                        rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
+                        res = inv_dct4x4(ycoef[sb])
+                        y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
+                            y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
+                        )
             _predict(u, mb_r * 8, mb_c * 8, 8, uvm)
             _predict(v, mb_r * 8, mb_c * 8, 8, uvm)
             if not skip:
-                for sb in range(16):
-                    rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
-                    res = inv_dct4x4(ycoef[sb])
-                    y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
-                        y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
-                    )
                 for plane, coefs in ((u, ucoef), (v, vcoef)):
                     for sb in range(4):
                         rr = mb_r * 8 + (sb // 2) * 4
@@ -742,6 +957,226 @@ def encode_vp8_key_two_tone(
     head += struct.pack("<H", width) + struct.pack("<H", height)
     return head + part1 + part2
 
+
+def encode_vp8_key_bpred(
+    width: int, height: int, sub_mode_fn, level_fn, qi: int = 0,
+    filter_level: int = 0, sharpness: int = 0, filter_type: int = 0,
+) -> bytes:
+    """Spec-conformant VP8 KEY frame in which EVERY macroblock is
+    B_PRED: per-sub-block intra modes from ``sub_mode_fn(mb_r, mb_c,
+    sb)`` and an optional DC-only residual level from ``level_fn(mb_r,
+    mb_c, sb)`` (0 = none; dequantizes with the Y1 DC quantizer, so the
+    per-pixel delta is ``(level * dc_q + 4) >> 3``). Sub-modes code
+    contextually exactly as the decoder reads them; chroma is flat
+    DC_PRED 128. Used by the gated corpus (an all-B_TM frame
+    reconstructs to closed-form tones) and the libwebp cross-checks."""
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    probs = DEFAULT_COEFF_PROBS
+
+    p1 = BoolEncoder()
+    p1.put_literal(0, 1)
+    p1.put_literal(0, 1)
+    p1.put(0, 128)
+    p1.put_literal(filter_type, 1)
+    p1.put_literal(filter_level, 6)
+    p1.put_literal(sharpness, 3)
+    p1.put(0, 128)
+    p1.put_literal(0, 2)
+    p1.put_literal(qi, 7)
+    for _ in range(5):
+        p1.put(0, 128)
+    p1.put_literal(1, 1)
+    for t in range(4):
+        for b in range(8):
+            for cx in range(3):
+                for pi in range(11):
+                    p1.put(0, COEFF_UPDATE_PROBS[t][b][cx][pi])
+    p1.put_literal(1, 1)   # mb_no_coeff_skip
+    p1.put_literal(128, 8)
+
+    above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left_bm = [B_DC_PRED] * 4
+        for mb_c in range(mb_w):
+            p1.put(0, 128)  # skip = 0
+            p1.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, B_PRED)
+            abm = above_bm[mb_c]
+            bm = [0] * 16
+            for sb in range(16):
+                sr, sc = sb // 4, sb % 4
+                ctx_a = abm[sc] if sr == 0 else bm[sb - 4]
+                ctx_l = left_bm[sr] if sc == 0 else bm[sb - 1]
+                bm[sb] = sub_mode_fn(mb_r, mb_c, sb)
+                p1.put_tree(BMODE_TREE, KF_BMODE_PROBS[ctx_a][ctx_l], bm[sb])
+            for sc in range(4):
+                abm[sc] = bm[12 + sc]
+            for sr in range(4):
+                left_bm[sr] = bm[4 * sr + 3]
+            p1.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+    part1 = p1.flush()
+
+    p2 = BoolEncoder()
+    above = [{"y": [0] * 4, "u": [0] * 2, "v": [0] * 2} for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+        for mb_c in range(mb_w):
+            a = above[mb_c]
+            for sb in range(16):
+                sr, sc = sb // 4, sb % 4
+                ctx = a["y"][sc] + left["y"][sr]
+                level = level_fn(mb_r, mb_c, sb)
+                if level:
+                    nctx = _put_token_value(p2, probs, 3, COEFF_BANDS[0], ctx, level)
+                    _put_eob(p2, probs, 3, COEFF_BANDS[1], nctx)
+                    a["y"][sc] = left["y"][sr] = 1
+                else:
+                    _put_eob(p2, probs, 3, COEFF_BANDS[0], ctx)
+                    a["y"][sc] = left["y"][sr] = 0
+            for key in ("u", "v"):
+                for sb in range(4):
+                    _put_eob(p2, probs, 2, COEFF_BANDS[0],
+                             a[key][sb % 2] + left[key][sb // 2])
+                    a[key][sb % 2] = left[key][sb // 2] = 0
+    part2 = p2.flush()
+
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    head += b"\x9d\x01\x2a"
+    head += struct.pack("<H", width) + struct.pack("<H", height)
+    return head + part1 + part2
+
+def encode_vp8_key_mixed(
+    width: int, height: int, mb_fn, qi: int = 0,
+    filter_level: int = 0, sharpness: int = 0, filter_type: int = 0,
+) -> bytes:
+    """Key frame mixing B_PRED and 16x16 macroblocks — the cross-check
+    surface for the interactions the homogeneous encoders cannot reach:
+    16x16 MBs contribute their IMPLIED sub-mode to B_PRED neighbors'
+    mode contexts (MODE_TO_BMODE), and a skipped B_PRED MB leaves the
+    Y2 nonzero context of earlier 16x16 MBs intact (13.3).
+
+    ``mb_fn(mb_r, mb_c)`` returns either ``("b", sub_modes[16],
+    levels[16], skip)`` (skip requires all-zero levels) or ``(ym,
+    y2_level, skip)`` for a 16x16 mode."""
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    probs = DEFAULT_COEFF_PROBS
+
+    p1 = BoolEncoder()
+    p1.put_literal(0, 1)
+    p1.put_literal(0, 1)
+    p1.put(0, 128)
+    p1.put_literal(filter_type, 1)
+    p1.put_literal(filter_level, 6)
+    p1.put_literal(sharpness, 3)
+    p1.put(0, 128)
+    p1.put_literal(0, 2)
+    p1.put_literal(qi, 7)
+    for _ in range(5):
+        p1.put(0, 128)
+    p1.put_literal(1, 1)
+    for t in range(4):
+        for b in range(8):
+            for cx in range(3):
+                for pi in range(11):
+                    p1.put(0, COEFF_UPDATE_PROBS[t][b][cx][pi])
+    p1.put_literal(1, 1)
+    p1.put_literal(128, 8)
+
+    plans = {}
+    above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left_bm = [B_DC_PRED] * 4
+        for mb_c in range(mb_w):
+            plan = mb_fn(mb_r, mb_c)
+            plans[mb_r, mb_c] = plan
+            abm = above_bm[mb_c]
+            if plan[0] == "b":
+                _, sub_modes, levels, skip = plan
+                assert not skip or not any(levels)
+                p1.put(1 if skip else 0, 128)
+                p1.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, B_PRED)
+                bm = list(sub_modes)
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    ctx_a = abm[sc] if sr == 0 else bm[sb - 4]
+                    ctx_l = left_bm[sr] if sc == 0 else bm[sb - 1]
+                    p1.put_tree(BMODE_TREE, KF_BMODE_PROBS[ctx_a][ctx_l], bm[sb])
+            else:
+                ym, _, skip = plan
+                p1.put(1 if skip else 0, 128)
+                p1.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ym)
+                bm = [MODE_TO_BMODE[ym]] * 16
+            for sc in range(4):
+                abm[sc] = bm[12 + sc]
+            for sr in range(4):
+                left_bm[sr] = bm[4 * sr + 3]
+            p1.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+    part1 = p1.flush()
+
+    p2 = BoolEncoder()
+    above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+             for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+        for mb_c in range(mb_w):
+            plan = plans[mb_r, mb_c]
+            a = above[mb_c]
+            is_b = plan[0] == "b"
+            skip = plan[3] if is_b else plan[2]
+            if skip:
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                a["y"] = [0] * 4
+                a["u"] = [0] * 2
+                a["v"] = [0] * 2
+                if not is_b:   # Y2 ctx survives a skipped B_PRED MB
+                    left["y2"] = 0
+                    a["y2"] = 0
+                continue
+            if is_b:
+                _, _, levels, _ = plan
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    ctx = a["y"][sc] + left["y"][sr]
+                    if levels[sb]:
+                        nctx = _put_token_value(
+                            p2, probs, 3, COEFF_BANDS[0], ctx, levels[sb])
+                        _put_eob(p2, probs, 3, COEFF_BANDS[1], nctx)
+                        a["y"][sc] = left["y"][sr] = 1
+                    else:
+                        _put_eob(p2, probs, 3, COEFF_BANDS[0], ctx)
+                        a["y"][sc] = left["y"][sr] = 0
+            else:
+                _, y2_level, _ = plan
+                ctx = a["y2"] + left["y2"]
+                if y2_level:
+                    nctx = _put_token_value(
+                        p2, probs, 1, COEFF_BANDS[0], ctx, y2_level)
+                    _put_eob(p2, probs, 1, COEFF_BANDS[1], nctx)
+                    a["y2"] = left["y2"] = 1
+                else:
+                    _put_eob(p2, probs, 1, COEFF_BANDS[0], ctx)
+                    a["y2"] = left["y2"] = 0
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    _put_eob(p2, probs, 0, COEFF_BANDS[0],
+                             a["y"][sc] + left["y"][sr])
+                    a["y"][sc] = left["y"][sr] = 0
+            for key in ("u", "v"):
+                for sb in range(4):
+                    _put_eob(p2, probs, 2, COEFF_BANDS[0],
+                             a[key][sb % 2] + left[key][sb // 2])
+                    a[key][sb % 2] = left[key][sb // 2] = 0
+    part2 = p2.flush()
+
+    tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    head += b"\x9d\x01\x2a"
+    head += struct.pack("<H", width) + struct.pack("<H", height)
+    return head + part1 + part2
 
 # ------------------------------------------------- loop filter (15.x)
 # Transcribed from the RFC 6386 section 15 pseudocode. No reference VP8

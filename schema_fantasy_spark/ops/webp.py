@@ -17,14 +17,14 @@ transforms, palettes) are covered by hand-assembled golden streams in
 the tests.
 
 Caveat, documented: the 120-entry 2D distance map is transcribed from
-the spec; no reference WebP implementation exists in this container to
-cross-check streams that use 2D distance codes (this codec's own
-encoder never emits them).
+the spec (this codec's own encoder never emits 2D distance codes).
 
 VP8 LOSSY key frames decode for real too, via ``ops/vp8.py`` (boolean
-arithmetic decoder, token decode, WHT/DCT, intra prediction — RFC 6386
-in pure numpy); ``decode_webp`` routes both variants. Only inter-frame
-video (motion compensation) remains stubbed.
+arithmetic decoder, token decode, WHT/DCT, 16x16 AND per-4x4 B_PRED
+intra prediction, in-loop deblocking — RFC 6386 in pure numpy), now
+cross-checked BIT-EXACT against the system libwebp reference codec
+(tests/test_vp8.py); ``decode_webp`` routes both variants. Only
+inter-frame video (motion compensation) remains stubbed.
 """
 
 from __future__ import annotations
@@ -681,6 +681,36 @@ def decode_webp(payload: bytes) -> Optional["np.ndarray"]:
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def encode_webp_lossy_bpred(
+    width: int, height: int, level_top: int, level_bottom_rel: int
+) -> bytes:
+    """RIFF/WEBP container around an all-B_PRED lossy key frame: every
+    sub-block B_TM_PRED, a DC residual ``level_top`` on the first
+    sub-block and ``level_bottom_rel`` on the second MB row's first
+    sub-block. TM propagates the shifted edges unchanged, so the frame
+    is EXACTLY two-tone on the 16-row boundary: top rows
+    clamp(129 + (level_top*dc_q + 4 >> 3)), lower rows that plus
+    (level_bottom_rel*dc_q + 4 >> 3) — the oracle-replayable contract
+    for the gated corpus's B_PRED family (and the path is bit-exact vs
+    libwebp, tests/test_vp8.py)."""
+    from schema_fantasy_spark.ops.vp8 import B_TM_PRED, encode_vp8_key_bpred
+
+    def lvl(mb_r, mb_c, sb):
+        if (mb_r, mb_c, sb) == (0, 0, 0):
+            return level_top
+        if (mb_r, mb_c, sb) == (1, 0, 0):
+            return level_bottom_rel
+        return 0
+
+    frame = encode_vp8_key_bpred(
+        width, height, lambda r, c, s: B_TM_PRED, lvl)
+    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    if len(frame) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def encode_webp_lossy_two_tone(

@@ -201,3 +201,95 @@ def test_libwebp_reference_cross_decode():
         assert ours is not None
         for name, a, b in zip("yuv", ours, ref):
             assert (a == b).all(), (w, h, dt, db, qi, fl, sh, ft, name)
+
+
+def test_bpred_roundtrip_all_submodes():
+    """Our encoder/decoder pair round-trips every sub-mode family and
+    mixed frames exactly (no reference needed — pure self-consistency;
+    the libwebp test below adds the external ground truth)."""
+    for m in range(10):
+        f = vp8.encode_vp8_key_bpred(48, 48, lambda r, c, s, m=m: m,
+                                     lambda r, c, s: 0)
+        assert vp8.decode_vp8_frame(f) is not None
+    # all-B_TM with a DC residual only on sub-block 0: closed-form
+    # uniform tone clamp(129 + (level*dc_q + 4 >> 3)) (TM propagates
+    # the shifted edge unchanged) — the gate corpus contract
+    for level, qi in [(13, 0), (-9, 0), (25, 12)]:
+        f = vp8.encode_vp8_key_bpred(
+            48, 48, lambda r, c, s: vp8.B_TM_PRED,
+            lambda r, c, s, lv=level: lv if (r, c, s) == (0, 0, 0) else 0,
+            qi=qi)
+        y, u, v = vp8.decode_vp8_frame(f)
+        dq = vp8.frame_quants(qi, 0, 0, 0, 0, 0)[0]  # y1 dc quantizer
+        tone = min(255, max(0, 129 + ((level * dq + 4) >> 3)))
+        assert (y == tone).all(), (level, qi, tone, y[0, 0])
+        assert (u == 128).all() and (v == 128).all()
+
+
+def test_bpred_libwebp_cross_decode():
+    """B_PRED ground truth: all ten sub-modes, mixed-mode frames with
+    residuals, mixed B_PRED/16x16 macroblocks (implied sub-mode
+    contexts), skip-context semantics, loop filters, odd crops — every
+    frame decodes bit-identically through libwebp and through us."""
+    import pytest
+
+    from _libwebp import load_libwebp, reference_decode_yuv, wrap_vp8_container
+
+    if load_libwebp() is None:
+        pytest.skip("libwebp shared library not available")
+
+    def assert_exact(frame, label):
+        ours = vp8.decode_vp8_frame(frame)
+        ref = reference_decode_yuv(wrap_vp8_container(frame))
+        assert ours is not None, label
+        for name, a, b in zip("yuv", ours, ref):
+            assert (a == b).all(), (label, name)
+
+    for m in range(10):
+        assert_exact(vp8.encode_vp8_key_bpred(
+            48, 48, lambda r, c, s, m=m: m, lambda r, c, s: 0),
+            f"pure sub-mode {m}")
+
+    mix = lambda r, c, s: (r * 7 + c * 3 + s) % 10
+    lvl = lambda r, c, s: ((r + c + s) % 5) - 2
+    assert_exact(vp8.encode_vp8_key_bpred(64, 48, mix, lvl), "mixed+residuals")
+    assert_exact(vp8.encode_vp8_key_bpred(64, 48, mix, lvl, filter_level=20),
+                 "mixed+normal filter")
+    assert_exact(vp8.encode_vp8_key_bpred(
+        64, 48, mix, lvl, filter_level=25, filter_type=1, sharpness=2),
+        "mixed+simple filter")
+    assert_exact(vp8.encode_vp8_key_bpred(33, 17, mix, lvl, qi=30), "odd crop")
+    # rightmost-column above-right replication (B_LD reads it)
+    assert_exact(vp8.encode_vp8_key_bpred(
+        48, 48, lambda r, c, s: vp8.B_LD_PRED,
+        lambda r, c, s: 9 if r == 0 else 0), "last-col above-right")
+
+    # mixed B_PRED / 16x16 MBs: implied sub-mode contexts + the
+    # interior-deblock nonzero predicate (the TM MB has ZERO coeffs
+    # while unskipped - its interior edges must not filter)
+    def mbf(r, c):
+        k = (r * 3 + c) % 6
+        if k < 2:
+            return ("b", [(r + c + s) % 10 for s in range(16)],
+                    [((s + r) % 4) - 1 for s in range(16)], False)
+        if k == 2:
+            return (vp8.DC_PRED, 11, False)
+        if k == 3:
+            return (vp8.V_PRED, -6, False)
+        if k == 4:
+            return (vp8.TM_PRED, 0, False)
+        return (vp8.H_PRED, 4, False)
+    assert_exact(vp8.encode_vp8_key_mixed(96, 64, mbf), "mixed MB types")
+    assert_exact(vp8.encode_vp8_key_mixed(96, 64, mbf, filter_level=28,
+                                          sharpness=1), "mixed MBs + filter")
+    assert_exact(vp8.encode_vp8_key_mixed(96, 64, mbf, filter_level=63,
+                                          sharpness=4), "mixed MBs maxfilter")
+
+    # Y2 context survives a SKIPPED B_PRED MB but resets on 16x16 skip
+    bp_skip = ("b", [vp8.B_TM_PRED] * 16, [0] * 16, True)
+    assert_exact(vp8.encode_vp8_key_mixed(
+        96, 32, lambda r, c: bp_skip if c % 3 == 1 else (vp8.DC_PRED, 7, False)),
+        "y2 ctx across B_PRED skip")
+    assert_exact(vp8.encode_vp8_key_mixed(
+        96, 32, lambda r, c: (vp8.V_PRED, 0, True) if c % 3 == 1
+        else (vp8.DC_PRED, 9, False)), "y2 ctx reset on 16x16 skip")

@@ -58,14 +58,21 @@ def _find(data: bytes, anchor: bytes, what: str, span: int) -> int:
 def extract(path: str = LIB):
     data = open(path, "rb").read()
 
-    # --- key-frame B_PRED sub-mode probs: [above 10][left 10][9]
+    # --- key-frame B_PRED sub-mode probs: [above 10][left 10][9].
+    # libwebp's internal enum orders the diagonal modes RD,VR,LD at
+    # indices 4,5,6 where the RFC orders LD,RD,VR — permute rows and
+    # columns to RFC numbering (found empirically: without it, all-LD/
+    # RD/VR frames desynchronize libwebp while the other 7 mode
+    # families cross-decode exactly; with it, 10/10 are bit-exact).
     b = _find(data, BMODE_ANCHOR, "kf_bmode_probs", 900)
     flat = data[b:b + 900]
     assert all(1 <= v <= 255 for v in flat), "invalid prob in bmode table"
-    bmode = [
+    lw = {0: 0, 1: 1, 2: 2, 3: 3, 4: 6, 5: 4, 6: 5, 7: 7, 8: 8, 9: 9}
+    raw = [
         [list(flat[(a * 10 + l) * 9:(a * 10 + l) * 9 + 9]) for l in range(10)]
         for a in range(10)
     ]
+    bmode = [[raw[lw[a]][lw[l]] for l in range(10)] for a in range(10)]
 
     # --- default coefficient probs: RFC [4][8][3][11]; libwebp elides
     # the all-128 [0][7] row, so re-insert it (validated below)
