@@ -8,9 +8,13 @@ inverse WHT + inverse DCT, and 16x16/chroma intra prediction — all
 implemented from the public RFC 6386 pseudocode (section numbers cited
 inline). Scope notes:
 
-* KEY frames only (intra). Inter-frame decode (motion vectors,
-  reference buffers) is the remaining stub in ``ops/multimodal.py`` —
-  a training pipeline samples keyframes anyway.
+* KEY frames only (intra) — but the FULL key-frame envelope:
+  segmentation (per-segment quantizer/filter overrides, coded segment
+  maps), loop-filter ref/mode deltas, and multi-partition token
+  streams all decode (real cwebp output enables segmentation by
+  default). Inter-frame decode (motion vectors, reference buffers) is
+  the remaining stub in ``ops/multimodal.py`` — a training pipeline
+  samples keyframes anyway.
 * BOTH intra families are fully decoded: 16x16 modes (DC/V/H/TM +
   Y2 WHT) and B_PRED — all ten per-4x4 sub-modes (RFC 11.2/12.3)
   with contextual key-frame mode coding (KF_BMODE_PROBS), the no-Y2
@@ -623,15 +627,52 @@ def _decode_vp8_frame(data: bytes):
     p1 = BoolDecoder(data[10:10 + first_part_size])
     p1.literal(1)  # color space (0 = YCbCr per spec)
     p1.literal(1)  # clamping type
-    if p1.get(128):  # segmentation_enabled: out of the supported envelope
-        return None
+
+    # segmentation (9.3): per-segment quantizer / filter-level
+    # overrides plus an optionally-updated per-MB segment map
+    seg_enabled = p1.get(128)
+    seg_update_map = False
+    seg_abs = False
+    seg_q = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
+    seg_tree_probs = [255, 255, 255]
+    if seg_enabled:
+        seg_update_map = bool(p1.get(128))
+        update_data = p1.get(128)
+        if update_data:
+            seg_abs = bool(p1.get(128))
+            for i in range(4):
+                seg_q[i] = p1.signed_literal(7) if p1.get(128) else 0
+            for i in range(4):
+                seg_lf[i] = p1.signed_literal(6) if p1.get(128) else 0
+        if seg_update_map:
+            for i in range(3):
+                seg_tree_probs[i] = p1.literal(8) if p1.get(128) else 255
+
     filter_type = p1.literal(1)
     filter_level = p1.literal(6)
     sharpness = p1.literal(3)
-    if p1.get(128):          # loop filter delta adjustments present
-        return None
-    if p1.literal(2) != 0:   # log2 token partitions: single partition only
-        return None
+
+    # loop-filter delta adjustments (9.4): on key frames the reference
+    # delta for INTRA (index 0) applies to every MB, the mode delta for
+    # B_PRED (index 0) to B_PRED MBs
+    lf_delta_on = p1.get(128)
+    ref_lf_delta = [0, 0, 0, 0]
+    mode_lf_delta = [0, 0, 0, 0]
+    if lf_delta_on:
+        if p1.get(128):  # deltas updated this frame
+            for i in range(4):
+                if p1.get(128):
+                    ref_lf_delta[i] = p1.signed_literal(6)
+            for i in range(4):
+                if p1.get(128):
+                    mode_lf_delta[i] = p1.signed_literal(6)
+
+    # token partitions (9.5): tokens split across 2^log2 partitions,
+    # MB row r reads partition r % nparts; the (nparts-1)-entry size
+    # table leads the token area
+    log2_parts = p1.literal(2)
+    n_parts = 1 << log2_parts
     y_ac_qi = p1.literal(7)
 
     def _delta():
@@ -660,9 +701,11 @@ def _decode_vp8_frame(data: bytes):
     modes = []
     above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
     left_bm = [B_DC_PRED] * 4
+    seg_tree = [2, 4, -0, -1, -2, -3]
     for mb_i in range(mb_w * mb_h):
         if mb_i % mb_w == 0:
             left_bm = [B_DC_PRED] * 4
+        seg = p1.tree(seg_tree, seg_tree_probs) if seg_update_map else 0
         skip = p1.get(prob_skip) if mb_no_skip else 0
         ym = p1.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
         abm = above_bm[mb_i % mb_w]
@@ -680,12 +723,59 @@ def _decode_vp8_frame(data: bytes):
         for sr in range(4):
             left_bm[sr] = bm[4 * sr + 3]
         uvm = p1.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
-        modes.append((skip, ym, uvm, bm))
+        modes.append((skip, ym, uvm, bm, seg))
 
-    dq = frame_quants(y_ac_qi, y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
-    y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq
+    # per-segment dequant tables (quantizer override abs or delta)
+    def seg_qi(s):
+        base = seg_q[s] if seg_abs else y_ac_qi + seg_q[s]
+        return min(127, max(0, base))
 
-    p2 = BoolDecoder(data[10 + first_part_size:])
+    dq_tables = [
+        frame_quants(seg_qi(s) if seg_enabled else y_ac_qi,
+                     y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
+        for s in range(4 if seg_enabled else 1)
+    ]
+
+    # per-MB loop-filter level: segment override, then the key-frame
+    # INTRA ref delta, then the B_PRED mode delta
+    def mb_filter_level(s, ym):
+        lvl = filter_level
+        if seg_enabled:
+            lvl = seg_lf[s] if seg_abs else filter_level + seg_lf[s]
+            lvl = min(63, max(0, lvl))
+        if lf_delta_on:
+            lvl += ref_lf_delta[0]
+            if ym == B_PRED:
+                lvl += mode_lf_delta[0]
+            lvl = min(63, max(0, lvl))
+        return lvl
+
+    # a frame-level filter level of 0 disables the loop filter
+    # entirely - segment/delta overrides cannot resurrect it
+    # (cross-checked vs libwebp, which picks filter_type 'none' off
+    # the header level alone)
+    if filter_level == 0:
+        mb_levels = [0] * len(modes)
+    else:
+        mb_levels = [mb_filter_level(m[4], m[1]) for m in modes]
+
+    token_area = data[10 + first_part_size:]
+    if n_parts == 1:
+        part_decoders = [BoolDecoder(token_area)]
+    else:
+        table = token_area[: 3 * (n_parts - 1)]
+        if len(table) < 3 * (n_parts - 1):
+            return None
+        sizes = [int.from_bytes(table[3 * i:3 * i + 3], "little")
+                 for i in range(n_parts - 1)]
+        off = 3 * (n_parts - 1)
+        part_decoders = []
+        for i in range(n_parts):
+            end = off + sizes[i] if i < n_parts - 1 else len(token_area)
+            if end > len(token_area):
+                return None
+            part_decoders.append(BoolDecoder(token_area[off:end]))
+            off = end
     y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
     u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
     v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
@@ -699,7 +789,10 @@ def _decode_vp8_frame(data: bytes):
     for mb_r in range(mb_h):
         left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
         for mb_c in range(mb_w):
-            skip, ym, uvm, bm = modes[mb_r * mb_w + mb_c]
+            skip, ym, uvm, bm, seg = modes[mb_r * mb_w + mb_c]
+            y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq_tables[
+                seg if seg_enabled else 0]
+            p2 = part_decoders[mb_r % n_parts]
             a = above[mb_c]
             mb_nz = False  # any nonzero coefficient in this MB
             ycoef = [[0] * 16 for _ in range(16)]
@@ -796,7 +889,7 @@ def _decode_vp8_frame(data: bytes):
                         plane[rr:rr + 4, cc0:cc0 + 4] = np.clip(
                             plane[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
                         )
-    apply_loop_filter(y, u, v, modes, has_coeffs, filter_level, sharpness,
+    apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
                       filter_type, mb_w, mb_h)
     cw, ch = (width + 1) // 2, (height + 1) // 2
     return (
@@ -1049,6 +1142,7 @@ def encode_vp8_key_bpred(
 def encode_vp8_key_mixed(
     width: int, height: int, mb_fn, qi: int = 0,
     filter_level: int = 0, sharpness: int = 0, filter_type: int = 0,
+    segments=None, lf_deltas=None, n_token_parts: int = 1,
 ) -> bytes:
     """Key frame mixing B_PRED and 16x16 macroblocks — the cross-check
     surface for the interactions the homogeneous encoders cannot reach:
@@ -1058,20 +1152,66 @@ def encode_vp8_key_mixed(
 
     ``mb_fn(mb_r, mb_c)`` returns either ``("b", sub_modes[16],
     levels[16], skip)`` (skip requires all-zero levels) or ``(ym,
-    y2_level, skip)`` for a 16x16 mode."""
+    y2_level, skip)`` for a 16x16 mode.
+
+    Optional full-envelope features (all cross-checked vs libwebp):
+    ``segments`` = {"abs": bool, "q": [4 per-segment quantizer
+    values/deltas], "lf": [4 filter values/deltas], "map_fn":
+    (mb_r, mb_c) -> 0..3} enables segmentation with an updated map
+    (tree probs fixed at 128); ``lf_deltas`` = {"ref0": d, "mode0": d}
+    enables loop-filter delta adjustment (INTRA ref delta + B_PRED
+    mode delta); ``n_token_parts`` in {1,2,4,8} splits token coding
+    across partitions (MB row r -> partition r % n)."""
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     probs = DEFAULT_COEFF_PROBS
 
+    assert n_token_parts in (1, 2, 4, 8)
+    log2_parts = {1: 0, 2: 1, 4: 2, 8: 3}[n_token_parts]
     p1 = BoolEncoder()
     p1.put_literal(0, 1)
     p1.put_literal(0, 1)
-    p1.put(0, 128)
+    if segments is None:
+        p1.put(0, 128)  # segmentation disabled
+    else:
+        p1.put(1, 128)
+        p1.put(1, 128)  # update mb segmentation map
+        p1.put(1, 128)  # update segment feature data
+        p1.put(1 if segments.get("abs") else 0, 128)
+        for val in segments["q"]:
+            p1.put(1, 128)
+            p1.put_literal(abs(val), 7)
+            p1.put(1 if val < 0 else 0, 128)
+        for val in segments["lf"]:
+            p1.put(1, 128)
+            p1.put_literal(abs(val), 6)
+            p1.put(1 if val < 0 else 0, 128)
+        for _ in range(3):  # segment tree probs: explicit 128s
+            p1.put(1, 128)
+            p1.put_literal(128, 8)
     p1.put_literal(filter_type, 1)
     p1.put_literal(filter_level, 6)
     p1.put_literal(sharpness, 3)
-    p1.put(0, 128)
-    p1.put_literal(0, 2)
+    if lf_deltas is None:
+        p1.put(0, 128)
+    else:
+        p1.put(1, 128)
+        p1.put(1, 128)  # update deltas now
+        for i, v in enumerate([lf_deltas.get("ref0", 0), 0, 0, 0]):
+            if v:
+                p1.put(1, 128)
+                p1.put_literal(abs(v), 6)
+                p1.put(1 if v < 0 else 0, 128)
+            else:
+                p1.put(0, 128)
+        for i, v in enumerate([lf_deltas.get("mode0", 0), 0, 0, 0]):
+            if v:
+                p1.put(1, 128)
+                p1.put_literal(abs(v), 6)
+                p1.put(1 if v < 0 else 0, 128)
+            else:
+                p1.put(0, 128)
+    p1.put_literal(log2_parts, 2)
     p1.put_literal(qi, 7)
     for _ in range(5):
         p1.put(0, 128)
@@ -1084,6 +1224,8 @@ def encode_vp8_key_mixed(
     p1.put_literal(1, 1)
     p1.put_literal(128, 8)
 
+    seg_tree = [2, 4, -0, -1, -2, -3]
+    seg_probs = [128, 128, 128]
     plans = {}
     above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
     for mb_r in range(mb_h):
@@ -1092,6 +1234,9 @@ def encode_vp8_key_mixed(
             plan = mb_fn(mb_r, mb_c)
             plans[mb_r, mb_c] = plan
             abm = above_bm[mb_c]
+            if segments is not None:
+                p1.put_tree(seg_tree, seg_probs,
+                            segments["map_fn"](mb_r, mb_c))
             if plan[0] == "b":
                 _, sub_modes, levels, skip = plan
                 assert not skip or not any(levels)
@@ -1115,10 +1260,11 @@ def encode_vp8_key_mixed(
             p1.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
     part1 = p1.flush()
 
-    p2 = BoolEncoder()
+    encs = [BoolEncoder() for _ in range(n_token_parts)]
     above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
              for _ in range(mb_w)]
     for mb_r in range(mb_h):
+        p2 = encs[mb_r % n_token_parts]
         left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
         for mb_c in range(mb_w):
             plan = plans[mb_r, mb_c]
@@ -1170,7 +1316,10 @@ def encode_vp8_key_mixed(
                     _put_eob(p2, probs, 2, COEFF_BANDS[0],
                              a[key][sb % 2] + left[key][sb // 2])
                     a[key][sb % 2] = left[key][sb // 2] = 0
-    part2 = p2.flush()
+    parts = [e.flush() for e in encs]
+    size_table = b"".join(
+        len(p).to_bytes(3, "little") for p in parts[:-1])
+    part2 = size_table + b"".join(parts)
 
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
@@ -1308,33 +1457,46 @@ def _filter_edge_h(plane, row, c0, n_cols, fn, hev_t, interior, edge):
             plane[i][c] = tmp[k]
 
 
-def apply_loop_filter(y, u, v, modes, has_coeffs, filter_level, sharpness,
+def apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
                       filter_type, mb_w, mb_h):
     """In-loop deblocking over reconstructed planes (int32 numpy), per
     RFC 6386 15.2 ordering: per MB raster, vertical edges (MB-left then
-    interior x=4,8,12) then horizontal (MB-top then interior). Interior
-    edges are skipped for MBs with no coefficients (our 16x16 modes all
-    carry the always-filter-interior exemption only for B_PRED/SPLITMV,
-    which this decoder rejects). filter_type 1 = simple (Y only, via
-    common_adjust with both-outer-taps and the edge-only mask)."""
-    if filter_level == 0:
+    interior x=4,8,12) then horizontal (MB-top then interior).
+    ``mb_levels`` is the PER-MB filter level (segmentation overrides +
+    ref/mode loop-filter deltas already applied); a level-0 MB is not
+    filtered. Interior edges run only for MBs that decoded nonzero
+    coefficients or use B_PRED (the ``has_coeffs`` flags). filter_type
+    1 = simple (Y only, via common_adjust with both-outer-taps and the
+    edge-only mask)."""
+    if not any(mb_levels):
         return
-    interior, hev_t, mb_edge, sub_edge = _filter_params(filter_level, sharpness)
 
     def simple_seg(px, idx, _hev_t, _interior, edge):
         p1, p0, q0, q1 = (px[idx[2]], px[idx[3]], px[idx[4]], px[idx[5]])
         if abs(p0 - q0) * 2 + abs(p1 - q1) // 2 <= edge:
             _common_adjust(True, px, idx[2], idx[3], idx[4], idx[5])
 
-    if filter_type == 1:  # simple: Y only
-        mbf = subf = simple_seg
-        mb_e, sub_e = filter_level * 2 + 2 + interior, filter_level * 2 + interior
-    else:
-        mbf, subf = _mb_filter, _subblock_filter
-        mb_e, sub_e = mb_edge, sub_edge
+    params_cache = {}
+
+    def params_for(level):
+        if level not in params_cache:
+            interior, hev_t, mb_edge, sub_edge = _filter_params(level, sharpness)
+            if filter_type == 1:  # simple: Y only
+                params_cache[level] = (
+                    simple_seg, simple_seg, hev_t, interior,
+                    level * 2 + 2 + interior, level * 2 + interior)
+            else:
+                params_cache[level] = (
+                    _mb_filter, _subblock_filter, hev_t, interior,
+                    mb_edge, sub_edge)
+        return params_cache[level]
 
     for mb_r in range(mb_h):
         for mb_c in range(mb_w):
+            level = mb_levels[mb_r * mb_w + mb_c]
+            if level == 0:
+                continue
+            mbf, subf, hev_t, interior, mb_e, sub_e = params_for(level)
             inner = has_coeffs[mb_r * mb_w + mb_c]
             r0, c0 = mb_r * 16, mb_c * 16
             if mb_c > 0:

@@ -293,3 +293,64 @@ def test_bpred_libwebp_cross_decode():
     assert_exact(vp8.encode_vp8_key_mixed(
         96, 32, lambda r, c: (vp8.V_PRED, 0, True) if c % 3 == 1
         else (vp8.DC_PRED, 9, False)), "y2 ctx reset on 16x16 skip")
+
+
+def test_full_envelope_libwebp_cross_decode():
+    """The complete key-frame envelope — segmentation (abs + delta
+    modes, per-segment quantizer and filter overrides, coded segment
+    map), loop-filter ref/mode deltas, and multi-partition token
+    streams (2/4/8) — decodes bit-identically through libwebp. Real
+    cwebp output enables segmentation by default, so this is the
+    coverage that makes arbitrary crawl WebP decodable."""
+    import pytest
+
+    from _libwebp import load_libwebp, reference_decode_yuv, wrap_vp8_container
+
+    if load_libwebp() is None:
+        pytest.skip("libwebp shared library not available")
+
+    def assert_exact(frame, label):
+        ours = vp8.decode_vp8_frame(frame)
+        ref = reference_decode_yuv(wrap_vp8_container(frame))
+        assert ours is not None, label
+        for name, a, b in zip("yuv", ours, ref):
+            assert (a == b).all(), (label, name)
+
+    def mbf(r, c):
+        k = (r * 3 + c) % 6
+        if k < 2:
+            return ("b", [(r + c + s) % 10 for s in range(16)],
+                    [((s + r) % 4) - 1 for s in range(16)], False)
+        if k == 2:
+            return (vp8.DC_PRED, 11, False)
+        if k == 3:
+            return (vp8.V_PRED, -6, False)
+        if k == 4:
+            return (vp8.TM_PRED, 0, False)
+        return (vp8.H_PRED, 4, False)
+
+    segs = {"abs": False, "q": [0, 8, -6, 20], "lf": [0, 5, -10, 15],
+            "map_fn": lambda r, c: (r + 2 * c) % 4}
+    segs_abs = {"abs": True, "q": [10, 40, 70, 110], "lf": [0, 12, 30, 55],
+                "map_fn": lambda r, c: (r * 3 + c) % 4}
+    cases = [
+        ("seg delta, filter off (level-0 disables the whole filter)",
+         dict(qi=20, segments=segs)),
+        ("seg delta + filter", dict(qi=20, filter_level=24, sharpness=1,
+                                    segments=segs)),
+        ("seg abs + filter", dict(qi=20, filter_level=30, segments=segs_abs)),
+        ("lf deltas", dict(filter_level=25,
+                           lf_deltas={"ref0": 9, "mode0": -12})),
+        ("token partitions x4", dict(n_token_parts=4)),
+        ("token partitions x8", dict(n_token_parts=8)),
+        ("everything at once", dict(qi=15, filter_level=26, sharpness=2,
+                                    segments=segs,
+                                    lf_deltas={"ref0": 6, "mode0": -4},
+                                    n_token_parts=4)),
+        ("everything + simple filter", dict(qi=15, filter_level=18,
+                                            filter_type=1, segments=segs,
+                                            lf_deltas={"ref0": -3, "mode0": 7},
+                                            n_token_parts=2)),
+    ]
+    for label, kw in cases:
+        assert_exact(vp8.encode_vp8_key_mixed(96, 64, mbf, **kw), label)
