@@ -634,9 +634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same construction (corpus text is letters+spaces only, so the
         # injected spans are the only possible matches).
         from schema_fantasy_spark.ops import text as tx
+        from schema_fantasy_spark.ops.dedup import _ensure_parallelism
         from schema_fantasy_spark.ops.pii import pii_scrub
 
-        docs = tables.load(spark, sf, "documents")
+        # the interpreted HOF work (tokenization, scoring) inherits the
+        # scan's parallelism: spread the single-row-group bench file
+        # across cores (no-op at scale - see _ensure_parallelism)
+        docs = _ensure_parallelism(tables.load(spark, sf, "documents"))
         i = F.col("doc_id")
         injected = F.concat(
             F.coalesce(F.col("text"), F.lit("")),
@@ -668,21 +672,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         model = lm.train_char_bigram(docs, sample_mod=7)
         out = tx.lang_id(tx.quality_score(tx.fingerprint(docs, method="md5"), "text"))
-        # Generate barrier: six field reads of the scrub struct would
+        # Generate barrier #1: the final select reads SEVEN columns of
+        # the tx chain; without the barrier CollapseProject re-inlines
+        # the shared tokenization into every one of them (trap #1 -
+        # measured ~4s of this query at sf0.1)
+        out = out.select(
+            "doc_id", "text",
+            F.explode(F.array(F.struct(
+                "n_tokens", "fingerprint", "mean_token_len", "punct_ratio",
+                "stopword_ratio", "distinct_token_ratio", "quality_score",
+                "lang_pred",
+            ))).alias("__tx"),
+        )
+        # barrier #2 (inside with_bigram_fluency): the normalized char
+        # index array materializes once; inlining the scoring column
+        # re-evaluated the O(V)-per-char normalization per reference
+        # (traps #1/#9, measured ~8x the scoring cost)
+        out = lm.with_bigram_fluency(out, model)
+        # barrier #3: six field reads of the scrub struct would
         # otherwise re-inline the whole staged regex chain per field
-        # (CollapseProject; known trap #1)
         out = out.select(
             "*", F.explode(F.array(pii_scrub(injected))).alias("__pii")
         )
         p = F.col("__pii")
+        t = F.col("__tx")
         return out.select(
             "doc_id",
-            "n_tokens",
+            t["n_tokens"].alias("n_tokens"),
             tx.bpeish_token_count(F.col("text")).alias("n_bpeish"),
-            "fingerprint",
-            "mean_token_len", "punct_ratio", "stopword_ratio",
-            "distinct_token_ratio", "quality_score", "lang_pred",
-            lm.bigram_fluency_col(F.col("text"), model).alias("lm_bigram_score"),
+            t["fingerprint"].alias("fingerprint"),
+            t["mean_token_len"].alias("mean_token_len"),
+            t["punct_ratio"].alias("punct_ratio"),
+            t["stopword_ratio"].alias("stopword_ratio"),
+            t["distinct_token_ratio"].alias("distinct_token_ratio"),
+            t["quality_score"].alias("quality_score"),
+            t["lang_pred"].alias("lang_pred"),
+            "lm_bigram_score",
             p["n_emails"].alias("pii_emails"),
             p["n_ips"].alias("pii_ips"),
             p["n_cards"].alias("pii_cards"),

@@ -72,45 +72,123 @@ def train_char_bigram(
     dial). Characters outside the top-``max_vocab`` by count map to
     ``UNK`` before counting — the model size is <= (max_vocab+1)^2
     entries no matter the corpus, asserted below."""
-    tr = df.filter(
+    from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism
+
+    tr = _ensure_parallelism(df.filter(
         F.col(text_col).isNotNull()
         & (F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-    )
+    ).select(text_col))
     chars = tr.select(
         F.explode(F.split(F.col(text_col), "(?!^)(?!$)")).alias("ch")
     ).groupBy("ch").count()
-    n_distinct = chars.count()
+    # fetch max_vocab+1 rows in ONE job: an extra row existing IS the
+    # "some character was cut" signal (UNK bucket live), replacing a
+    # separate full-scan distinct count
     top = chars.orderBy(F.col("count").desc(), F.col("ch").asc()) \
-               .limit(max_vocab).collect()
+               .limit(max_vocab + 1).collect()
+    cut = len(top) > max_vocab
+    top = top[:max_vocab]
     vocab = frozenset(r["ch"] for r in top)
     n_vocab = len(vocab)
-    assert n_vocab <= max_vocab, (n_vocab, max_vocab)
     # distinct MAPPED symbols: every vocab char appears in training by
     # construction; UNK exists iff something was cut
-    v_smooth = n_vocab + (1 if n_distinct > n_vocab else 0)
+    v_smooth = n_vocab + (1 if cut else 0)
 
-    vmap = (
-        F.map_from_arrays(
-            F.array(*[F.lit(c) for c in sorted(vocab)]),
-            F.array(*[F.lit(1) for _ in vocab]),
-        )
-        if vocab else F.expr("map()").cast("map<string,int>")
+    # count bigrams by INDEX CODE (prev_idx * (V+1) + cur_idx): the
+    # normalization map is probed once per character to build the index
+    # array (materialized behind a Generate barrier so the transform
+    # evaluates once), and pair formation is integer arithmetic —
+    # string pair keys are rebuilt driver-side from the tiny result
+    chars_sorted = sorted(vocab)
+    vn = len(chars_sorted)
+    sym = [UNK] + chars_sorted
+    idxed = _barrier(tr, char_indices_col(F.col(text_col), vocab), "_ix")
+    ix = F.col("_ix")
+    nlen = F.greatest(F.size(ix) - 1, F.lit(0))
+    codes = F.zip_with(
+        F.slice(ix, 1, nlen), F.slice(ix, 2, nlen),
+        lambda a, b: a * (vn + 1) + b,
     )
-
-    def norm(c: Column) -> Column:
-        return F.when(
-            F.try_element_at(vmap, c).isNotNull(), c
-        ).otherwise(F.lit(UNK))
-
-    prevs, curs = _char_arrays(F.col(text_col))
-    pairs = F.zip_with(prevs, curs, lambda a, b: F.concat(norm(a), norm(b)))
-    rows = tr.select(F.explode(pairs).alias("pr")).groupBy("pr").count().collect()
-    pair_counts = {r["pr"]: int(r["count"]) for r in rows}
+    rows = idxed.select(F.explode(codes).alias("code")) \
+                .groupBy("code").count().collect()
+    pair_counts = {
+        sym[r["code"] // (vn + 1)] + sym[r["code"] % (vn + 1)]: int(r["count"])
+        for r in rows
+    }
     assert len(pair_counts) <= (max_vocab + 1) ** 2, len(pair_counts)
     prev_counts: Dict[str, int] = {}
     for pr, c in pair_counts.items():
         prev_counts[pr[0]] = prev_counts.get(pr[0], 0) + c
     return pair_counts, prev_counts, max(v_smooth, 1), vocab
+
+
+def char_indices_col(text: Column, vocab) -> Column:
+    """``text`` as an array of 1-based vocabulary indices (0 = UNK/out
+    of vocabulary) — ONE O(V) map probe per character. Materialize the
+    result behind a Generate barrier before scoring: every reference
+    to the raw expression re-evaluates the whole normalization pass
+    (no CSE in interpreted HOF evaluation, CLAUDE.md traps #1/#9)."""
+    chars = sorted(vocab)
+    cmap = (
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in chars]),
+            F.array(*[F.lit(i + 1) for i in range(len(chars))]),
+        )
+        if chars else F.expr("map()").cast("map<string,int>")
+    )
+    return F.transform(
+        F.split(text, "(?!^)(?!$)"),
+        lambda c: F.coalesce(F.try_element_at(cmap, c), F.lit(0)),
+    )
+
+
+def _term_array(model) -> tuple:
+    """(array column of all (V+1)^2 quantized transition terms, V).
+    Encoded as ONE string literal split+cast so constant folding
+    materializes the array once — a 16k-child CreateArray would not
+    fold and a literal-map probe is a linear scan per lookup."""
+    pair_counts, prev_counts, v_smooth, vocab = model
+    chars = sorted(vocab)
+    vn = len(chars)
+    sym = [UNK] + chars
+
+    def term_py(ia: int, ib: int) -> int:
+        pr = sym[ia] + sym[ib]
+        num = (pair_counts.get(pr, 0) + 1) * SCALE
+        den = prev_counts.get(sym[ia], 0) + v_smooth
+        return num // den
+
+    flat = ",".join(
+        str(term_py(ia, ib)) for ia in range(vn + 1) for ib in range(vn + 1)
+    )
+    return F.split(F.lit(flat), ",").cast("array<long>"), vn
+
+
+def fluency_from_indices(idxs: Column, text: Column, model,
+                         round_to: int = 6) -> Column:
+    """Score from a MATERIALIZED index array (see char_indices_col):
+    one O(1) ``element_at`` per transition via a single fold — NULL
+    for NULL text, 0.0 below 2 chars."""
+    tarr, vn = _term_array(model)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("s"), F.lit(-1).alias("p")
+    )
+    agg = F.aggregate(
+        idxs, acc0,
+        lambda acc, x: F.struct(
+            (acc["s"] + F.when(
+                acc["p"] >= 0,
+                F.element_at(tarr, acc["p"] * (vn + 1) + x + 1),
+            ).otherwise(F.lit(0))).alias("s"),
+            x.alias("p"),
+        ),
+    )
+    nt = F.greatest(F.size(idxs) - 1, F.lit(0))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("double"))
+        .when(nt <= 0, F.lit(0.0))
+        .otherwise(F.round(agg["s"] / (nt.cast("double") * SCALE), round_to))
+    )
 
 
 def bigram_fluency_col(
@@ -120,49 +198,14 @@ def bigram_fluency_col(
 ) -> Column:
     """Mean quantized transition likelihood of ``text`` under the
     model: NULL for NULL text, 0.0 for texts shorter than 2 chars.
-    Out-of-vocabulary characters score through the UNK bucket."""
+    Out-of-vocabulary characters score through the UNK bucket.
+
+    Convenience composition (the index array is inlined, not
+    materialized) — for hot paths use ``with_bigram_fluency`` or the
+    char_indices_col barrier + fluency_from_indices pair."""
     pair_counts, prev_counts, v_smooth, vocab = model
-    m2 = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in pair_counts]),
-        F.array(*[F.lit(v) for v in pair_counts.values()]),
-    ) if pair_counts else F.expr("map()").cast("map<string,int>")
-    m1 = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in prev_counts]),
-        F.array(*[F.lit(v) for v in prev_counts.values()]),
-    ) if prev_counts else F.expr("map()").cast("map<string,int>")
-    vmap = (
-        F.map_from_arrays(
-            F.array(*[F.lit(c) for c in sorted(vocab)]),
-            F.array(*[F.lit(1) for _ in vocab]),
-        )
-        if vocab else F.expr("map()").cast("map<string,int>")
-    )
-    prevs, curs = _char_arrays(text)
-
-    def norm(c: Column) -> Column:
-        return F.when(
-            F.try_element_at(vmap, c).isNotNull(), c
-        ).otherwise(F.lit(UNK))
-
-    def term(a: Column, b: Column) -> Column:
-        na = norm(a)
-        c2 = F.coalesce(
-            F.try_element_at(m2, F.concat(na, norm(b))), F.lit(0)
-        ).cast("long")
-        c1 = F.coalesce(F.try_element_at(m1, na), F.lit(0)).cast("long")
-        num = (c2 + 1) * F.lit(SCALE).cast("long")
-        den = c1 + F.lit(v_smooth).cast("long")
-        # exact integer floor division: (num - num mod den) is a long
-        # well under 2^53, so the double division is exact
-        return ((num - F.pmod(num, den)) / den).cast("long")
-
-    terms = F.zip_with(prevs, curs, term)
-    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    n = F.size(terms)
-    return (
-        F.when(text.isNull(), F.lit(None).cast("double"))
-        .when(n <= 0, F.lit(0.0))
-        .otherwise(F.round(total / (n.cast("double") * SCALE), round_to))
+    return fluency_from_indices(
+        char_indices_col(text, vocab), text, model, round_to
     )
 
 
@@ -172,4 +215,15 @@ def with_bigram_fluency(
     text_col: str = "text",
     out_col: str = "lm_bigram_score",
 ) -> DataFrame:
-    return df.withColumn(out_col, bigram_fluency_col(F.col(text_col), model))
+    """Append the fluency score, materializing the normalized index
+    array behind a Generate barrier so the O(V)-per-char normalization
+    runs exactly once per document."""
+    from schema_fantasy_spark.ops.dedup import _barrier
+
+    vocab = model[3]
+    b = _barrier(df, char_indices_col(F.col(text_col), vocab), "_lm_ix")
+    out = b.withColumn(
+        out_col,
+        fluency_from_indices(F.col("_lm_ix"), F.col(text_col), model),
+    )
+    return out.drop("_lm_ix")
