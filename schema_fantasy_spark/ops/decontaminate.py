@@ -24,8 +24,22 @@ def _tokens(text: Column) -> Column:
 def ngram_hashes(text: Column, n: int = 8, method: str = "xxhash64") -> Column:
     """DISTINCT hashed word n-grams of a text column (array). Grams are
     space-joined token windows; ``md5`` keeps the oracle replayable,
-    ``xxhash64`` is the scale default (8-byte hashes)."""
-    toks = _tokens(text)
+    ``xxhash64`` is the scale default (8-byte hashes).
+
+    Convenience form — inlines the tokenization. The hot path
+    (:func:`contamination_hits`) materializes the token array behind a
+    Generate barrier first and calls :func:`ngram_hashes_from_tokens`:
+    a captured expression inside a transform lambda re-evaluates PER
+    ELEMENT in interpreted HOF execution, making the gram window pass
+    O(tokens x grams) per document (CLAUDE.md trap #9)."""
+    return ngram_hashes_from_tokens(_tokens(text), n, method)
+
+
+def ngram_hashes_from_tokens(
+    toks: Column, n: int = 8, method: str = "xxhash64"
+) -> Column:
+    """:func:`ngram_hashes` over an already-materialized token array
+    (pass a barriered ATTRIBUTE, not an expression, in hot paths)."""
     # sequence(1, 0) would DESCEND ([1, 0]); short texts get no grams
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -52,15 +66,25 @@ def contamination_hits(
     broadcast hash join -> per-doc count. Docs with zero hits are
     absent (left-join + coalesce at the call site if a full flag
     column is wanted)."""
+    from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism
+
+    bench_t = _barrier(
+        _ensure_parallelism(benchmark.select(bench_text_col)),
+        _tokens(F.col(bench_text_col)), "_tk",
+    )
     bench = (
-        benchmark.select(
-            F.explode(ngram_hashes(F.col(bench_text_col), n, method)).alias("g")
+        bench_t.select(
+            F.explode(ngram_hashes_from_tokens(F.col("_tk"), n, method)).alias("g")
         )
         .distinct()
     )
-    pairs = docs.select(
+    docs_t = _barrier(
+        _ensure_parallelism(docs.select(id_col, text_col)),
+        _tokens(F.col(text_col)), "_tk",
+    )
+    pairs = docs_t.select(
         F.col(id_col),
-        F.explode(ngram_hashes(F.col(text_col), n, method)).alias("g"),
+        F.explode(ngram_hashes_from_tokens(F.col("_tk"), n, method)).alias("g"),
     )
     return (
         pairs.join(F.broadcast(bench), "g")

@@ -80,14 +80,25 @@ def percentiles(
 ) -> DataFrame:
     """Exact percentiles per column (long format). Exact `percentile`
     keeps the oracle comparable; the 10^12-scale path swaps in
-    ``approx_percentile`` (t-digest sketch, same call shape)."""
+    ``approx_percentile`` (t-digest sketch, same call shape).
+
+    One ARRAY-form percentile aggregate per column: the scalar form
+    buffers and sorts the column's values once PER PROBABILITY (four
+    separate copies for the default probs — measured 4x this check),
+    the array form once per column. All columns aggregate in a single
+    pass; the long format unstacks the one result row."""
+    arr = "array(" + ",".join(str(p) for p in probs) + ")"
+    wide = df.agg(*[
+        F.expr(f"percentile({c}, {arr})").alias(f"__p_{i}")
+        for i, c in enumerate(cols)
+    ])
     parts = []
-    for c in cols:
-        aggs = [F.lit(c).alias("col_name")] + [
-            F.round(F.expr(f"percentile({c}, {p})"), 4).alias(f"p{int(p * 100)}")
-            for p in probs
-        ]
-        parts.append(df.agg(*aggs))
+    for i, c in enumerate(cols):
+        parts.append(wide.select(
+            F.lit(c).alias("col_name"),
+            *[F.round(F.element_at(F.col(f"__p_{i}"), k + 1), 4)
+              .alias(f"p{int(p * 100)}") for k, p in enumerate(probs)],
+        ))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
