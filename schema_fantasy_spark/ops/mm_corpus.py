@@ -124,26 +124,48 @@ def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, int]:
-    """(width, height, n_frames, tone_base) for the MJPEG-AVI corpus:
-    each frame is a two-tone grayscale JPEG (MCU-aligned like the jpeg
-    corpus -> bit-exact decode); frame i's top tone is
+    """(width, height, n_frames, tone_base) for the video corpus:
+    each frame is two-tone grayscale — frame i's top tone is
     ``(tone_base + 17*i) % 256`` with bottom tone its inverse, so every
     sampled frame's aHash is one of the two corpus constants selected by
     ``tone_i >= 128`` — a pure function of (doc_id, frame_idx) the
     DuckDB oracle recomputes. n_frames in 4..8, so sampling every 2nd
-    frame yields indices 0,2,4,6 bounded by n_frames."""
+    frame yields indices 0,2,4,6 bounded by n_frames. Nibble 5 splits
+    the CONTAINER/CODEC family: even docs are MJPEG-in-AVI (MCU-aligned
+    JPEG frames -> bit-exact huffman+IDCT decode), odd docs are
+    VP8-in-WEBM (all-B_TM key frames whose sub-block DC residuals land
+    the two tones EXACTLY: delta (2L*dcq+4)>>3 == L at qi 0) — the
+    oracle rows are IDENTICAL across the split, so the gate passes only
+    if both real decode pipelines agree with it."""
     nib = _nibbles(doc_id) if nib is None else nib
     return 4 + nib[1], 16, 4 + nib[6] % 5, nib[3] * 16 + nib[4]
 
 
+def _vp8_two_tone_frame(w: int, h: int, tone: int) -> bytes:
+    """One VP8 key frame, EXACT two-tone on the 8-row boundary: B_TM
+    everywhere propagates the (129 + d) shifted edges unchanged, DC
+    residuals on sub-blocks (0,0,0) and (0,0,8) place the tones."""
+    from schema_fantasy_spark.ops.vp8 import B_TM_PRED, encode_vp8_key_bpred
+
+    lv = {(0, 0, 0): 2 * (tone - 129), (0, 0, 8): 2 * (255 - 2 * tone)}
+    return encode_vp8_key_bpred(
+        w, h, lambda r, c, s: B_TM_PRED,
+        lambda r, c, s: lv.get((r, c, s), 0),
+    )
+
+
 def _video_payload(doc_id: int) -> bytes:
     from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
-    from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg, encode_webm_vp8
 
-    w, h, n_frames, tone_base = video_params(doc_id)
+    nib = _nibbles(doc_id)
+    w, h, n_frames, tone_base = video_params(doc_id, nib)
+    tones = [(tone_base + 17 * i) % 256 for i in range(n_frames)]
+    if nib[5] % 2 == 1:
+        frames = [_vp8_two_tone_frame(w, h, t) for t in tones]
+        return encode_webm_vp8(frames, w, h, fps=12)
     frames = []
-    for i in range(n_frames):
-        tone = (tone_base + 17 * i) % 256
+    for tone in tones:
         px = np.empty((h, w), dtype=np.uint8)
         px[: h // 2] = tone
         px[h // 2 :] = 255 - tone

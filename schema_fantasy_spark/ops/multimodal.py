@@ -653,14 +653,17 @@ def video_frames(
     every_n: int = 2,
     max_frames: int = 4,
 ) -> DataFrame:
-    """REAL video keyframe pipeline for MJPEG AVIs: RIFF parse ->
-    sample every ``every_n``-th frame -> huffman+IDCT decode each
-    sampled frame (ops/jpeg.py) -> per-frame dims + aHash. One row per
-    (doc, sampled frame); undecodable containers/frames are quarantined
-    at the row level (absent from output, never a stage failure) — the
-    same per-row contract as the image/audio decoders. mapInPandas,
-    partition-preserving: at 10^12 docs no video byte ever shuffles."""
-    from schema_fantasy_spark.ops.video import parse_avi
+    """REAL video keyframe pipeline for MJPEG AVIs and VP8 WebM: RIFF
+    or EBML parse -> sample every ``every_n``-th (key)frame ->
+    huffman+IDCT (ops/jpeg.py) or full-envelope VP8 intra decode
+    (ops/vp8.py, bit-exact vs the libwebp reference) -> per-frame dims
+    + aHash. One row per (doc, sampled frame); undecodable containers/
+    frames are quarantined at the row level (absent from output, never
+    a stage failure) — the same per-row contract as the image/audio
+    decoders. mapInPandas, partition-preserving: at 10^12 docs no video
+    byte ever shuffles."""
+    from schema_fantasy_spark.ops.video import EBML_MAGIC, parse_avi, parse_webm_vp8
+    from schema_fantasy_spark.ops.vp8 import decode_vp8_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -669,13 +672,27 @@ def video_frames(
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                avi = parse_avi(payload) if payload[:4] == b"RIFF" else None
-                if avi is None:
+                frames = None
+                decode = decode_image_pixels
+                if payload[:4] == b"RIFF":
+                    avi = parse_avi(payload)
+                    frames = avi["frames"] if avi else None
+                elif payload[:4] == EBML_MAGIC:
+                    webm = parse_webm_vp8(payload)
+                    frames = webm["frames"] if webm else None
+
+                    def decode(fr):
+                        planes = decode_vp8_frame(fr)
+                        if planes is None:
+                            return None
+                        y = planes[0]  # keyframe luma; corpus is gray
+                        return np.stack([y, y, y], axis=2)
+                if frames is None:
                     continue
-                for k, frame in list(enumerate(avi["frames"]))[::every_n][
+                for k, frame in list(enumerate(frames))[::every_n][
                     :max_frames
                 ]:
-                    px = decode_image_pixels(frame)
+                    px = decode(frame)
                     if px is None:
                         continue
                     ids.append(i)

@@ -340,6 +340,14 @@ def _ebml_children(buf: bytes, start: int, end: int):
             return
         sz, k = rsz
         if k + sz > end:
+            # truncated CONTAINER elements still yield their available
+            # prefix so complete children before the damage survive
+            # (leaf readers bound themselves by body_end; a truncated
+            # leaf yields a short body, read defensively). Master
+            # elements this codebase walks are the Segment/Tracks/
+            # Cluster tree - clamping is the per-row quarantine rule.
+            if eid in (0x18538067, 0x1654AE6B, 0x1F43B675, 0xAE, 0xE0):
+                yield eid, k, end
             return
         yield eid, k, k + sz
         i = k + sz
@@ -438,3 +446,117 @@ def encode_mkv_stub(
     tracks = el(b"\x16\x54\xae\x6b", track)
     segment = el(b"\x18\x53\x80\x67", info + tracks)
     return ebml + segment
+
+# ----------------------------------------------- webm/vp8 (real frames)
+
+
+def encode_webm_vp8(
+    frames: list, width: int, height: int, fps: int = 12,
+    timescale_ns: int = 1_000_000,
+) -> bytes:
+    """Full WebM file around raw VP8 KEY frames: EBML header (DocType
+    webm), Segment with Info/Tracks (CodecID V_VP8, TrackNumber 1,
+    PixelWidth/Height) and one Cluster of SimpleBlocks (keyframe flag
+    set, one block per frame at fps spacing). Pairs with
+    :func:`parse_webm_vp8` and ops/vp8.decode_vp8_frame for a real
+    in-container VP8 keyframe pipeline."""
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + _ebml_vint(len(body)) + body
+
+    ebml = el(
+        EBML_MAGIC,
+        el(b"\x42\x86", b"\x01") + el(b"\x42\xf7", b"\x01")
+        + el(b"\x42\xf2", b"\x04") + el(b"\x42\xf3", b"\x08")
+        + el(b"\x42\x82", b"webm")
+        + el(b"\x42\x87", b"\x04") + el(b"\x42\x85", b"\x02"),
+    )
+    dur_ticks = len(frames) / fps * 1e9 / timescale_ns
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", _ebml_uint(timescale_ns))
+        + el(b"\x44\x89", struct.pack(">d", dur_ticks)),
+    )
+    video = el(b"\xe0", el(b"\xb0", _ebml_uint(width)) + el(b"\xba", _ebml_uint(height)))
+    track = el(
+        b"\xae",
+        el(b"\xd7", b"\x01") + el(b"\x83", b"\x01")
+        + el(b"\x86", b"V_VP8") + video,
+    )
+    tracks = el(b"\x16\x54\xae\x6b", track)
+    ms_per_frame = round(1000 / fps)
+    blocks = b"".join(
+        el(b"\xa3",
+           b"\x81"                                     # track 1 VINT
+           + struct.pack(">h", i * ms_per_frame)        # relative ts
+           + b"\x80"                                   # flags: keyframe
+           + bytes(f))
+        for i, f in enumerate(frames)
+    )
+    cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00") + blocks)
+    segment = el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return ebml + segment
+
+
+def parse_webm_vp8(payload: bytes) -> Optional[dict]:
+    """VP8 KEY frames of a WebM/Matroska file: {width, height,
+    track_number, frames: [bytes]} walking Segment -> Tracks (the
+    V_VP8 TrackEntry) -> Clusters -> SimpleBlocks (keyframe-flagged
+    blocks of that track; lacing is not used by this writer and laced
+    blocks are skipped). Malformed/truncated tails quarantine cleanly:
+    complete blocks before the damage survive, like every decoder in
+    ops/. None when the payload is not EBML or has no V_VP8 track."""
+    n = len(payload)
+    if n < 8 or payload[:4] != EBML_MAGIC:
+        return None
+    out = {"width": None, "height": None, "track_number": None, "frames": []}
+    try:
+        for eid, b, e in _ebml_children(payload, 0, n):
+            if eid != 0x18538067:  # Segment
+                continue
+            # pass 1: find the V_VP8 track
+            for e1, b1, e1e in _ebml_children(payload, b, e):
+                if e1 != 0x1654AE6B:  # Tracks
+                    continue
+                for e2, b2, e2e in _ebml_children(payload, b1, e1e):
+                    if e2 != 0xAE:  # TrackEntry
+                        continue
+                    tn, codec, w, h = None, None, None, None
+                    for e3, b3, e3e in _ebml_children(payload, b2, e2e):
+                        if e3 == 0xD7:
+                            tn = int.from_bytes(payload[b3:e3e], "big")
+                        elif e3 == 0x86:
+                            codec = payload[b3:e3e].rstrip(b"\x00")
+                        elif e3 == 0xE0:  # Video
+                            for e4, b4, e4e in _ebml_children(payload, b3, e3e):
+                                if e4 == 0xB0:
+                                    w = int.from_bytes(payload[b4:e4e], "big")
+                                elif e4 == 0xBA:
+                                    h = int.from_bytes(payload[b4:e4e], "big")
+                    if codec == b"V_VP8" and tn is not None:
+                        out["track_number"] = tn
+                        out["width"], out["height"] = w, h
+            if out["track_number"] is None:
+                return None
+            # pass 2: collect keyframe SimpleBlocks of that track
+            for e1, b1, e1e in _ebml_children(payload, b, e):
+                if e1 != 0x1F43B675:  # Cluster
+                    continue
+                for e2, b2, e2e in _ebml_children(payload, b1, e1e):
+                    if e2 != 0xA3 or e2e - b2 < 5:  # SimpleBlock
+                        continue
+                    tb = payload[b2]
+                    if not tb & 0x80:  # multi-byte track VINT: not ours
+                        continue
+                    if (tb & 0x7F) != out["track_number"]:
+                        continue
+                    flags = payload[b2 + 3]
+                    if not flags & 0x80:   # not a keyframe
+                        continue
+                    if flags & 0x06:       # laced: this writer never laces
+                        continue
+                    out["frames"].append(payload[b2 + 4:e2e])
+    except Exception:
+        pass  # truncated tail: keep what parsed
+    return out if out["track_number"] is not None else None
+

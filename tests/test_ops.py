@@ -1459,3 +1459,66 @@ def test_mkv_ebml_parse_edges():
         parse_mkv_header(full[:cut])
     assert parse_mkv_header(b"\x1a\x45\xdf\xa3\xff") is None
     assert parse_mkv_header(b"plainly not ebml") is None
+
+
+def test_webm_vp8_roundtrip_and_quarantine(spark):
+    """The WebM writer/parser pair round-trips VP8 key frames losslessly
+    (byte-identical frames out), decodes them to the EXACT two-tone
+    contract, keeps complete blocks from truncated files (tail-only
+    quarantine), and video_frames routes EBML payloads through the real
+    VP8 decoder alongside AVI/MJPEG docs."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+    from schema_fantasy_spark.ops import video as V
+    from schema_fantasy_spark.ops import vp8
+
+    frames = [mc._vp8_two_tone_frame(19, 16, (77 + 17 * i) % 256)
+              for i in range(4)]
+    wb = V.encode_webm_vp8(frames, 19, 16)
+    p = V.parse_webm_vp8(wb)
+    assert (p["width"], p["height"], p["track_number"]) == (19, 16, 1)
+    assert [bytes(f) for f in p["frames"]] == frames
+    for i, f in enumerate(p["frames"]):
+        y, u, v = vp8.decode_vp8_frame(f)
+        t = (77 + 17 * i) % 256
+        assert (y[:8] == t).all() and (y[8:] == 255 - t).all(), (i, t)
+        assert (u == 128).all() and (v == 128).all()
+    # the metadata walker reads the same file
+    meta = V.parse_mkv_header(wb)
+    assert (meta["width"], meta["height"]) == (19, 16)
+    # truncation: never raises; complete blocks survive a tail cut
+    for cut in range(0, len(wb), 13):
+        V.parse_webm_vp8(wb[:cut])
+    part = V.parse_webm_vp8(wb[: len(wb) - 10])
+    assert part is not None and 0 < len(part["frames"]) < 4
+    assert V.parse_webm_vp8(b"not ebml") is None
+
+    # spark edge: one AVI doc + one WebM doc through the same operator
+    df = spark.createDataFrame(
+        [(2, bytearray(mc._video_payload(2))),   # nib-dependent family
+         (3, bytearray(wb))],
+        "doc_id: long, payload: binary",
+    )
+    rows = mm.video_frames(df, binary_col="payload", id_col="doc_id",
+                           every_n=2, max_frames=4).collect()
+    webm_rows = [r for r in rows if r["doc_id"] == 3]
+    assert [r["frame_idx"] for r in webm_rows] == [0, 2]
+    assert all(r["width"] == 19 and r["height"] == 16 for r in webm_rows)
+
+
+def test_webm_vp8_frames_match_libwebp():
+    """The frames the WebM corpus embeds are themselves valid WebP-
+    decodable VP8 streams: libwebp reconstructs the exact tones."""
+    import pytest
+
+    from _libwebp import load_libwebp, reference_decode_yuv, wrap_vp8_container
+    from schema_fantasy_spark.ops import mm_corpus as mc
+
+    if load_libwebp() is None:
+        pytest.skip("libwebp shared library not available")
+    for tone in (0, 63, 129, 200, 255):
+        f = mc._vp8_two_tone_frame(16, 16, tone)
+        y, u, v = reference_decode_yuv(wrap_vp8_container(f))
+        assert (y[:8] == tone).all() and (y[8:] == 255 - tone).all(), tone
