@@ -1379,8 +1379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frames.join(F.broadcast(cmeta), "doc_id")
 
     def audio_metadata_synthetic(spark, sf):
-        # PCM-WAV decode under the gate: square-wave payloads make RMS an
-        # exact rational (amp/32768, <= 6 decimals); rows with nibble 13
+        # audio decode under the gate, THREE codec families split by
+        # nibble 14: 16-bit PCM (stdlib wave), G.711 mu-law and A-law
+        # (ops/multimodal.parse_wav_g711 — tables byte-verified against
+        # audioop). Square-wave payloads make RMS an exact rational
+        # (decoded magnitude / 32768, <= 6 decimals; the oracle replays
+        # the G.711 expansion formulas in SQL); rows with nibble 13
         # == 0 are TRUNCATED containers and must be quarantined away
         # (per-row quarantine, the $parse contract) — the oracle simply
         # excludes them
@@ -2283,16 +2287,26 @@ def oracle_sql() -> dict[str, str]:
       FROM f, unnest(range(0, nf, 2)) AS t(frame_idx)
     """
 
+    # rms per codec family (n14 % 3): PCM square wave amp/32768;
+    # G.711 rows replay the ITU expansion formulas on the coded
+    # (exp, mant) pair — mu-law ((mant*8+132)<<exp)-132, A-law
+    # (mant*16+8 | ((mant*16+264)<<(exp-1))) — all exact integers
     audio_meta_sql = _mm_cte + """
+    , g AS (SELECT *, n14 % 3 AS law, n12 % 8 AS aexp, n10 % 16 AS amant
+              FROM n WHERE n13 <> 0)
     SELECT doc_id,
            8000 * (1 + n10 % 3) AS sample_rate,
            1 AS n_channels,
            CAST(400 + 64 * n11 AS BIGINT) AS n_frames,
            round(CAST(400 + 64 * n11 AS DOUBLE) / (8000 * (1 + n10 % 3)), 6)
              AS duration_sec,
-           round(CAST(512 * (1 + n12) AS DOUBLE) / 32768, 6) AS rms
-      FROM n
-     WHERE n13 <> 0
+           round(CAST(CASE law
+                 WHEN 0 THEN 512 * (1 + n12)
+                 WHEN 1 THEN ((amant * 8 + 132) * (1 << aexp)) - 132
+                 ELSE CASE WHEN aexp = 0 THEN amant * 16 + 8
+                           ELSE (amant * 16 + 264) * (1 << (aexp - 1)) END
+               END AS DOUBLE) / 32768, 6) AS rms
+      FROM g
     """
 
     quantized_topk_sql = """

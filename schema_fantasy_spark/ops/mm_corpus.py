@@ -237,14 +237,22 @@ def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
 
 
-def audio_params(doc_id: int) -> Tuple[int, int, int, bool]:
-    """(sample_rate, n_frames, amplitude, corrupt)."""
+def audio_params(doc_id: int) -> Tuple[int, int, int, bool, int]:
+    """(sample_rate, n_frames, amplitude, corrupt, law). ``law`` splits
+    the corpus between codecs: 0 = 16-bit PCM, 1 = G.711 mu-law,
+    2 = G.711 A-law (the telephony WAVs the stdlib wave module refuses
+    — ops/multimodal.parse_wav_g711 decodes them for real, tables
+    byte-verified against audioop). G.711 rows are square waves of one
+    +/- code pair whose decoded magnitude is an exact integer function
+    of the nibbles, so the oracle replays the G.711 expansion formula
+    in SQL and RMS stays an exact rational."""
     nib = _nibbles(doc_id)
     sr = 8000 * (1 + nib[9] % 3)        # 8000, 16000, 24000
     n_frames = 400 + 64 * nib[10]       # 400..1360
     amp = 512 * (1 + nib[11])           # 512..8192 — rms = (1+nib)/64
     corrupt = nib[12] == 0              # 1/16 of rows: quarantine path
-    return sr, n_frames, amp, corrupt
+    law = nib[13] % 3
+    return sr, n_frames, amp, corrupt, law
 
 
 def _image_payload(doc_id: int) -> bytes:
@@ -287,29 +295,32 @@ def _image_payload(doc_id: int) -> bytes:
 
 
 def _audio_payload(doc_id: int) -> bytes:
-    sr, n_frames, amp, corrupt = audio_params(doc_id)
-    samples = np.empty(n_frames, dtype="<i2")
-    samples[0::2] = amp
-    samples[1::2] = -amp
-    payload = encode_wav_pcm16(samples, rate=sr)
+    sr, n_frames, amp, corrupt, law = audio_params(doc_id)
+    nib = _nibbles(doc_id)
+    if law == 0:
+        samples = np.empty(n_frames, dtype="<i2")
+        samples[0::2] = amp
+        samples[1::2] = -amp
+        payload = encode_wav_pcm16(samples, rate=sr)
+    else:
+        from schema_fantasy_spark.ops.multimodal import encode_wav_g711
+
+        # +/- square wave of one G.711 code: exp from nib[11], mant
+        # from nib[9] (both reused across families, distinct arithmetic)
+        exp, mant = nib[11] % 8, nib[9] % 16
+        mag = (exp << 4) | mant
+        if law == 1:   # mu-law: bytes stored complemented; ~mag -> +
+            pos, neg = 0xFF ^ mag, 0x7F ^ mag
+        else:          # A-law: 0x80 bit SET means positive; XOR 0x55
+            pos, neg = (0x80 | mag) ^ 0x55, mag ^ 0x55
+        codes = np.empty(n_frames, dtype=np.uint8)
+        codes[0::2] = pos
+        codes[1::2] = neg
+        payload = encode_wav_g711(codes, rate=sr,
+                                  law="ulaw" if law == 1 else "alaw")
     if corrupt:
-        return payload[:13]  # truncated mid-RIFF-header: wave.Error
+        return payload[:13]  # truncated mid-RIFF-header: quarantined
     return payload
-
-
-def synthetic_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, payload) of deterministic two-tone BMP/PPM/PNG images."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf[id_col].tolist()
-            yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "payload": pd.Series([_image_payload(i) for i in ids],
-                                     dtype="object"),
-            })
-
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
 
 
 def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -721,11 +721,94 @@ AUDIO_META_SCHEMA = T.StructType([
 ])
 
 
+# --- ITU-T G.711 companded telephony formats inside WAV containers
+# (format tags 7 = mu-law, 6 = A-law). Decode tables are built from the
+# published expansion formulas and verified BYTE-FOR-BYTE against the
+# stdlib audioop reference in tests/test_ops.py.
+
+
+def _g711_ulaw_table() -> "np.ndarray":
+    """256-entry mu-law byte -> linear int16 (G.711 expansion: bytes are
+    stored complemented; 3-bit exponent, 4-bit mantissa, bias 0x84)."""
+    b = (~np.arange(256)) & 0xFF
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    x = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -x, x).astype(np.int16)
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """256-entry A-law byte -> linear int16 (G.711: even bits inverted
+    with 0x55; segment 0 is linear, segments 1-7 shift; scaled x16 to
+    13-bit-in-16 like every reference implementation)."""
+    b = np.arange(256) ^ 0x55
+    sign = (b & 0x80) != 0  # A-law: the 0x80 bit SET means POSITIVE
+    exp = ((b & 0x7F) >> 4) & 0x07
+    mant = (b & 0x0F).astype(np.int32)
+    x = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, x, -x).astype(np.int16)
+
+
+_ULAW = _g711_ulaw_table()
+_ALAW = _g711_alaw_table()
+
+
+def _round6_half_up(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def parse_wav_g711(payload: bytes):
+    """(fmt_tag, sample_rate, n_channels, samples int16) for RIFF/WAVE
+    files carrying G.711 data (fmt 7 = mu-law, 6 = A-law, 8-bit) — the
+    telephony formats the stdlib ``wave`` module refuses. None for
+    anything else (PCM stays on the stdlib path)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        sz = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        return None
+    tag, nch, sr, _br, _ba, bits = fmt
+    if tag not in (6, 7) or bits != 8 or nch < 1:
+        return None
+    table = _ULAW if tag == 7 else _ALAW
+    return tag, sr, nch, table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def encode_wav_g711(codes: "np.ndarray", rate: int = 8000, law: str = "ulaw") -> bytes:
+    """Mono G.711 WAV from raw companded code bytes (fmt tag 7/6)."""
+    codes = np.asarray(codes, dtype=np.uint8).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(codes).to_bytes(4, "little") + codes
+    if len(codes) & 1:
+        chunks += b"\x00"
+    body = b"WAVE" + chunks
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") -> DataFrame:
-    """REAL PCM-WAV decode with the stdlib ``wave`` module: sample rate,
-    channels, frame count, duration, and RMS energy (16-bit PCM,
-    normalized to [-1, 1]). Non-WAV payloads are skipped (their rows
-    simply do not appear — quarantine at the row level, like $parse)."""
+    """REAL audio decode: PCM WAV via the stdlib ``wave`` module, plus
+    ITU-T G.711 mu-law/A-law WAVs (format tags 7/6 — the telephony
+    encodings ``wave`` refuses) via :func:`parse_wav_g711`. Emits sample
+    rate, channels, frame count, duration, and RMS energy (decoded
+    samples normalized to [-1, 1]). Non-audio payloads are skipped
+    (their rows simply do not appear — quarantine at the row level,
+    like $parse)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -733,8 +816,9 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 if payload is None:
                     continue
+                payload_b = bytes(payload)
                 try:
-                    with wave.open(io.BytesIO(bytes(payload))) as wf:
+                    with wave.open(io.BytesIO(payload_b)) as wf:
                         sr, nch, nfr = (
                             wf.getframerate(),
                             wf.getnchannels(),
@@ -743,6 +827,24 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                         width = wf.getsampwidth()
                         raw = wf.readframes(nfr)
                 except (wave.Error, EOFError):
+                    g = parse_wav_g711(payload_b)
+                    if g is None:
+                        continue
+                    _tag, sr, nch, samples = g
+                    nfr = len(samples) // nch
+                    ids.append(i)
+                    rates.append(sr)
+                    chans.append(nch)
+                    frames.append(nfr)
+                    durs.append(nfr / sr if sr else 0.0)
+                    s = samples.astype(np.float64) / 32768.0
+                    # explicit HALF_UP: for the gated square-wave corpus
+                    # the float rms is EXACTLY |v|/2^15 (exact square,
+                    # correctly-rounded sqrt), and python round() is
+                    # half-even while the SQL oracle rounds half-up —
+                    # G.711 magnitudes land exact .5 ties at 6 decimals
+                    rmss.append(_round6_half_up(float(np.sqrt(np.mean(s * s))))
+                                if len(s) else None)
                     continue
                 ids.append(i)
                 rates.append(sr)

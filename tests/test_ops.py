@@ -625,7 +625,7 @@ def test_mm_corpus_roundtrip(spark):
         ).collect()
     }
     for i in range(64):
-        sr, nf, amp, corrupt = mc.audio_params(i)
+        sr, nf, amp, corrupt, law = mc.audio_params(i)
         if corrupt:
             assert i not in audio  # truncated container -> quarantined row
         else:
@@ -1522,3 +1522,56 @@ def test_webm_vp8_frames_match_libwebp():
         f = mc._vp8_two_tone_frame(16, 16, tone)
         y, u, v = reference_decode_yuv(wrap_vp8_container(f))
         assert (y[:8] == tone).all() and (y[8:] == 255 - tone).all(), tone
+
+
+def test_g711_decode_matches_audioop(spark):
+    """The G.711 mu-law/A-law expansion tables match the stdlib audioop
+    reference byte-for-byte; G.711 WAVs round-trip through the Spark
+    operator with exact square-wave RMS; the stdlib-PCM path and the
+    per-row truncation quarantine are unaffected."""
+    import warnings
+
+    import numpy as np
+
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    ref_u = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert (mm._ULAW == ref_u).all()
+    assert (mm._ALAW == ref_a).all()
+
+    # find one corpus doc of each law (uncorrupted) and run the operator
+    picks = {}
+    d = 0
+    while len(picks) < 3 and d < 500:
+        sr, nf, amp, corrupt, law = mc.audio_params(d)
+        if not corrupt and law not in picks:
+            picks[law] = d
+        d += 1
+    assert set(picks) == {0, 1, 2}
+    df = spark.createDataFrame(
+        [(i, bytearray(mc._audio_payload(i))) for i in picks.values()],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.audio_metadata(
+        df, binary_col="payload", id_col="doc_id").collect()}
+    for law, i in picks.items():
+        sr, nf, amp, corrupt, _ = mc.audio_params(i)
+        nib = mc._nibbles(i)
+        r = rows[i]
+        assert (r["sample_rate"], r["n_frames"]) == (sr, nf), law
+        if law == 0:
+            v = amp
+        else:
+            exp, mant = nib[11] % 8, nib[9] % 16
+            if law == 1:
+                v = ((mant * 8 + 0x84) << exp) - 0x84
+            else:
+                v = (mant * 16 + 8) if exp == 0 else ((mant * 16) + 0x108) << (exp - 1)
+        assert abs(r["rms"] - round(v / 32768, 6)) <= 1e-6, (law, v, r["rms"])
+    # truncated G.711 container quarantines like truncated PCM
+    assert mm.parse_wav_g711(mc._audio_payload(picks[1])[:13]) is None
