@@ -2291,21 +2291,33 @@ def oracle_sql() -> dict[str, str]:
     # G.711 rows replay the ITU expansion formulas on the coded
     # (exp, mant) pair — mu-law ((mant*8+132)<<exp)-132, A-law
     # (mant*16+8 | ((mant*16+264)<<(exp-1))) — all exact integers
+    # codec families: n9%4=0 -> MP3 header walk (rms NULL, duration
+    # frames*1152/sr, no 6-decimal ties across the nibble space -
+    # verified exhaustively); else n14%3 -> PCM / G.711 mu-law / A-law
+    # square waves whose expansion formulas replay in SQL
     audio_meta_sql = _mm_cte + """
-    , g AS (SELECT *, n14 % 3 AS law, n12 % 8 AS aexp, n10 % 16 AS amant
+    , g AS (SELECT *, CASE WHEN n9 % 4 = 0 THEN 3 ELSE n14 % 3 END AS law,
+                   n12 % 8 AS aexp, n10 % 16 AS amant,
+                   CASE n11 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END AS msr
               FROM n WHERE n13 <> 0)
     SELECT doc_id,
-           8000 * (1 + n10 % 3) AS sample_rate,
-           1 AS n_channels,
-           CAST(400 + 64 * n11 AS BIGINT) AS n_frames,
-           round(CAST(400 + 64 * n11 AS DOUBLE) / (8000 * (1 + n10 % 3)), 6)
-             AS duration_sec,
-           round(CAST(CASE law
+           CASE WHEN law = 3 THEN msr
+                ELSE 8000 * (1 + n10 % 3) END AS sample_rate,
+           CASE WHEN law = 3 AND n12 % 4 <> 3 THEN 2 ELSE 1 END AS n_channels,
+           CAST(CASE WHEN law = 3 THEN 8 + n14 % 8
+                     ELSE 400 + 64 * n11 END AS BIGINT) AS n_frames,
+           CASE WHEN law = 3
+                THEN round(CAST((8 + n14 % 8) * 1152 AS DOUBLE) / msr, 6)
+                ELSE round(CAST(400 + 64 * n11 AS DOUBLE)
+                           / (8000 * (1 + n10 % 3)), 6) END AS duration_sec,
+           CASE WHEN law = 3 THEN NULL
+                ELSE round(CAST(CASE law
                  WHEN 0 THEN 512 * (1 + n12)
                  WHEN 1 THEN ((amant * 8 + 132) * (1 << aexp)) - 132
                  ELSE CASE WHEN aexp = 0 THEN amant * 16 + 8
                            ELSE (amant * 16 + 264) * (1 << (aexp - 1)) END
-               END AS DOUBLE) / 32768, 6) AS rms
+               END AS DOUBLE) / 32768, 6) END AS rms
       FROM g
     """
 

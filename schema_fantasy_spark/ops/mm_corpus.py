@@ -251,7 +251,9 @@ def audio_params(doc_id: int) -> Tuple[int, int, int, bool, int]:
     n_frames = 400 + 64 * nib[10]       # 400..1360
     amp = 512 * (1 + nib[11])           # 512..8192 — rms = (1+nib)/64
     corrupt = nib[12] == 0              # 1/16 of rows: quarantine path
-    law = nib[13] % 3
+    # law 3 = MP3 (header walk; nibble 9 gates it ahead of the WAV
+    # codecs), else nibble 14 splits PCM / mu-law / A-law
+    law = 3 if nib[8] % 4 == 0 else nib[13] % 3
     return sr, n_frames, amp, corrupt, law
 
 
@@ -297,6 +299,19 @@ def _image_payload(doc_id: int) -> bytes:
 def _audio_payload(doc_id: int) -> bytes:
     sr, n_frames, amp, corrupt, law = audio_params(doc_id)
     nib = _nibbles(doc_id)
+    if law == 3:
+        from schema_fantasy_spark.ops.multimodal import (
+            _MP3_BITRATE_V1L3, encode_mp3_stub,
+        )
+
+        payload = encode_mp3_stub(
+            _MP3_BITRATE_V1L3[1 + nib[9] % 14],
+            [44100, 48000, 32000][nib[10] % 3],
+            nib[11] % 4,
+            8 + nib[13] % 8,
+            id3_size=20 + nib[10],
+        )
+        return payload[:13] if corrupt else payload
     if law == 0:
         samples = np.empty(n_frames, dtype="<i2")
         samples[0::2] = amp
@@ -321,6 +336,21 @@ def _audio_payload(doc_id: int) -> bytes:
     if corrupt:
         return payload[:13]  # truncated mid-RIFF-header: quarantined
     return payload
+
+
+def synthetic_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic two-tone BMP/PPM/PNG/WebP images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_image_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
 
 
 def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

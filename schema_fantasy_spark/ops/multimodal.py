@@ -801,6 +801,79 @@ def encode_wav_g711(codes: "np.ndarray", rate: int = 8000, law: str = "ulaw") ->
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# --- MPEG-1 Layer III (MP3) header-walk metadata: the dominant web
+# audio format. Full audio decode (hybrid filterbank) is out of scope
+# like every inter-frame video codec; the header walk — ID3v2 skip,
+# frame sync, bitrate/samplerate tables, frame-length arithmetic,
+# frame counting — is real and gives the metadata a crawl pipeline
+# actually uses (sample rate, channels, duration).
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     160, 192, 224, 256, 320, 0]
+_MP3_SR_V1 = [44100, 48000, 32000, 0]
+
+
+def parse_mp3_metadata(payload: bytes):
+    """(sample_rate, n_channels, n_frames, duration_sec) from an MPEG-1
+    Layer III stream: skip any leading ID3v2 tag (syncsafe size), then
+    walk frame headers (sync + bitrate/samplerate/padding), counting
+    frames until the payload ends or the sync breaks (truncated tails
+    quarantine only the tail, like every decoder here). None when no
+    valid frame exists."""
+    i, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        i = 10 + sz
+    sr = nch = None
+    frames = 0
+    while i + 4 <= n:
+        h = payload[i:i + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            break
+        version = (h[1] >> 3) & 0x03   # 3 = MPEG-1
+        layer = (h[1] >> 1) & 0x03     # 1 = Layer III
+        if version != 3 or layer != 1:
+            break  # only MPEG-1 Layer III walked for real
+        kbps = _MP3_BITRATE_V1L3[(h[2] >> 4) & 0x0F]
+        fsr = _MP3_SR_V1[(h[2] >> 2) & 0x03]
+        pad = (h[2] >> 1) & 0x01
+        if kbps == 0 or fsr == 0:
+            break  # free-format/reserved: not walkable
+        flen = 144000 * kbps // fsr + pad
+        if i + flen > n:
+            break  # truncated final frame: quarantine the tail
+        mode = (h[3] >> 6) & 0x03
+        if sr is None:
+            sr, nch = fsr, (1 if mode == 3 else 2)
+        frames += 1
+        i += flen
+    if not frames:
+        return None
+    return sr, nch, frames, frames * 1152 / sr
+
+
+def encode_mp3_stub(
+    bitrate_kbps: int, sr: int, mode: int, n_frames: int,
+    id3_size: int = 37,
+) -> bytes:
+    """Minimal MPEG-1 Layer III stream for the header walk: an ID3v2
+    tag of ``id3_size`` payload bytes, then ``n_frames`` frames with
+    correct headers and zeroed side-info/audio payloads."""
+    bidx = _MP3_BITRATE_V1L3.index(bitrate_kbps)
+    sidx = _MP3_SR_V1.index(sr)
+    out = bytearray(b"ID3\x04\x00\x00")
+    out += bytes([(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+                  (id3_size >> 7) & 0x7F, id3_size & 0x7F])
+    out += bytes(id3_size)
+    flen = 144000 * bitrate_kbps // sr
+    hdr = bytes([0xFF, 0xFB, (bidx << 4) | (sidx << 2), mode << 6])
+    for _ in range(n_frames):
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
 def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") -> DataFrame:
     """REAL audio decode: PCM WAV via the stdlib ``wave`` module, plus
     ITU-T G.711 mu-law/A-law WAVs (format tags 7/6 — the telephony
@@ -827,6 +900,18 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                         width = wf.getsampwidth()
                         raw = wf.readframes(nfr)
                 except (wave.Error, EOFError):
+                    m = parse_mp3_metadata(payload_b) \
+                        if payload_b[:3] == b"ID3" or payload_b[:1] == b"\xff" \
+                        else None
+                    if m is not None:
+                        sr, nch, nfr, dur = m
+                        ids.append(i)
+                        rates.append(sr)
+                        chans.append(nch)
+                        frames.append(nfr)
+                        durs.append(dur)
+                        rmss.append(None)  # header walk only: no decode
+                        continue
                     g = parse_wav_g711(payload_b)
                     if g is None:
                         continue

@@ -1549,7 +1549,7 @@ def test_g711_decode_matches_audioop(spark):
     d = 0
     while len(picks) < 3 and d < 500:
         sr, nf, amp, corrupt, law = mc.audio_params(d)
-        if not corrupt and law not in picks:
+        if not corrupt and law < 3 and law not in picks:
             picks[law] = d
         d += 1
     assert set(picks) == {0, 1, 2}
@@ -1575,3 +1575,45 @@ def test_g711_decode_matches_audioop(spark):
         assert abs(r["rms"] - round(v / 32768, 6)) <= 1e-6, (law, v, r["rms"])
     # truncated G.711 container quarantines like truncated PCM
     assert mm.parse_wav_g711(mc._audio_payload(picks[1])[:13]) is None
+
+def test_mp3_header_walk(spark):
+    """MPEG-1 Layer III metadata via the header walk: ID3v2 syncsafe
+    skip, bitrate/samplerate tables, frame-length arithmetic, mono vs
+    stereo mode, truncated-tail quarantine — round-tripped through the
+    stub encoder and the Spark operator."""
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+
+    # direct round-trip across the parameter space
+    for kbps in (32, 128, 320):
+        for sr in (44100, 48000, 32000):
+            for mode, want_ch in ((0, 2), (1, 2), (2, 2), (3, 1)):
+                b = mm.encode_mp3_stub(kbps, sr, mode, 5, id3_size=200)
+                got = mm.parse_mp3_metadata(b)
+                assert got == (sr, want_ch, 5, 5 * 1152 / sr), (kbps, sr, mode)
+    # a truncated final frame quarantines only the tail
+    b = mm.encode_mp3_stub(128, 44100, 0, 5)
+    assert mm.parse_mp3_metadata(b[:-7])[2] == 4
+    # cut inside the ID3 tag: no frames, row quarantined entirely
+    assert mm.parse_mp3_metadata(b[:13]) is None
+    # garbage after the sync byte breaks the walk, not the parser
+    assert mm.parse_mp3_metadata(b"\xff\xe0\x00\x00garbage") is None
+
+    # corpus MP3 docs flow through the Spark operator (rms is NULL:
+    # header walk only, no hybrid-filterbank decode)
+    picks = [d for d in range(200)
+             if mc.audio_params(d)[4] == 3 and not mc.audio_params(d)[3]][:3]
+    assert picks
+    df = spark.createDataFrame(
+        [(i, bytearray(mc._audio_payload(i))) for i in picks],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in mm.audio_metadata(
+        df, binary_col="payload", id_col="doc_id").collect()}
+    for i in picks:
+        nib = mc._nibbles(i)
+        r = rows[i]
+        assert r["sample_rate"] == [44100, 48000, 32000][nib[10] % 3]
+        assert r["n_channels"] == (1 if nib[11] % 4 == 3 else 2)
+        assert r["n_frames"] == 8 + nib[13] % 8
+        assert r["rms"] is None
