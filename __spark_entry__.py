@@ -1241,14 +1241,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ):
             enc = F.replace(enc, F.lit(ch), F.lit(ref))
         enc = F.regexp_replace(enc, r"\btable\b", "<b>table</b>")
-        page = F.concat(
-            F.lit('<html><head><title>d</title><style>p { c: "<div>" }</style>'),
-            F.lit('<script>if (1 < 2) { s = "</p>"; }</script></head>'),
-            F.lit('<body data-x="a>b"><!-- nav <span> --><p class="m">'),
-            enc,
-            F.lit('</p><script async src="x.js"></script></body></html>'),
+        # CHARSET SNIFF + TRANSCODE under the same gate (ops/charset.py):
+        # page assembly moves into Python so each doc's page serializes
+        # in its md5-nibble family charset — 14 families covering BOMs
+        # (utf-8/16le/16be), meta-declared single-byte (cp1252 + latin1
+        # label, iso-8859-2, koi8-r), meta-declared multibyte CJK
+        # (shift_jis, euc-kr, gbk, big5 — the Arrow-UDF lane), the
+        # WHATWG utf-16-label->utf-8 remap, undeclared-valid utf-8, and
+        # the undeclared-cp1252 fallback. Each family appends its own
+        # raw non-ASCII special chars to the body (ASCII bytes look the
+        # same in every charset — the specials are what make a wrong
+        # decode visible), and the reference corpus carries the same
+        # suffix built from chr() literals, so ONE family decoding
+        # wrongly surfaces extra rows and fails the gate. The detected
+        # (charset, source) pair rides along and is value-hashed for
+        # every surfaced row.
+        from schema_fantasy_spark.ops import charset as csops
+        from schema_fantasy_spark.ops import mm_corpus as mc
+
+        docs = docs.filter(F.col("doc_id").isNotNull())
+
+        def build_pages(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, pages = [], []
+                for r in pdf.itertuples(index=False):
+                    fam = mc.charset_fam(r.doc_id)
+                    label, _b, _c, special, _cs, _s = mc.CHARSET_FAMILIES[fam]
+                    meta = f'<meta charset="{label}">' if label else ""
+                    page = (
+                        f"<html><head>{meta}<title>d</title>"
+                        '<style>p { c: "<div>" }</style>'
+                        '<script>if (1 < 2) { s = "</p>"; }</script></head>'
+                        '<body data-x="a>b"><!-- nav <span> --><p class="m">'
+                        f"{r.enc} {special}</p>"
+                        '<script async src="x.js"></script></body></html>'
+                    )
+                    ids.append(r.doc_id)
+                    pages.append(mc.encode_charset_page(fam, page))
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "page": pd.Series(pages, dtype="object"),
+                })
+
+        pages = docs.select("doc_id", enc.alias("enc")).mapInPandas(
+            build_pages, "doc_id long, page binary"
         )
-        roundtripped = docs.withColumn("text", extract_text(page))
+        decoded = csops.transcode(pages, binary_col="page", id_col="doc_id")
+        roundtripped = decoded.select(
+            "doc_id", "charset", "source",
+            extract_text(F.col("text")).alias("text"),
+        )
         n = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
         i = F.col("doc_id").cast("string")
         host = F.concat(F.lit("h"), n, F.lit(".example.com"))
@@ -1275,12 +1319,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!")))
             .otherwise(F.col("text")),
         )
-        reference = docs.withColumn("url", spelled_b)
+        # the reference corpus carries each doc's family special suffix,
+        # derived independently (md5 nibble in Column exprs + literal
+        # chars) — transcode+extraction must reproduce it byte-exactly
+        famc = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+            ).cast("int"),
+            F.lit(len(mc.CHARSET_FAMILIES)),
+        )
+        specialc = F.lit(mc.CHARSET_FAMILIES[0][3])
+        for k in range(1, len(mc.CHARSET_FAMILIES)):
+            specialc = F.when(famc == k, F.lit(mc.CHARSET_FAMILIES[k][3])).otherwise(
+                specialc
+            )
+        reference = docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" "), specialc)
+        ).withColumn("url", spelled_b)
         ca = corrupted.withColumn("url_key", canonicalize_url(F.col("url")))
         cb = reference.withColumn("url_key", canonicalize_url(F.col("url")))
-        return tc.text_consistency(
+        res = tc.text_consistency(
             ca, cb, key_col="url_key", text_col="text", method="md5"
-        ).select(F.col("url_key").alias("url"), "h_actual", "h_expected")
+        )
+        return res.join(ca.select("url_key", "charset", "source"), "url_key").select(
+            F.col("url_key").alias("url"),
+            "charset",
+            "source",
+            "h_actual",
+            "h_expected",
+        )
 
     def image_decode_synthetic(spark, sf):
         # multimodal decode under the oracle gate: a deterministic
@@ -2543,13 +2610,51 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode_synthetic": jpeg_decode_sql,
         "video_frames_synthetic": video_frames_sql,
         "audio_metadata_synthetic": audio_meta_sql,
+        # the charset-family suffix + (charset, source) labels replay
+        # from the same md5-nibble derivation the corpus generator uses;
+        # specials as chr() so the SQL is charset-clean itself
         "text_consistency_documents": """
+    WITH f AS (
+      SELECT doc_id, text,
+             (strpos('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 14
+               AS fam
+        FROM documents
+       WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 97 = 0),
+    s AS (
+      SELECT doc_id, fam,
+             text || ' café 中\U0001f600' || ' ' ||
+             CASE fam
+               WHEN 0 THEN chr(233)
+               WHEN 1 THEN chr(20013) || chr(128512)
+               WHEN 2 THEN chr(20013) || chr(233) || chr(128512)
+               WHEN 3 THEN chr(20013) || chr(233) || chr(128512)
+               WHEN 4 THEN chr(233) || chr(8364)
+               WHEN 5 THEN chr(233)
+               WHEN 6 THEN chr(337) || chr(269)
+               WHEN 7 THEN chr(1046) || chr(1103)
+               WHEN 8 THEN chr(12354) || chr(20013)
+               WHEN 9 THEN chr(54620) || chr(44544)
+               WHEN 10 THEN chr(20013) || chr(25991)
+               WHEN 11 THEN chr(20013) || chr(25991)
+               WHEN 12 THEN chr(233)
+               ELSE chr(233) || chr(8364)
+             END AS t
+        FROM f)
     SELECT 'https://h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com/p/'
              || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
-           md5(text || ' café 中\U0001f600' || '!') AS h_actual,
-           md5(text || ' café 中\U0001f600') AS h_expected
-      FROM documents
-     WHERE text IS NOT NULL AND doc_id % 97 = 0
+           CASE fam WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+                WHEN 4 THEN 'windows-1252' WHEN 5 THEN 'windows-1252'
+                WHEN 6 THEN 'iso-8859-2' WHEN 7 THEN 'koi8-r'
+                WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-kr'
+                WHEN 10 THEN 'gbk' WHEN 11 THEN 'big5'
+                WHEN 13 THEN 'windows-1252' ELSE 'utf-8' END AS charset,
+           CASE fam WHEN 0 THEN 'utf8' WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+                WHEN 3 THEN 'bom' WHEN 13 THEN 'fallback'
+                ELSE 'meta' END AS source,
+           md5(t || '!') AS h_actual,
+           md5(t) AS h_expected
+      FROM s
     """,
         "gopher_quality_documents": gopher_sql,
         "filter_funnel_documents": funnel_sql,
