@@ -99,13 +99,27 @@ def main() -> int:
 
     df = spark.read.parquet(args.input)
 
-    # -1. html -> text (codegen; the north-star table ships html:binary)
+    # -1. html -> text (codegen; the north-star table ships html:binary).
+    # Binary pages go through charset sniff + transcode first (WHATWG
+    # order, ops/charset.py) — crawl bytes are NOT all UTF-8 and a blind
+    # cast mangles every cp1252/CJK page; string columns are already
+    # decoded upstream.
     if args.html_col:
+        from pyspark.sql.types import BinaryType
+
         from schema_fantasy_spark.ops.html import extract_text
 
-        df = df.withColumn(
-            args.text_col, extract_text(F.col(args.html_col).cast("string"))
-        )
+        if isinstance(df.schema[args.html_col].dataType, BinaryType):
+            from schema_fantasy_spark.ops.charset import transcode
+
+            df = transcode(df, binary_col=args.html_col, id_col=args.id_col)
+            df = df.withColumn(args.text_col, extract_text(F.col("text")))
+            if args.text_col != "text":
+                df = df.drop("text")
+        else:
+            df = df.withColumn(
+                args.text_col, extract_text(F.col(args.html_col).cast("string"))
+            )
 
     # 0. deterministic sample — a pure pushed filter, same rows anywhere
     if args.sample_sixteenths < 16:

@@ -54,6 +54,9 @@ def main() -> int:
 
     # spark-submit provides master/conf; AQE + Arrow settings may also be
     # passed via --conf. getOrCreate attaches to the submitted session.
+    # Only stop a session this job itself created (spark-submit); an
+    # in-process caller (tests, notebooks) keeps its session.
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("sfs-validate").getOrCreate()
 
     if args.schema_file:
@@ -64,14 +67,27 @@ def main() -> int:
 
     if args.input_format == "warc":
         # raw crawl archives -> the pages shape, all engine operators:
-        # WARC parse (mapInPandas, no body shuffle) -> html -> text
-        # (codegen extract_text) -> marker-word language ID
+        # WARC parse (mapInPandas, no body shuffle) -> charset sniff +
+        # transcode (ops/charset.py; the transport-layer Content-Type
+        # label feeds detection per the WHATWG order — crawl bytes are
+        # NOT all UTF-8, a blind cast mangles every cp1252/CJK page)
+        # -> html -> text (codegen extract_text) -> marker-word lang ID
+        from schema_fantasy_spark.ops.charset import (
+            content_type_charset, transcode,
+        )
         from schema_fantasy_spark.ops.html import extract_text
         from schema_fantasy_spark.ops.text import lang_id
         from schema_fantasy_spark.sources.warc import read_warc
 
-        df = read_warc(spark, args.input)
-        df = df.withColumn("text", extract_text(F.col("html").cast("string")))
+        df = read_warc(spark, args.input).withColumn(
+            "_ct_charset", content_type_charset(F.col("content_type"))
+        )
+        df = transcode(
+            df, binary_col="html", id_col="url", declared_col="_ct_charset"
+        )
+        df = df.withColumn("text", extract_text(F.col("text"))).drop(
+            "_ct_charset"
+        )
         df = lang_id(df).withColumnRenamed("lang_pred", "lang")
     else:
         df = read_pages(spark, args.input, snapshot_id=args.snapshot_id,
@@ -98,7 +114,8 @@ def main() -> int:
         "skipped": result.skipped,
         **result.summary,
     }))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

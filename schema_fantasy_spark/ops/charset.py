@@ -150,18 +150,40 @@ LABELS = {
     "csbig5": "big5", "x-x-big5": "big5",
 }
 
+#: transport-layer (HTTP Content-Type) label resolution: same table,
+#: EXCEPT the utf-16->utf-8 and x-user-defined remaps, which are
+#: meta-path "change the encoding" rules only — a transport-declared
+#: utf-16 means real UTF-16 bytes (Encoding Standard: the "utf-16"
+#: label is utf-16le), and transport x-user-defined is ignored
+TRANSPORT_LABELS = {
+    **{k: v for k, v in LABELS.items() if k != "x-user-defined"},
+    "utf-16": "utf-16le", "utf-16le": "utf-16le", "utf-16be": "utf-16be",
+}
+
 #: how many leading bytes the meta prescan examines (WHATWG: 1024)
 PRESCAN_BYTES = 1024
 
 _META_RE = r'<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:+-]+)'
 
 
-def detect_charset(b: Column) -> tuple[Column, Column]:
+def detect_charset(
+    b: Column, declared: Column | None = None
+) -> tuple[Column, Column]:
     """(charset, source) for a binary page column, pure Column exprs.
 
-    ``source`` is one of ``bom`` / ``meta`` / ``utf8`` (undeclared but
-    grammar-valid) / ``fallback`` (undeclared, not UTF-8 ->
-    windows-1252). Unknown meta labels yield ``('unknown', 'meta')``.
+    ``declared`` is an optional transport-layer charset label (the
+    ``charset=`` parameter of an HTTP ``Content-Type`` header — WARC
+    ingestion surfaces it); per the WHATWG order it ranks between the
+    BOM and the meta prescan. An unrecognized transport label is
+    IGNORED and detection continues (browser behavior), unlike an
+    unrecognized meta label which quarantines — the transport layer is
+    routinely wrong on real crawls, the in-document declaration is the
+    page author's own claim.
+
+    ``source`` is one of ``bom`` / ``transport`` / ``meta`` / ``utf8``
+    (undeclared but grammar-valid) / ``fallback`` (undeclared, not
+    UTF-8 -> windows-1252). Unknown meta labels yield
+    ``('unknown', 'meta')``.
     """
     p3 = F.hex(F.substring(b, 1, 3))
     p2 = F.hex(F.substring(b, 1, 2))
@@ -175,17 +197,29 @@ def detect_charset(b: Column) -> tuple[Column, Column]:
     meta = F.when(label == "", F.lit(None)).otherwise(
         F.coalesce(canon, F.lit("unknown"))
     )
+    transport = (
+        F.lit(None).cast("string")
+        if declared is None
+        else F.try_element_at(
+            F.create_map(
+                *[F.lit(x) for kv in TRANSPORT_LABELS.items() for x in kv]
+            ),
+            F.lower(F.trim(declared)),
+        )
+    )
     utf8_valid = F.decode(b, "ISO-8859-1").rlike(_UTF8_GRAMMAR)
     charset = (
         F.when(p3 == "EFBBBF", F.lit("utf-8"))
         .when(p2 == "FFFE", F.lit("utf-16le"))
         .when(p2 == "FEFF", F.lit("utf-16be"))
+        .when(transport.isNotNull(), transport)
         .when(meta.isNotNull(), meta)
         .when(utf8_valid, F.lit("utf-8"))
         .otherwise(F.lit("windows-1252"))
     )
     source = (
         F.when((p3 == "EFBBBF") | (p2 == "FFFE") | (p2 == "FEFF"), F.lit("bom"))
+        .when(transport.isNotNull(), F.lit("transport"))
         .when(meta.isNotNull(), F.lit("meta"))
         .when(utf8_valid, F.lit("utf8"))
         .otherwise(F.lit("fallback"))
@@ -219,10 +253,25 @@ def _decode_multibyte_udf():
     return pandas_udf(StringType())(decode_mb)
 
 
+def content_type_charset(ct: Column) -> Column:
+    """The charset label of an HTTP ``Content-Type`` value (NULL when
+    absent) — feed as ``declared_col`` when ingesting from WARC."""
+    lbl = F.regexp_extract(
+        F.lower(ct), r"charset\s*=\s*[\"']?\s*([a-z0-9._:+-]+)", 1
+    )
+    return F.when(lbl == "", F.lit(None)).otherwise(lbl)
+
+
 def transcode(
-    df: DataFrame, binary_col: str = "html", id_col: str = "doc_id"
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "doc_id",
+    declared_col: str | None = None,
 ) -> DataFrame:
-    """(id, charset, source, text): sniff + decode every page to UTF-8.
+    """Sniff + decode every page to UTF-8: the input columns plus
+    ``charset`` / ``source`` / ``text`` (replacing any existing columns
+    of those names; ``id_col`` is part of the output via passthrough and
+    kept as a parameter for call-site clarity).
 
     Lane A (UTF-8/UTF-16/single-byte: pure Column, codegen) handles the
     overwhelming share of a modern crawl; lane B (multibyte CJK) is a
@@ -233,13 +282,12 @@ def transcode(
     the reference's Validation semantics).
     """
     b = F.col(binary_col)
-    charset, source = detect_charset(b)
-    base = df.select(
-        F.col(id_col), b.alias("_raw"), charset.alias("charset"),
-        source.alias("source"),
+    charset, source = detect_charset(
+        b, F.col(declared_col) if declared_col else None
     )
+    base = df.withColumn("charset", charset).withColumn("source", source)
 
-    raw = F.col("_raw")
+    raw = F.col(binary_col)
     cs = F.col("charset")
     # BOM strip: 3 bytes for UTF-8, 2 for UTF-16 (only on the bom path)
     body = (
@@ -269,13 +317,8 @@ def transcode(
     for name, table in SINGLE_BYTE.items():
         text = text.when(cs == name, F.translate(lift, _HIGH_BYTES, table))
 
-    lane_a = base.filter(~cs.isin(*MULTIBYTE)).select(
-        id_col, "charset", "source", text.alias("text")
-    )
-    lane_b = base.filter(cs.isin(*MULTIBYTE)).select(
-        id_col,
-        "charset",
-        "source",
-        _decode_multibyte_udf()(F.col("_raw"), F.col("charset")).alias("text"),
+    lane_a = base.filter(~cs.isin(*MULTIBYTE)).withColumn("text", text)
+    lane_b = base.filter(cs.isin(*MULTIBYTE)).withColumn(
+        "text", _decode_multibyte_udf()(raw, F.col("charset"))
     )
     return lane_a.unionByName(lane_b)

@@ -142,3 +142,54 @@ def test_lane_split_plan(spark):
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
     # codegen renders as "*(n)" stage prefixes in executedPlan toString
     assert "*(" in plan
+
+
+def test_transport_layer_precedence(spark):
+    """The HTTP Content-Type charset ranks between BOM and meta; unknown
+    transport labels are ignored (detection continues); a transport
+    utf-16 label means REAL utf-16 (the utf-16->utf-8 remap is a
+    meta-path change-the-encoding rule only)."""
+    from pyspark.sql import functions as F
+
+    from schema_fantasy_spark.ops.charset import content_type_charset
+
+    cases = [
+        # (payload, content_type)
+        ('<meta charset="koi8-r">transport wins é'.encode("cp1252"),
+         "text/html; charset=windows-1252"),                            # 0
+        (b"\xef\xbb\xbf" + "bom beats transport".encode(),
+         "text/html; charset=koi8-r"),                                  # 1
+        ('<meta charset="koi8-r">Жя'.encode("koi8-r"),
+         "text/html; charset=x-nonsense"),                              # 2
+        ("16le real 中".encode("utf-16-le"),
+         'text/html; charset="utf-16le"'),                              # 3
+        ("plain no charset param".encode(), "text/html"),               # 4
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), ct) for i, (b, ct) in enumerate(cases)],
+        "doc_id: long, html: binary, content_type: string",
+    )
+    got = {
+        r["doc_id"]: (r["charset"], r["source"], r["text"])
+        for r in transcode(
+            df.withColumn("_d", content_type_charset(F.col("content_type"))),
+            declared_col="_d",
+        ).collect()
+    }
+    assert got[0][0:2] == ("windows-1252", "transport")
+    assert got[0][2].endswith("é")
+    assert got[1] == ("utf-8", "bom", "bom beats transport")
+    assert got[2][0:2] == ("koi8-r", "meta") and got[2][2].endswith("Жя")
+    assert got[3] == ("utf-16le", "transport", "16le real 中")
+    assert got[4][0:2] == ("utf-8", "utf8")
+
+
+def test_transcode_passes_input_columns_through(spark):
+    """transcode carries every input column (the WARC ingestion path
+    keeps url/warc_ts/html alongside the decoded text, no join)."""
+    df = spark.createDataFrame(
+        [("u1", 7, bytearray("hi é".encode()))],
+        "url: string, n: long, html: binary",
+    )
+    r = transcode(df, id_col="url").collect()[0]
+    assert (r["url"], r["n"], r["text"]) == ("u1", 7, "hi é")

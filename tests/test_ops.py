@@ -628,10 +628,27 @@ def test_mm_corpus_roundtrip(spark):
         sr, nf, amp, corrupt, law = mc.audio_params(i)
         if corrupt:
             assert i not in audio  # truncated container -> quarantined row
-        else:
-            r = audio[i]
-            assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (sr, nf, 1)
-            assert r["rms"] == round(amp / 32768.0, 6)
+            continue
+        r = audio[i]
+        nib = mc._nibbles(i)
+        if law == 3:  # MP3: header walk only, rms NULL
+            assert r["sample_rate"] == [44100, 48000, 32000][nib[10] % 3]
+            assert r["n_channels"] == (1 if nib[11] % 4 == 3 else 2)
+            assert r["n_frames"] == 8 + nib[13] % 8
+            assert r["rms"] is None
+            continue
+        assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (sr, nf, 1)
+        if law == 0:
+            v = amp
+        else:  # G.711: ITU expansion of the coded (exp, mant) pair
+            exp, mant = nib[11] % 8, nib[9] % 16
+            if law == 1:
+                v = ((mant * 8 + 0x84) << exp) - 0x84
+            else:
+                v = (mant * 16 + 8) if exp == 0 else ((mant * 16) + 0x108) << (exp - 1)
+        # operator rounds HALF_UP (oracle parity); python round() is
+        # half-even and disagrees on exact .5 ties — compare by distance
+        assert abs(r["rms"] - v / 32768.0) < 1e-6, (i, law)
 
 
 def test_audio_decode_wav(spark):

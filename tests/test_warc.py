@@ -127,3 +127,59 @@ def test_read_warc_mixed(spark, tmp_path):
     assert rows[2]["record_type"] == "metadata"
     assert rows[2]["http_method"] is None and rows[2]["info"] == "fetchtimems=123"
     assert bytes(rows[3]["html"]) == b"<html>hi</html>"
+
+
+def test_validate_job_warc_charset_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """The full crawl ingestion chain: WARC archive -> charset sniff +
+    transcode (transport-layer Content-Type feeding detection) -> html
+    extraction -> lang-ID -> validation, via the validate_job CLI
+    in-process. Mixed charsets must decode before extraction or the
+    cp1252/CJK pages mangle."""
+    import json as _json
+    import sys as _sys
+
+    from jobs.validate_job import main
+    from schema_fantasy_spark.ops.charset import content_type_charset, transcode
+    from schema_fantasy_spark.ops.html import extract_text
+    from pyspark.sql import functions as F
+
+    pages = [
+        ("https://a.example.com/1", "text/html; charset=windows-1252",
+         "<html><body>the café is nice today really</body></html>".encode("cp1252")),
+        ("https://b.example.com/2", "text/html",
+         '<html><head><meta charset="shift_jis"></head><body>hello '
+         "あ中 world and more words here</body></html>".encode("shift_jis")),
+        ("https://c.example.com/3", "text/html",
+         "<html><body>plain utf-8 café with quite a few words</body></html>".encode()),
+    ]
+    d = str(tmp_path / "arc")
+    os.makedirs(d)
+    recs = [W.build_record(u, "2026-01-02T03:04:05Z", b,
+                           {"Content-Type": ct}) for u, ct, b in pages]
+    with open(os.path.join(d, "cc.warc.gz"), "wb") as fh:
+        fh.write(W.build_warc(recs, compress=True))
+
+    # decode correctness of the ingestion chain itself
+    df = W.read_warc(spark, d)
+    dec = transcode(
+        df.withColumn("_d", content_type_charset(F.col("content_type"))),
+        binary_col="html", id_col="url", declared_col="_d",
+    ).withColumn("out", extract_text(F.col("text")))
+    got = {r["url"]: (r["charset"], r["source"], r["out"])
+           for r in dec.collect()}
+    assert got["https://a.example.com/1"] == (
+        "windows-1252", "transport", "the café is nice today really")
+    assert got["https://b.example.com/2"] == (
+        "shift_jis", "meta", "hello あ中 world and more words here")
+    assert got["https://c.example.com/3"] == (
+        "utf-8", "utf8", "plain utf-8 café with quite a few words")
+
+    # and the CLI end to end (in-process: session survives, manifest lands)
+    argv = ["validate_job", "--input", d, "--input-format", "warc",
+            "--manifest-dir", str(tmp_path / "m"),
+            "--violations-dir", str(tmp_path / "v"),
+            "--derive-day-from", "warc_ts"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    assert main() == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["processed"] == ["2026-01-02"]
