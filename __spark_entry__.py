@@ -1365,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuse both extractors into one mapInPandas decode pass rather
         # than decode twice and shuffle-join.
         from schema_fantasy_spark.ops import mm_corpus, multimodal
+        from schema_fantasy_spark.ops.sniff import sniff_mime
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
@@ -1374,15 +1375,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = multimodal.image_features(
             imgs, binary_col="payload", id_col="doc_id", dim=16
         )
-        return meta.select("doc_id", "width", "height", "format", "phash").join(
-            feats.select(
-                "doc_id",
-                F.size("feature").alias("n_dims"),
-                (F.element_at("feature", 1) > F.element_at("feature", 16)).alias(
-                    "top_brighter"
+        # WHATWG magic-byte sniff (ops/sniff.py) under the same gate:
+        # the corpus's four container formats must classify from bytes
+        # alone — ppm is NOT in the spec's table and must degrade to
+        # octet-stream (the negative path), the rest hit their
+        # signatures (incl. RIFF discrimination for webp)
+        mimed = imgs.select("doc_id", sniff_mime(F.col("payload")).alias("mime"))
+        return (
+            meta.select("doc_id", "width", "height", "format", "phash")
+            .join(
+                feats.select(
+                    "doc_id",
+                    F.size("feature").alias("n_dims"),
+                    (F.element_at("feature", 1) > F.element_at("feature", 16)).alias(
+                        "top_brighter"
+                    ),
                 ),
-            ),
-            "doc_id",
+                "doc_id",
+            )
+            .join(mimed, "doc_id")
         )
 
     def jpeg_decode_synthetic(spark, sf):
@@ -2325,7 +2336,10 @@ def oracle_sql() -> dict[str, str]:
                 THEN 4294967295 ELSE 9223372032559808512 END AS phash,
            16 AS n_dims,
            (CASE WHEN lossy THEN (n4*16+n5) * 3
-                 ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383 AS top_brighter
+                 ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383 AS top_brighter,
+           CASE n1 % 4 WHEN 0 THEN 'image/bmp'
+                WHEN 1 THEN 'application/octet-stream'
+                WHEN 2 THEN 'image/png' ELSE 'image/webp' END AS mime
       FROM f
     """
 
