@@ -1415,11 +1415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return meta.select("doc_id", "width", "height", "format", "phash")
 
     def video_frames_synthetic(spark, sf):
-        # the VIDEO path under the gate: deterministic MJPEG-in-AVI
-        # clips (pure-struct RIFF writer), sampled every 2nd frame and
-        # each sampled frame decoded by the real JPEG codec; the oracle
-        # regenerates the sampled frame indices and each frame's exact
-        # aHash constant from the same md5(doc_id) nibbles in SQL.
+        # the VIDEO path under the gate: a THREE-container corpus —
+        # MJPEG-in-AVI (RIFF movi walk), MJPEG-in-MP4 (full ISO-BMFF
+        # sample-table demux: stsd/stsz/stsc/stco/stss, ops/video.py
+        # parse_mp4_samples), and VP8-in-WebM — sampled every 2nd frame
+        # and each sampled frame decoded by the real JPEG / VP8 codec;
+        # the oracle regenerates the sampled frame indices and each
+        # frame's exact aHash constant from the same md5(doc_id)
+        # nibbles in SQL, IDENTICALLY across the container split, so a
+        # demux error in any family changes the row set and fails.
         # JOINED per doc: video_metadata over a second CODEC-VIDEO
         # container corpus (MP4 v0/v1 ISO-BMFF + Matroska/WebM EBML
         # skeletons) — the header slice a training pipeline filters on

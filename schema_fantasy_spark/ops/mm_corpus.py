@@ -131,12 +131,14 @@ def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, i
     ``tone_i >= 128`` — a pure function of (doc_id, frame_idx) the
     DuckDB oracle recomputes. n_frames in 4..8, so sampling every 2nd
     frame yields indices 0,2,4,6 bounded by n_frames. Nibble 5 splits
-    the CONTAINER/CODEC family: even docs are MJPEG-in-AVI (MCU-aligned
-    JPEG frames -> bit-exact huffman+IDCT decode), odd docs are
-    VP8-in-WEBM (all-B_TM key frames whose sub-block DC residuals land
-    the two tones EXACTLY: delta (2L*dcq+4)>>3 == L at qi 0) — the
-    oracle rows are IDENTICAL across the split, so the gate passes only
-    if both real decode pipelines agree with it."""
+    the CONTAINER/CODEC family three ways: odd docs are VP8-in-WEBM
+    (all-B_TM key frames whose sub-block DC residuals land the two
+    tones EXACTLY: delta (2L*dcq+4)>>3 == L at qi 0); even docs carry
+    the SAME MCU-aligned JPEG frames either in AVI (nib 5 % 4 == 0,
+    RIFF movi walk) or in MP4 (nib 5 % 4 == 2, full ISO-BMFF
+    sample-table demux: stsd/stsz/stsc/stco/stss) — the oracle rows
+    are IDENTICAL across the split, so the gate passes only if all
+    three real demux+decode pipelines agree with it."""
     nib = _nibbles(doc_id) if nib is None else nib
     return 4 + nib[1], 16, 4 + nib[6] % 5, nib[3] * 16 + nib[4]
 
@@ -156,7 +158,9 @@ def _vp8_two_tone_frame(w: int, h: int, tone: int) -> bytes:
 
 def _video_payload(doc_id: int) -> bytes:
     from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
-    from schema_fantasy_spark.ops.video import encode_avi_mjpeg, encode_webm_vp8
+    from schema_fantasy_spark.ops.video import (
+        encode_avi_mjpeg, encode_mp4_mjpeg, encode_webm_vp8,
+    )
 
     nib = _nibbles(doc_id)
     w, h, n_frames, tone_base = video_params(doc_id, nib)
@@ -170,6 +174,8 @@ def _video_payload(doc_id: int) -> bytes:
         px[: h // 2] = tone
         px[h // 2 :] = 255 - tone
         frames.append(encode_jpeg_baseline(px))
+    if nib[5] % 4 == 2:
+        return encode_mp4_mjpeg(frames, w, h, fps=12)
     return encode_avi_mjpeg(frames, w, h, fps=12)
 
 

@@ -653,16 +653,21 @@ def video_frames(
     every_n: int = 2,
     max_frames: int = 4,
 ) -> DataFrame:
-    """REAL video keyframe pipeline for MJPEG AVIs and VP8 WebM: RIFF
-    or EBML parse -> sample every ``every_n``-th (key)frame ->
-    huffman+IDCT (ops/jpeg.py) or full-envelope VP8 intra decode
-    (ops/vp8.py, bit-exact vs the libwebp reference) -> per-frame dims
-    + aHash. One row per (doc, sampled frame); undecodable containers/
-    frames are quarantined at the row level (absent from output, never
-    a stage failure) — the same per-row contract as the image/audio
-    decoders. mapInPandas, partition-preserving: at 10^12 docs no video
-    byte ever shuffles."""
-    from schema_fantasy_spark.ops.video import EBML_MAGIC, parse_avi, parse_webm_vp8
+    """REAL video keyframe pipeline for MJPEG AVIs, MJPEG MP4s, and VP8
+    WebM: RIFF / sample-table (ISO-BMFF stbl demux, ops/video.py
+    parse_mp4_samples) / EBML parse -> sample every ``every_n``-th
+    (key)frame -> huffman+IDCT (ops/jpeg.py) or full-envelope VP8 intra
+    decode (ops/vp8.py, bit-exact vs the libwebp reference) -> per-frame
+    dims + aHash. MP4 tracks in codecs we cannot decode (H.264/HEVC/AV1)
+    are quarantined here — ``video_frame_index`` still surfaces their
+    keyframe byte ranges. One row per (doc, sampled frame); undecodable
+    containers/frames are quarantined at the row level (absent from
+    output, never a stage failure) — the same per-row contract as the
+    image/audio decoders. mapInPandas, partition-preserving: at 10^12
+    docs no video byte ever shuffles."""
+    from schema_fantasy_spark.ops.video import (
+        EBML_MAGIC, parse_avi, parse_mp4_samples, parse_webm_vp8,
+    )
     from schema_fantasy_spark.ops.vp8 import decode_vp8_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -677,6 +682,11 @@ def video_frames(
                 if payload[:4] == b"RIFF":
                     avi = parse_avi(payload)
                     frames = avi["frames"] if avi else None
+                elif payload[4:8] == b"ftyp":
+                    mp4 = parse_mp4_samples(payload)
+                    if mp4 and mp4["codec"] == "jpeg":  # MJPEG: all-intra
+                        frames = [payload[o : o + s]
+                                  for o, s, _sync in mp4["samples"]]
                 elif payload[:4] == EBML_MAGIC:
                     webm = parse_webm_vp8(payload)
                     frames = webm["frames"] if webm else None
@@ -709,6 +719,60 @@ def video_frames(
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+VIDEO_INDEX_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("sample_idx", T.IntegerType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("keyframe", T.BooleanType()),
+])
+
+
+def video_frame_index(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    keyframes_only: bool = False,
+) -> DataFrame:
+    """Keyframe byte-range INDEX for MP4 videos — the sample-table demux
+    (ops/video.py parse_mp4_samples: stsd/stsz/stsc/stco/co64/stss)
+    without any codec work: one row per sample with its absolute byte
+    range and sync flag. This is how a 10^12-doc pipeline handles codecs
+    it cannot decode (H.264/HEVC/AV1 stay stubbed): downstream frame
+    samplers read ONLY the keyframe ranges — a few percent of the bytes
+    — instead of decoding streams. mapInPandas, partition-preserving;
+    rows for unparseable containers are quarantined per doc."""
+    from schema_fantasy_spark.ops.video import parse_mp4_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, codecs, idxs, offs, szs, keys = [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                got = parse_mp4_samples(bytes(payload))
+                if got is None:
+                    continue
+                for k, (off, sz, sync) in enumerate(got["samples"]):
+                    if keyframes_only and not sync:
+                        continue
+                    ids.append(i)
+                    codecs.append(got["codec"])
+                    idxs.append(k)
+                    offs.append(off)
+                    szs.append(sz)
+                    keys.append(sync)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "codec": pd.Series(codecs, dtype="object"),
+                "sample_idx": pd.Series(idxs, dtype="int32"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "size": pd.Series(szs, dtype="int64"),
+                "keyframe": pd.Series(keys, dtype="bool"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, VIDEO_INDEX_SCHEMA)
 
 
 AUDIO_META_SCHEMA = T.StructType([

@@ -286,6 +286,208 @@ def encode_mp4_stub(
     return ftyp + moov
 
 
+def parse_mp4_samples(payload: bytes) -> Optional[dict]:
+    """ISO-BMFF sample-table DEMUX — the stbl walk that locates every
+    sample's bytes without touching a codec: dict(codec, width, height,
+    samples=[(offset, size, is_sync)]). This is the core of MP4 reading
+    (stsd codec entry, stsz sizes, stsc sample-to-chunk runs, stco/co64
+    chunk offsets, stss sync table — absent stss means every sample is
+    sync, ISO 14496-12 §8.6.2). With it a pipeline can (a) extract and
+    decode samples for codecs it has (MJPEG -> ops/jpeg.py), and (b)
+    build a keyframe byte-range INDEX for codecs it doesn't — at 10^12
+    docs, sampling keyframes by byte range without decoding is the
+    scale path.
+
+    First video track wins (the one whose stsd entry is 4+ bytes).
+    Returns None when there is no walkable sample table."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+            elif size == 0:
+                size = end - i
+            if size < 8 or i + size > end:
+                return
+            yield typ, body, i + size
+            i += size
+
+    def u32(i: int) -> int:
+        return int.from_bytes(payload[i : i + 4], "big")
+
+    def walk_stbl(b: int, e: int) -> Optional[dict]:
+        codec = None
+        sizes: Optional[list] = None
+        stsc: list = []
+        chunk_offsets: list = []
+        sync: Optional[set] = None
+        for t, bb, ee in boxes(b, e):
+            if t == b"stsd" and bb + 16 <= ee:
+                # verflags4 + entry_count4, then the first sample entry
+                # (a box itself: size4 + format4)
+                codec = payload[bb + 12 : bb + 16].decode("latin-1")
+            elif t == b"stsz" and bb + 12 <= ee:
+                fixed = u32(bb + 4)
+                cnt = u32(bb + 8)
+                if fixed:
+                    sizes = [fixed] * cnt
+                else:
+                    if bb + 12 + 4 * cnt > ee:
+                        return None  # truncated size table
+                    sizes = [u32(bb + 12 + 4 * k) for k in range(cnt)]
+            elif t == b"stsc" and bb + 8 <= ee:
+                cnt = u32(bb + 4)
+                if bb + 8 + 12 * cnt > ee:
+                    return None
+                stsc = [
+                    (u32(bb + 8 + 12 * k), u32(bb + 12 + 12 * k))
+                    for k in range(cnt)
+                ]  # (first_chunk, samples_per_chunk); desc index unused
+            elif t in (b"stco", b"co64") and bb + 8 <= ee:
+                cnt = u32(bb + 4)
+                step = 4 if t == b"stco" else 8
+                if bb + 8 + step * cnt > ee:
+                    return None
+                chunk_offsets = [
+                    int.from_bytes(
+                        payload[bb + 8 + step * k : bb + 8 + step * (k + 1)],
+                        "big",
+                    )
+                    for k in range(cnt)
+                ]
+            elif t == b"stss" and bb + 8 <= ee:
+                cnt = u32(bb + 4)
+                if bb + 8 + 4 * cnt > ee:
+                    return None
+                sync = {u32(bb + 8 + 4 * k) for k in range(cnt)}  # 1-based
+        if codec is None or sizes is None or not chunk_offsets or not stsc:
+            return None
+        # expand stsc runs across the chunk list, then lay samples out
+        # within each chunk back to back (ISO 14496-12 §8.7.4-5)
+        samples = []
+        si = 0
+        for run, (first, per) in enumerate(stsc):
+            last = (
+                stsc[run + 1][0] - 1 if run + 1 < len(stsc) else len(chunk_offsets)
+            )
+            for ch in range(first - 1, last):
+                if ch >= len(chunk_offsets):
+                    break
+                off = chunk_offsets[ch]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    sz = sizes[si]
+                    is_sync = sync is None or (si + 1) in sync
+                    if off + sz <= n:  # truncated tail: quarantine sample
+                        samples.append((off, sz, is_sync))
+                    off += sz
+                    si += 1
+        return {"codec": codec, "samples": samples}
+
+    for typ, b, e in boxes(0, n):
+        if typ != b"moov":
+            continue
+        for t1, b1, e1 in boxes(b, e):
+            if t1 != b"trak":
+                continue
+            for t2, b2, e2 in boxes(b1, e1):
+                if t2 != b"mdia":
+                    continue
+                for t3, b3, e3 in boxes(b2, e2):
+                    if t3 != b"minf":
+                        continue
+                    for t4, b4, e4 in boxes(b3, e3):
+                        if t4 == b"stbl":
+                            got = walk_stbl(b4, e4)
+                            if got is not None:
+                                return got
+    return None
+
+
+def encode_mp4_mjpeg(
+    frames: list, width: int, height: int, fps: int = 12,
+    chunk_size: int = 2,
+) -> bytes:
+    """Playable-layout MJPEG-in-MP4: ftyp + mdat (the JPEG samples,
+    chunked ``chunk_size`` per chunk) + moov whose stbl carries the REAL
+    tables — stsd 'jpeg' VisualSampleEntry, stts, stsc (two runs when
+    the tail chunk is short), stsz, stco, and an stss marking the
+    0-based-even samples sync (exercises the sync-table path even
+    though MJPEG is all-intra)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    nf = len(frames)
+    timescale = fps
+    mdat_body = b"".join(frames)
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mdat = box(b"mdat", mdat_body)
+    data_base = len(ftyp) + 8  # first sample byte inside mdat
+
+    chunks = [frames[i : i + chunk_size] for i in range(0, nf, chunk_size)]
+    offsets, off = [], data_base
+    for ch in chunks:
+        offsets.append(off)
+        off += sum(len(f) for f in ch)
+
+    # VisualSampleEntry 'jpeg' (ISO 14496-12 §12.1.3 layout)
+    entry = (
+        bytes(6) + (1).to_bytes(2, "big")          # reserved + data_ref_idx
+        + bytes(16)                                  # predefined/reserved
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x480000).to_bytes(4, "big") * 2          # 72 dpi x/y
+        + bytes(4) + (1).to_bytes(2, "big")          # reserved + frame_count
+        + bytes(32)                                  # compressorname
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+    )
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+               + box(b"jpeg", entry))
+    stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+               + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsc_entries = [(1, chunk_size, 1)]
+    if nf % chunk_size and len(chunks) > 1:
+        stsc_entries.append((len(chunks), nf % chunk_size, 1))
+    stsc = box(b"stsc", bytes(4) + len(stsc_entries).to_bytes(4, "big")
+               + b"".join(a.to_bytes(4, "big") + b.to_bytes(4, "big")
+                          + c.to_bytes(4, "big") for a, b, c in stsc_entries))
+    stsz = box(b"stsz", bytes(4) + bytes(4) + nf.to_bytes(4, "big")
+               + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    stco = box(b"stco", bytes(4) + len(offsets).to_bytes(4, "big")
+               + b"".join(o.to_bytes(4, "big") for o in offsets))
+    syncs = [k + 1 for k in range(0, nf, 2)]
+    stss = box(b"stss", bytes(4) + len(syncs).to_bytes(4, "big")
+               + b"".join(s.to_bytes(4, "big") for s in syncs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = box(b"minf", stbl)
+    dur = nf  # timescale = fps -> 1 tick per frame
+    mdhd = box(b"mdhd", bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(4))
+    mdia = box(b"mdia", mdhd + minf)
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + dur.to_bytes(4, "big") + bytes(52)
+        + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 # -------------------------------------------------- matroska/webm (meta)
 
 EBML_MAGIC = b"\x1a\x45\xdf\xa3"

@@ -1634,3 +1634,76 @@ def test_mp3_header_walk(spark):
         assert r["n_channels"] == (1 if nib[11] % 4 == 3 else 2)
         assert r["n_frames"] == 8 + nib[13] % 8
         assert r["rms"] is None
+
+def test_mp4_sample_table_demux(spark):
+    """ISO-BMFF sample-table round trip: encode_mp4_mjpeg lays real JPEG
+    samples into mdat and parse_mp4_samples recovers every byte range
+    exactly (stsd codec, stsc runs incl. the short tail chunk, stco
+    offsets, stss sync pattern); a truncated payload quarantines only
+    the samples past the cut. The video_frame_index operator surfaces
+    the same index distributed."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops import multimodal as mm
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_mp4_mjpeg, parse_mp4_samples
+
+    frames = []
+    for tone in (10, 80, 150, 220, 40):  # 5 frames: stsc needs a tail run
+        px = np.empty((16, 8), dtype=np.uint8)
+        px[:8] = tone
+        px[8:] = 255 - tone
+        frames.append(encode_jpeg_baseline(px))
+    p = encode_mp4_mjpeg(frames, 8, 16, fps=12)
+    got = parse_mp4_samples(p)
+    assert got["codec"] == "jpeg" and len(got["samples"]) == 5
+    for k, (off, sz, sync) in enumerate(got["samples"]):
+        assert p[off:off + sz] == frames[k], k
+        assert sync == (k % 2 == 0), k  # stss marks 0-based-even samples
+    # truncation mid-sample-3: demux only walks what the moov... (moov is
+    # at the END here; a cut before it loses the whole index -> None)
+    assert parse_mp4_samples(p[:100]) is None
+
+    df = spark.createDataFrame([(7, bytearray(p))], "doc_id: long, payload: binary")
+    rows = mm.video_frame_index(
+        df, binary_col="payload", id_col="doc_id").collect()
+    assert [(r["sample_idx"], r["offset"], r["size"], r["keyframe"])
+            for r in sorted(rows, key=lambda r: r["sample_idx"])] == [
+        (k, off, sz, sync) for k, (off, sz, sync) in enumerate(got["samples"])]
+    assert all(r["codec"] == "jpeg" for r in rows)
+    keys = mm.video_frame_index(
+        df, binary_col="payload", id_col="doc_id", keyframes_only=True
+    ).collect()
+    assert sorted(r["sample_idx"] for r in keys) == [0, 2, 4]
+
+
+def test_video_frames_mp4_family_matches_avi(spark):
+    """The MP4-MJPEG corpus family decodes to the same frame rows the
+    AVI family would for the same nibbles — the demux is the only
+    difference, so identical tone math must come out."""
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+
+    mp4_docs = [d for d in range(200) if mc._nibbles(d)[5] % 4 == 2][:3]
+    assert mp4_docs
+    df = spark.createDataFrame(
+        [(d, bytearray(mc._video_payload(d))) for d in mp4_docs],
+        "doc_id: long, payload: binary",
+    )
+    rows = mm.video_frames(df, binary_col="payload", id_col="doc_id",
+                           every_n=2, max_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in mp4_docs:
+        nib = mc._nibbles(d)
+        w, h, nf, tone_base = mc.video_params(d, nib)
+        want_idx = list(range(0, nf, 2))[:4]
+        got = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == want_idx, d
+        for r in got:
+            assert (r["width"], r["height"]) == (w, h)
+            tone = (tone_base + 17 * r["frame_idx"]) % 256
+            # the two corpus aHash constants, selected by tone >= 128
+            assert r["phash"] == (4294967295 if tone >= 128
+                                  else 9223372032559808512), (d, r)
