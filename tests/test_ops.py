@@ -1707,3 +1707,49 @@ def test_video_frames_mp4_family_matches_avi(spark):
             # the two corpus aHash constants, selected by tone >= 128
             assert r["phash"] == (4294967295 if tone >= 128
                                   else 9223372032559808512), (d, r)
+
+def test_mp4_co64_and_fixed_stsz():
+    """The 64-bit chunk-offset box (co64) and the fixed-sample-size stsz
+    form parse identically to their 32-bit / per-sample twins: rewrite
+    the encoder's boxes and demux again."""
+    from schema_fantasy_spark.ops.video import encode_mp4_mjpeg, parse_mp4_samples
+
+    frames = [b"\xff\xd8" + bytes(30) + b"\xff\xd9"] * 4  # equal sizes
+    p = encode_mp4_mjpeg(frames, 8, 16)
+    base = parse_mp4_samples(p)
+    assert [s[:2] for s in base["samples"]] == [
+        (off, 34) for off, _sz, _k in base["samples"]]
+
+    # stco -> co64: widen each offset to 8 bytes (count stays)
+    i = p.index(b"stco") - 4
+    size = int.from_bytes(p[i:i+4], "big")
+    cnt = int.from_bytes(p[i+12:i+16], "big")
+    offs = [int.from_bytes(p[i+16+4*k:i+20+4*k], "big") for k in range(cnt)]
+    body = bytes(4) + cnt.to_bytes(4, "big") + b"".join(
+        o.to_bytes(8, "big") for o in offs)
+    co64 = (len(body) + 8).to_bytes(4, "big") + b"co64" + body
+    p2 = p[:i] + co64 + p[i+size:]
+    # fix the enclosing box sizes (stbl/minf/mdia/trak/moov each grew)
+    delta = len(co64) - size
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = p2.index(tag) - 4
+        p2 = (p2[:j]
+              + (int.from_bytes(p2[j:j+4], "big") + delta).to_bytes(4, "big")
+              + p2[j+4:])
+    got = parse_mp4_samples(p2)
+    assert [s[:2] for s in got["samples"]] == [s[:2] for s in base["samples"]]
+
+    # per-sample stsz -> fixed-size stsz (all samples equal here)
+    i = p.index(b"stsz") - 4
+    size = int.from_bytes(p[i:i+4], "big")
+    body = bytes(4) + (34).to_bytes(4, "big") + (4).to_bytes(4, "big")
+    stsz = (len(body) + 8).to_bytes(4, "big") + b"stsz" + body
+    p3 = p[:i] + stsz + p[i+size:]
+    delta = len(stsz) - size
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        j = p3.index(tag) - 4
+        p3 = (p3[:j]
+              + (int.from_bytes(p3[j:j+4], "big") + delta).to_bytes(4, "big")
+              + p3[j+4:])
+    got = parse_mp4_samples(p3)
+    assert [s[:2] for s in got["samples"]] == [s[:2] for s in base["samples"]]
