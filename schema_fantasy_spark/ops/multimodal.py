@@ -23,9 +23,13 @@ Decode coverage WITHOUT external codec libraries (none in the container):
 * WebP LOSSLESS (VP8L) pixels decode via the pure-numpy codec in
   ``ops/webp.py`` (prefix codes, color cache, LZ77, all four
   transforms);
-* lossy-WebP (VP8) pixels and codec-compressed video (MP4/H.264, WebM)
-  still fall back to clearly-marked deterministic STUBS (they genuinely
-  need codec libraries; real impl: PIL/libvips/ffmpeg — swap the
+* lossy-WebP (VP8 key frames) decodes via the RFC 6386 codec in
+  ``ops/vp8.py`` (bit-exact vs libwebp), and VP8 INTER frames decode
+  through its stateful ``Vp8StreamDecoder`` (motion compensation,
+  reference buffers) — so WebM/VP8 video decodes fully;
+* foreign-codec video (MP4/H.264, HEVC, AV1) still falls back to
+  clearly-marked deterministic STUBS (they genuinely need codec
+  libraries; real impl: PIL/libvips/ffmpeg — swap the
   fallback branch; every other line stays).
 
 The ``encode_*`` helpers build byte-exact synthetic payloads (used by the

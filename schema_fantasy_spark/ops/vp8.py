@@ -8,13 +8,18 @@ inverse WHT + inverse DCT, and 16x16/chroma intra prediction — all
 implemented from the public RFC 6386 pseudocode (section numbers cited
 inline). Scope notes:
 
-* KEY frames only (intra) — but the FULL key-frame envelope:
-  segmentation (per-segment quantizer/filter overrides, coded segment
-  maps), loop-filter ref/mode deltas, and multi-partition token
-  streams all decode (real cwebp output enables segmentation by
-  default). Inter-frame decode (motion vectors, reference buffers) is
-  the remaining stub in ``ops/multimodal.py`` — a training pipeline
-  samples keyframes anyway.
+* The stateless ``decode_vp8_frame`` decodes KEY frames — the FULL
+  key-frame envelope: segmentation (per-segment quantizer/filter
+  overrides, coded segment maps), loop-filter ref/mode deltas, and
+  multi-partition token streams all decode (real cwebp output enables
+  segmentation by default). INTER frames decode too, through the
+  stateful ``Vp8StreamDecoder`` (reference buffers, near-MV census,
+  NEAREST/NEAR/ZERO/NEW/SPLIT modes, six-tap sub-pixel motion
+  compensation, entropy persistence) — see the inter section at the
+  bottom of this module; libwebp cannot cross-check that layer (WebP
+  stills are key frames only), so it is validated by encoder
+  round-trips + closed-form motion contracts instead
+  (tests/test_vp8_inter.py).
 * BOTH intra families are fully decoded: 16x16 modes (DC/V/H/TM +
   Y2 WHT) and B_PRED — all ten per-4x4 sub-modes (RFC 11.2/12.3)
   with contextual key-frame mode coding (KF_BMODE_PROBS), the no-Y2
@@ -602,9 +607,10 @@ def _predict(plane, r, c, size, mode):
 def decode_vp8_frame(data: bytes):
     """Decode a VP8 KEY frame -> (y, u, v) uint8 planes (cropped) or
     None for non-key/unsupported/malformed payloads. Both intra
-    families (16x16 and B_PRED) decode fully; see the module doc for
-    the envelope (inter frames, segmentation, and multi-partition
-    token streams are out of scope)."""
+    families (16x16 and B_PRED) decode fully. This is the STATELESS
+    entry point (WebP stills, standalone key frames); inter frames
+    need reference buffers — use :class:`Vp8StreamDecoder` for
+    multi-frame streams."""
     try:
         return _decode_vp8_frame(data)
     except (IndexError, ValueError, AssertionError):
@@ -612,291 +618,8 @@ def decode_vp8_frame(data: bytes):
 
 
 def _decode_vp8_frame(data: bytes):
-    if len(data) < 10:
-        return None
-    tag = data[0] | (data[1] << 8) | (data[2] << 16)
-    if tag & 1:
-        return None  # inter frame: out of scope
-    first_part_size = tag >> 5
-    if data[3:6] != b"\x9d\x01\x2a":
-        return None
-    width = (data[6] | (data[7] << 8)) & 0x3FFF
-    height = (data[8] | (data[9] << 8)) & 0x3FFF
-    if width == 0 or height == 0 or 10 + first_part_size > len(data):
-        return None
-    p1 = BoolDecoder(data[10:10 + first_part_size])
-    p1.literal(1)  # color space (0 = YCbCr per spec)
-    p1.literal(1)  # clamping type
-
-    # segmentation (9.3): per-segment quantizer / filter-level
-    # overrides plus an optionally-updated per-MB segment map
-    seg_enabled = p1.get(128)
-    seg_update_map = False
-    seg_abs = False
-    seg_q = [0, 0, 0, 0]
-    seg_lf = [0, 0, 0, 0]
-    seg_tree_probs = [255, 255, 255]
-    if seg_enabled:
-        seg_update_map = bool(p1.get(128))
-        update_data = p1.get(128)
-        if update_data:
-            seg_abs = bool(p1.get(128))
-            for i in range(4):
-                seg_q[i] = p1.signed_literal(7) if p1.get(128) else 0
-            for i in range(4):
-                seg_lf[i] = p1.signed_literal(6) if p1.get(128) else 0
-        if seg_update_map:
-            for i in range(3):
-                seg_tree_probs[i] = p1.literal(8) if p1.get(128) else 255
-
-    filter_type = p1.literal(1)
-    filter_level = p1.literal(6)
-    sharpness = p1.literal(3)
-
-    # loop-filter delta adjustments (9.4): on key frames the reference
-    # delta for INTRA (index 0) applies to every MB, the mode delta for
-    # B_PRED (index 0) to B_PRED MBs
-    lf_delta_on = p1.get(128)
-    ref_lf_delta = [0, 0, 0, 0]
-    mode_lf_delta = [0, 0, 0, 0]
-    if lf_delta_on:
-        if p1.get(128):  # deltas updated this frame
-            for i in range(4):
-                if p1.get(128):
-                    ref_lf_delta[i] = p1.signed_literal(6)
-            for i in range(4):
-                if p1.get(128):
-                    mode_lf_delta[i] = p1.signed_literal(6)
-
-    # token partitions (9.5): tokens split across 2^log2 partitions,
-    # MB row r reads partition r % nparts; the (nparts-1)-entry size
-    # table leads the token area
-    log2_parts = p1.literal(2)
-    n_parts = 1 << log2_parts
-    y_ac_qi = p1.literal(7)
-
-    def _delta():
-        return p1.signed_literal(4) if p1.get(128) else 0
-
-    y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d = (
-        _delta(), _delta(), _delta(), _delta(), _delta()
-    )
-    p1.literal(1)  # refresh entropy probs (no effect within one frame)
-    probs = [[[list(p) for p in ctxs] for ctxs in bands] for bands in DEFAULT_COEFF_PROBS]
-    for t in range(4):
-        for b in range(8):
-            for cx in range(3):
-                for pi in range(11):
-                    if p1.get(COEFF_UPDATE_PROBS[t][b][cx][pi]):
-                        probs[t][b][cx][pi] = p1.literal(8)
-    mb_no_skip = p1.literal(1)
-    prob_skip = p1.literal(8) if mb_no_skip else 0
-
-    mb_w = (width + 15) // 16
-    mb_h = (height + 15) // 16
-    # pass A: all mode info from partition 1. B_PRED sub-modes code
-    # contextually on the above/left neighbors' sub-modes (out-of-frame
-    # context is B_DC_PRED); 16x16 MBs contribute their implied
-    # sub-mode (RFC 6386 11.3).
-    modes = []
-    above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
-    left_bm = [B_DC_PRED] * 4
-    seg_tree = [2, 4, -0, -1, -2, -3]
-    for mb_i in range(mb_w * mb_h):
-        if mb_i % mb_w == 0:
-            left_bm = [B_DC_PRED] * 4
-        seg = p1.tree(seg_tree, seg_tree_probs) if seg_update_map else 0
-        skip = p1.get(prob_skip) if mb_no_skip else 0
-        ym = p1.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
-        abm = above_bm[mb_i % mb_w]
-        if ym == B_PRED:
-            bm = [0] * 16
-            for sb in range(16):
-                sr, sc = sb // 4, sb % 4
-                ctx_a = abm[sc] if sr == 0 else bm[sb - 4]
-                ctx_l = left_bm[sr] if sc == 0 else bm[sb - 1]
-                bm[sb] = p1.tree(BMODE_TREE, KF_BMODE_PROBS[ctx_a][ctx_l])
-        else:
-            bm = [MODE_TO_BMODE[ym]] * 16
-        for sc in range(4):
-            abm[sc] = bm[12 + sc]
-        for sr in range(4):
-            left_bm[sr] = bm[4 * sr + 3]
-        uvm = p1.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
-        modes.append((skip, ym, uvm, bm, seg))
-
-    # per-segment dequant tables (quantizer override abs or delta)
-    def seg_qi(s):
-        base = seg_q[s] if seg_abs else y_ac_qi + seg_q[s]
-        return min(127, max(0, base))
-
-    dq_tables = [
-        frame_quants(seg_qi(s) if seg_enabled else y_ac_qi,
-                     y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
-        for s in range(4 if seg_enabled else 1)
-    ]
-
-    # per-MB loop-filter level: segment override, then the key-frame
-    # INTRA ref delta, then the B_PRED mode delta
-    def mb_filter_level(s, ym):
-        lvl = filter_level
-        if seg_enabled:
-            lvl = seg_lf[s] if seg_abs else filter_level + seg_lf[s]
-            lvl = min(63, max(0, lvl))
-        if lf_delta_on:
-            lvl += ref_lf_delta[0]
-            if ym == B_PRED:
-                lvl += mode_lf_delta[0]
-            lvl = min(63, max(0, lvl))
-        return lvl
-
-    # a frame-level filter level of 0 disables the loop filter
-    # entirely - segment/delta overrides cannot resurrect it
-    # (cross-checked vs libwebp, which picks filter_type 'none' off
-    # the header level alone)
-    if filter_level == 0:
-        mb_levels = [0] * len(modes)
-    else:
-        mb_levels = [mb_filter_level(m[4], m[1]) for m in modes]
-
-    token_area = data[10 + first_part_size:]
-    if n_parts == 1:
-        part_decoders = [BoolDecoder(token_area)]
-    else:
-        table = token_area[: 3 * (n_parts - 1)]
-        if len(table) < 3 * (n_parts - 1):
-            return None
-        sizes = [int.from_bytes(table[3 * i:3 * i + 3], "little")
-                 for i in range(n_parts - 1)]
-        off = 3 * (n_parts - 1)
-        part_decoders = []
-        for i in range(n_parts):
-            end = off + sizes[i] if i < n_parts - 1 else len(token_area)
-            if end > len(token_area):
-                return None
-            part_decoders.append(BoolDecoder(token_area[off:end]))
-            off = end
-    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
-    u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
-    v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
-
-    has_coeffs = []
-    # nonzero contexts: above per MB column / left per MB (reset each row)
-    # layout per MB: y2, y[16], u[4], v[4]
-    # above["y"] is per 4-px column of the MB (index sb%4), left["y"]
-    # per 4-px row (index sb//4); chroma has 2 columns x 2 rows
-    above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2} for _ in range(mb_w)]
-    for mb_r in range(mb_h):
-        left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
-        for mb_c in range(mb_w):
-            skip, ym, uvm, bm, seg = modes[mb_r * mb_w + mb_c]
-            y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq_tables[
-                seg if seg_enabled else 0]
-            p2 = part_decoders[mb_r % n_parts]
-            a = above[mb_c]
-            mb_nz = False  # any nonzero coefficient in this MB
-            ycoef = [[0] * 16 for _ in range(16)]
-            ucoef = [[0] * 16 for _ in range(4)]
-            vcoef = [[0] * 16 for _ in range(4)]
-            if skip:
-                # 13.3: zero all contexts; the Y2 context survives for
-                # modes WITHOUT a Y2 block (B_PRED)
-                left["y"] = [0] * 4
-                left["u"] = [0] * 2
-                left["v"] = [0] * 2
-                a["y"] = [0] * 4
-                a["u"] = [0] * 2
-                a["v"] = [0] * 2
-                if ym != B_PRED:
-                    left["y2"] = 0
-                    a["y2"] = 0
-            else:
-                if ym == B_PRED:
-                    # no Y2: Y blocks are type 3, coefficients 0..15
-                    for sb in range(16):
-                        sr, sc = sb // 4, sb % 4
-                        cc, nz = _decode_coeffs(
-                            p2, probs, 3, 0, a["y"][sc] + left["y"][sr], y_dc, y_ac
-                        )
-                        ycoef[sb] = cc
-                        a["y"][sc] = left["y"][sr] = 1 if nz else 0
-                        mb_nz = mb_nz or nz
-                else:
-                    # Y2 block
-                    c2, nz2 = _decode_coeffs(
-                        p2, probs, 1, 0, a["y2"] + left["y2"], y2_dc, y2_ac
-                    )
-                    a["y2"] = left["y2"] = 1 if nz2 else 0
-                    mb_nz = mb_nz or nz2 or any(c2)
-                    dcs = inv_walsh4x4(c2)
-                    # 16 Y blocks (type 0, first coeff 1)
-                    for sb in range(16):
-                        sr, sc = sb // 4, sb % 4
-                        cc, nz = _decode_coeffs(
-                            p2, probs, 0, 1, a["y"][sc] + left["y"][sr], y_dc, y_ac
-                        )
-                        cc[0] = dcs[sb]
-                        ycoef[sb] = cc
-                        a["y"][sc] = left["y"][sr] = 1 if nz else 0
-                        mb_nz = mb_nz or nz
-                for pl, coefs, key in ((2, ucoef, "u"), (2, vcoef, "v")):
-                    for sb in range(4):
-                        cc, nz = _decode_coeffs(
-                            p2, probs, pl, 0,
-                            a[key][sb % 2] + left[key][sb // 2], uv_dc, uv_ac,
-                        )
-                        coefs[sb] = cc
-                        a[key][sb % 2] = left[key][sb // 2] = 1 if nz else 0
-                        mb_nz = mb_nz or nz
-
-            # interior loop-filter edges run only for MBs that decoded
-            # at least one nonzero coefficient - a CODED mb whose tokens
-            # are all EOB/zero counts as coefficient-free, same as a
-            # skipped one - except B_PRED MBs, which always filter
-            # interior edges (RFC 6386 15.1; cross-checked vs libwebp)
-            has_coeffs.append(mb_nz or ym == B_PRED)
-
-            # reconstruction
-            r0, c0 = mb_r * 16, mb_c * 16
-            if ym == B_PRED:
-                # per sub-block in raster order: each prediction reads
-                # the previously RECONSTRUCTED neighbors
-                for sb in range(16):
-                    rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
-                    _predict4(y, rr, cc0, bm[sb])
-                    if not skip:
-                        res = inv_dct4x4(ycoef[sb])
-                        y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
-                            y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
-                        )
-            else:
-                _predict(y, r0, c0, 16, ym)
-                if not skip:
-                    for sb in range(16):
-                        rr, cc0 = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
-                        res = inv_dct4x4(ycoef[sb])
-                        y[rr:rr + 4, cc0:cc0 + 4] = np.clip(
-                            y[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
-                        )
-            _predict(u, mb_r * 8, mb_c * 8, 8, uvm)
-            _predict(v, mb_r * 8, mb_c * 8, 8, uvm)
-            if not skip:
-                for plane, coefs in ((u, ucoef), (v, vcoef)):
-                    for sb in range(4):
-                        rr = mb_r * 8 + (sb // 2) * 4
-                        cc0 = mb_c * 8 + (sb % 2) * 4
-                        res = inv_dct4x4(coefs[sb])
-                        plane[rr:rr + 4, cc0:cc0 + 4] = np.clip(
-                            plane[rr:rr + 4, cc0:cc0 + 4] + res, 0, 255
-                        )
-    apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
-                      filter_type, mb_w, mb_h)
-    cw, ch = (width + 1) // 2, (height + 1) // 2
-    return (
-        y[:height, :width].astype(np.uint8),
-        u[:ch, :cw].astype(np.uint8),
-        v[:ch, :cw].astype(np.uint8),
-    )
+    out = Vp8StreamDecoder()._decode(data, key_only=True)
+    return None if out is None else out["planes"]
 
 
 # ------------------------------------------------------- minimal encoder
@@ -1458,7 +1181,7 @@ def _filter_edge_h(plane, row, c0, n_cols, fn, hev_t, interior, edge):
 
 
 def apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
-                      filter_type, mb_w, mb_h):
+                      filter_type, mb_w, mb_h, keyframe=True):
     """In-loop deblocking over reconstructed planes (int32 numpy), per
     RFC 6386 15.2 ordering: per MB raster, vertical edges (MB-left then
     interior x=4,8,12) then horizontal (MB-top then interior).
@@ -1480,7 +1203,8 @@ def apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
 
     def params_for(level):
         if level not in params_cache:
-            interior, hev_t, mb_edge, sub_edge = _filter_params(level, sharpness)
+            interior, hev_t, mb_edge, sub_edge = _filter_params(
+                level, sharpness, keyframe)
             if filter_type == 1:  # simple: Y only
                 params_cache[level] = (
                     simple_seg, simple_seg, hev_t, interior,
@@ -1521,3 +1245,1079 @@ def apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
                     _filter_edge_h(plane, cr0, cc0, 8, mbf, hev_t, interior, mb_e)
                 if inner:
                     _filter_edge_h(plane, cr0 + 4, cc0, 8, subf, hev_t, interior, sub_e)
+
+
+# ======================================================= inter frames
+# RFC 6386 sections 16-18: inter-frame (P-frame) decode — reference
+# frame selection (last/golden/altref), the near-MV census, the
+# mode/MV entropy layer, sub-pixel motion compensation with the
+# six-tap filters, SPLITMV partitions, and reference-buffer /
+# entropy-context management across frames.
+#
+# Ground truth: libwebp can cross-check ONLY the key-frame layers
+# above (WebP stills are single key frames; the library contains no
+# inter code), so this layer is validated by spec-conformant
+# round-trips through the minimal inter encoder below plus algebraic
+# contracts (a NEWMV frame with no residual must reconstruct exactly
+# to the motion-shifted reference; fractional MVs to the six-tap
+# convolution computed independently in the tests). The shared
+# machinery it sits on (boolean coder, token decode, dequant,
+# transforms, intra prediction, loop filter) IS bit-exact vs libwebp.
+
+# inter prediction modes continue the intra numbering (DC..B_PRED=0..4)
+(NEARESTMV, NEARMV, ZEROMV, NEWMV, SPLITMV) = range(5, 10)
+INTRA_FRAME, LAST_FRAME, GOLDEN_FRAME, ALTREF_FRAME = range(4)
+
+# RFC 6386 16.1: inter-frame intra mode trees/probs (the key-frame
+# trees above are keyframe-only; these defaults live in the persistent
+# entropy context and are updatable per frame header)
+YMODE_TREE = [-DC_PRED, 2, 4, 6, -V_PRED, -H_PRED, -TM_PRED, -B_PRED]
+YMODE_PROBS_DEFAULT = [112, 86, 140, 37]
+UV_MODE_PROBS_DEFAULT = [162, 101, 204]
+# B_PRED sub-modes on inter frames code with FIXED probs (no neighbor
+# context, unlike key frames)
+BMODE_PROBS_INTER = [120, 90, 79, 133, 87, 85, 80, 111, 151]
+
+# RFC 6386 16.2: mv_ref tree; probs come from the near-MV census
+# counts via MODE_CONTEXTS (leaves are the mode constants, all > 0,
+# so the -0 ambiguity of BoolDecoder.tree never arises)
+MV_REF_TREE = [-ZEROMV, 2, -NEARESTMV, 4, -NEARMV, 6, -NEWMV, -SPLITMV]
+# vp8_mode_contexts: rows indexed by the census count (0..5) of each
+# slot. The reference decoder assigns these int values into 8-bit
+# probs, so row 5 wraps mod 256 (257 -> 1, 336 -> 80) — a quirk of
+# the normative code that is part of the bitstream; MODE_CONTEXT_PROB
+# applies the same wrap.
+MODE_CONTEXTS = [
+    [7, 1, 1, 143],
+    [14, 18, 14, 107],
+    [135, 64, 57, 68],
+    [60, 56, 128, 65],
+    [234, 160, 1, 1],
+    [257, 336, 1, 1],
+]
+
+# RFC 6386 16.2: SPLITMV partitioning (2 horizontal halves, 2
+# vertical, 4 quadrants, 16 singletons). The tree's leaves are coded
+# +1 to avoid -0 in our tree representation; decode subtracts 1.
+MBSPLIT_TREE_P1 = [-4, 2, -3, 4, -1, -2]
+MBSPLIT_PROBS = [110, 111, 150]
+MBSPLIT_COUNT = [2, 2, 4, 16]
+MBSPLITS = [
+    [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1],
+    [0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1],
+    [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3],
+    list(range(16)),
+]
+# sub-MV references within a partition (RFC 16.2): LEFT/ABOVE copy a
+# neighboring sub-MV, ZERO is (0,0), NEW reads an MV delta vs best_mv
+LEFT4X4, ABOVE4X4, ZERO4X4, NEW4X4 = range(1, 5)
+SUB_MV_REF_TREE = [-LEFT4X4, 2, -ABOVE4X4, 4, -ZERO4X4, -NEW4X4]
+# probs by context: NORMAL, LEFT_ZED, LEFT_ABOVE_SAME, ABOVE_ZED,
+# LEFT_ABOVE_ZED (vp8_sub_mv_ref_prob2)
+SUB_MV_REF_PROBS = [
+    [147, 136, 18],
+    [106, 145, 1],
+    [179, 121, 1],
+    [223, 1, 34],
+    [208, 1, 1],
+]
+
+# RFC 6386 17.2: MV component entropy. 19 probs per component:
+# [0] long-form flag, [1] sign, [2:9] short tree, [9:19] long bits.
+MVP_IS_SHORT, MVP_SIGN, MVP_SHORT, MVP_BITS = 0, 1, 2, 9
+MV_LONG_WIDTH = 10
+# short-form magnitude tree (leaves +1 to avoid -0; decode - 1)
+SMALL_MV_TREE_P1 = [2, 8, 4, 6, -1, -2, -3, -4, 10, 12, -5, -6, -7, -8]
+MV_PROBS_DEFAULT = [
+    [162, 128, 225, 146, 172, 147, 214, 39, 156,
+     128, 129, 132, 75, 145, 178, 206, 239, 254, 254],   # row
+    [164, 128, 204, 170, 119, 235, 140, 230, 228,
+     128, 130, 130, 74, 148, 180, 203, 236, 254, 254],   # col
+]
+MV_UPDATE_PROBS = [
+    [237, 246, 253, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 250, 250, 252, 254, 254],
+    [231, 243, 245, 253, 254, 254, 254, 254, 254,
+     254, 254, 254, 254, 254, 251, 251, 254, 254, 254],
+]
+
+# RFC 6386 section 6: six-tap sub-pixel interpolation filters,
+# indexed by the 3 fractional MV bits (luma MVs are even in 1/8-pel
+# units -> quarter-pel; derived chroma MVs reach all eight).
+SIXTAP_FILTERS = [
+    [0, 0, 128, 0, 0, 0],
+    [0, -6, 123, 12, -1, 0],
+    [2, -11, 108, 36, -8, 1],
+    [0, -9, 93, 50, -6, 0],
+    [3, -16, 77, 77, -16, 3],
+    [0, -6, 50, 93, -9, 0],
+    [1, -8, 36, 108, -11, 2],
+    [0, -1, 12, 123, -6, 0],
+]
+
+_REF_PAD = 32  # replicated border around reference planes (motion
+               # clamps keep every six-tap read within this margin)
+
+
+def _mode_context_prob(cnt, slot):
+    return MODE_CONTEXTS[cnt][slot] & 0xFF
+
+
+def _mv_bias(mv, flip):
+    return (-mv[0], -mv[1]) if flip else mv
+
+
+def _clamp_mv_census(mv, mb_r, mb_c, mb_w, mb_h):
+    """RFC 16.3 candidate clamp: the 16x16 prediction block may extend
+    at most 16 pixels beyond any frame edge (units: 1/8 pel)."""
+    row, col = mv
+    lo_c = (-(mb_c * 16) << 3) - (16 << 3)
+    hi_c = (((mb_w - 1 - mb_c) * 16) << 3) + (16 << 3)
+    lo_r = (-(mb_r * 16) << 3) - (16 << 3)
+    hi_r = (((mb_h - 1 - mb_r) * 16) << 3) + (16 << 3)
+    return (min(max(row, lo_r), hi_r), min(max(col, lo_c), hi_c))
+
+
+def _clamp_mv_umv(mv, mb_r, mb_c, mb_w, mb_h):
+    """Prediction-time clamp to the extended ("unrestricted MV")
+    border: beyond 19 px outside the edge, snap back to 16 px."""
+    row, col = mv
+    to_left = -(mb_c * 16) << 3
+    to_right = ((mb_w - 1 - mb_c) * 16) << 3
+    to_top = -(mb_r * 16) << 3
+    to_bottom = ((mb_h - 1 - mb_r) * 16) << 3
+    if col < to_left - (19 << 3):
+        col = to_left - (16 << 3)
+    elif col > to_right + (18 << 3):
+        col = to_right + (16 << 3)
+    if row < to_top - (19 << 3):
+        row = to_top - (16 << 3)
+    elif row > to_bottom + (18 << 3):
+        row = to_bottom + (16 << 3)
+    return (row, col)
+
+
+def _find_near_mvs(info, mb_r, mb_c, mb_w, mb_h, ref_frame, sign_bias):
+    """RFC 6386 16.3 near-MV census over the above / left / above-left
+    neighbors. ``info[r][c]`` is (ref, mode, mv, sub_mvs); out-of-frame
+    neighbors count as intra. Returns (best, nearest, near, probs) with
+    the three candidate MVs already clamped and the four mv_ref tree
+    probs derived from the census counts."""
+
+    def at(r, c):
+        if r < 0 or c < 0:
+            return (INTRA_FRAME, DC_PRED, (0, 0), None)
+        return info[r][c]
+
+    above = at(mb_r - 1, mb_c)
+    left = at(mb_r, mb_c - 1)
+    aboveleft = at(mb_r - 1, mb_c - 1)
+    near_mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    cnt = [0, 0, 0, 0]
+    idx = 0
+
+    if above[0] != INTRA_FRAME:
+        if above[2] != (0, 0):
+            idx += 1
+            near_mvs[idx] = _mv_bias(
+                above[2], sign_bias[above[0]] != sign_bias[ref_frame])
+        cnt[idx] += 2
+    if left[0] != INTRA_FRAME:
+        if left[2] != (0, 0):
+            m = _mv_bias(left[2], sign_bias[left[0]] != sign_bias[ref_frame])
+            if m != near_mvs[idx]:
+                idx += 1
+                near_mvs[idx] = m
+            cnt[idx] += 2
+        else:
+            cnt[0] += 2
+    if aboveleft[0] != INTRA_FRAME:
+        if aboveleft[2] != (0, 0):
+            m = _mv_bias(
+                aboveleft[2], sign_bias[aboveleft[0]] != sign_bias[ref_frame])
+            if m != near_mvs[idx]:
+                idx += 1
+                near_mvs[idx] = m
+            cnt[idx] += 1
+        else:
+            cnt[0] += 1
+
+    # three distinct candidates where the third duplicates nearest
+    # (possible via sign-bias flips): fold its weight into nearest
+    if cnt[3] and near_mvs[idx] == near_mvs[1]:
+        cnt[1] += 1
+    cnt[3] = (int(above[1] == SPLITMV) + int(left[1] == SPLITMV)) * 2 \
+        + int(aboveleft[1] == SPLITMV)
+    if cnt[2] > cnt[1]:
+        cnt[1], cnt[2] = cnt[2], cnt[1]
+        near_mvs[1], near_mvs[2] = near_mvs[2], near_mvs[1]
+    if cnt[1] >= cnt[0]:
+        near_mvs[0] = near_mvs[1]
+
+    best = _clamp_mv_census(near_mvs[0], mb_r, mb_c, mb_w, mb_h)
+    nearest = _clamp_mv_census(near_mvs[1], mb_r, mb_c, mb_w, mb_h)
+    near = _clamp_mv_census(near_mvs[2], mb_r, mb_c, mb_w, mb_h)
+    probs = [_mode_context_prob(cnt[i], i) for i in range(4)]
+    return best, nearest, near, probs
+
+
+def _sub_mv_context(lmv, amv):
+    if lmv == amv:
+        return 4 if lmv == (0, 0) else 2
+    if amv == (0, 0):
+        return 3
+    if lmv == (0, 0):
+        return 1
+    return 0
+
+
+def _left_block_mv(info, sub_mvs, mb_r, mb_c, i):
+    """MV of the sub-block left of sub-block i (RFC 16.2): within the
+    MB, or the right edge of the left MB (whole-MB MV unless SPLITMV)."""
+    if i % 4:
+        return sub_mvs[i - 1]
+    if mb_c == 0:
+        return (0, 0)
+    ref, mode, mv, smvs = info[mb_r][mb_c - 1]
+    return smvs[i + 3] if mode == SPLITMV else mv
+
+
+def _above_block_mv(info, sub_mvs, mb_r, mb_c, i):
+    if i >= 4:
+        return sub_mvs[i - 4]
+    if mb_r == 0:
+        return (0, 0)
+    ref, mode, mv, smvs = info[mb_r - 1][mb_c]
+    return smvs[i + 12] if mode == SPLITMV else mv
+
+
+def _read_mv_component(bd, p):
+    """RFC 6386 17.2: one MV component in 1/4-pel units (doubled to
+    1/8 by the caller). Long form codes bits 0..2 then 9..4, with bit
+    3 implicit-one when bits 4..9 are all zero."""
+    if bd.get(p[MVP_IS_SHORT]):
+        x = 0
+        for i in range(3):
+            x += bd.get(p[MVP_BITS + i]) << i
+        for i in range(MV_LONG_WIDTH - 1, 3, -1):
+            x += bd.get(p[MVP_BITS + i]) << i
+        if not (x & 0xFFF0) or bd.get(p[MVP_BITS + 3]):
+            x += 8
+    else:
+        x = bd.tree(SMALL_MV_TREE_P1, p[MVP_SHORT:MVP_SHORT + 7]) - 1
+    if x and bd.get(p[MVP_SIGN]):
+        x = -x
+    return x
+
+
+def _read_mv(bd, mvp):
+    return (_read_mv_component(bd, mvp[0]) * 2,
+            _read_mv_component(bd, mvp[1]) * 2)
+
+
+def _put_mv_component(enc, p, x):
+    """Inverse of _read_mv_component (x in 1/4-pel units, |x| <= 1023)."""
+    mag = abs(x)
+    assert mag <= 1023
+    if mag < 8:
+        enc.put(0, p[MVP_IS_SHORT])
+        enc.put_tree(SMALL_MV_TREE_P1, p[MVP_SHORT:MVP_SHORT + 7], mag + 1)
+    else:
+        enc.put(1, p[MVP_IS_SHORT])
+        for i in range(3):
+            enc.put((mag >> i) & 1, p[MVP_BITS + i])
+        for i in range(MV_LONG_WIDTH - 1, 3, -1):
+            enc.put((mag >> i) & 1, p[MVP_BITS + i])
+        if mag & 0xFFF0:
+            enc.put((mag >> 3) & 1, p[MVP_BITS + 3])
+        else:
+            assert mag & 8, "short-form range must use the short tree"
+    if mag:
+        enc.put(1 if x < 0 else 0, p[MVP_SIGN])
+
+
+def _put_mv(enc, mvp, mv):
+    assert mv[0] % 2 == 0 and mv[1] % 2 == 0, "luma MVs are quarter-pel"
+    _put_mv_component(enc, mvp[0], mv[0] // 2)
+    _put_mv_component(enc, mvp[1], mv[1] // 2)
+
+
+def _chroma_mv(mv):
+    """Derived chroma MV: luma MV halved, rounding half away from zero
+    (RFC 18.2). Result is in 1/8 pel of the half-resolution plane."""
+    def half(c):
+        return -((-c + 1) // 2) if c < 0 else (c + 1) // 2
+    return (half(mv[0]), half(mv[1]))
+
+
+def _chroma_mv_split(sub_mvs, quad_r, quad_c):
+    """Chroma MV for one 8x8 quadrant of a SPLITMV MB: the average of
+    its four luma sub-MVs, rounded half away from zero (RFC 18.2)."""
+    idxs = [(2 * quad_r) * 4 + 2 * quad_c, (2 * quad_r) * 4 + 2 * quad_c + 1,
+            (2 * quad_r + 1) * 4 + 2 * quad_c, (2 * quad_r + 1) * 4 + 2 * quad_c + 1]
+
+    def avg(k):
+        s = sum(sub_mvs[i][k] for i in idxs)
+        return -((-s + 4) // 8) if s < 0 else (s + 4) // 8
+    return (avg(0), avg(1))
+
+
+def _predict_inter_block(ref_pad, r0, c0, h, w, mv):
+    """Motion-compensated prediction of an h x w block at plane
+    coordinates (r0, c0) from a _REF_PAD-padded reference plane; mv in
+    1/8-pel. Zero fractions copy; otherwise the 2-pass six-tap chain
+    (horizontal first over h+5 rows, both passes rounded by +64 >> 7
+    and clamped to 0..255, matching the reference C exactly)."""
+    rr = r0 + (mv[0] >> 3) + _REF_PAD
+    cc = c0 + (mv[1] >> 3) + _REF_PAD
+    fy, fx = mv[0] & 7, mv[1] & 7
+    if fx == 0 and fy == 0:
+        return ref_pad[rr:rr + h, cc:cc + w]
+    fh = SIXTAP_FILTERS[fx]
+    fv = SIXTAP_FILTERS[fy]
+    src = ref_pad[rr - 2:rr + h + 3, cc - 2:cc + w + 3].astype(np.int64)
+    tmp = np.zeros((h + 5, w), dtype=np.int64)
+    for t in range(6):
+        tmp += fh[t] * src[:, t:t + w]
+    tmp = np.clip((tmp + 64) >> 7, 0, 255)
+    out = np.zeros((h, w), dtype=np.int64)
+    for t in range(6):
+        out += fv[t] * tmp[t:t + h, :]
+    return np.clip((out + 64) >> 7, 0, 255).astype(np.int32)
+
+
+def _default_entropy():
+    """Frame-persistent entropy context (RFC 6386 9.9): coefficient
+    probs, MV probs, and the inter-frame intra mode probs. Key frames
+    reset it to these defaults; per-frame updates persist only when
+    the header's refresh_entropy_probs bit is set."""
+    return {
+        "coeff": [[[list(p) for p in ctxs] for ctxs in bands]
+                  for bands in DEFAULT_COEFF_PROBS],
+        "mv": [list(MV_PROBS_DEFAULT[0]), list(MV_PROBS_DEFAULT[1])],
+        "ymode": list(YMODE_PROBS_DEFAULT),
+        "uvmode": list(UV_MODE_PROBS_DEFAULT),
+    }
+
+
+class Vp8StreamDecoder:
+    """Stateful VP8 stream decoder: KEY frames (the bit-exact-vs-
+    libwebp layer) plus INTER frames — last/golden/altref reference
+    buffers, copy/refresh buffer management, persistent entropy and
+    segmentation state, the near-MV census, NEAREST/NEAR/ZERO/NEW/
+    SPLIT motion modes, and six-tap sub-pixel motion compensation.
+    Version-0 streams (six-tap + normal loop filter); inter frames of
+    bilinear-filter profiles (version 1-3) return None. Feed frames in
+    bitstream order; ``decode_frame`` returns {"planes": (y,u,v),
+    "keyframe": bool, "show": bool} or None on unsupported/corrupt
+    input (state is then best-effort and the caller should resync at
+    the next key frame)."""
+
+    def __init__(self):
+        self.dims = None
+        self.refs = {LAST_FRAME: None, GOLDEN_FRAME: None, ALTREF_FRAME: None}
+        self.entropy = None
+        self.seg_q = [0, 0, 0, 0]
+        self.seg_lf = [0, 0, 0, 0]
+        self.seg_abs = False
+        self.seg_map = None
+        self.ref_lf_delta = [0, 0, 0, 0]
+        self.mode_lf_delta = [0, 0, 0, 0]
+
+    def decode_frame(self, data):
+        try:
+            return self._decode(data)
+        except (IndexError, ValueError, AssertionError):
+            return None
+
+    def _decode(self, data, key_only=False):
+        if len(data) < 3:
+            return None
+        tag = data[0] | (data[1] << 8) | (data[2] << 16)
+        key = not (tag & 1)
+        version = (tag >> 1) & 7
+        show = bool((tag >> 4) & 1)
+        first_part_size = tag >> 5
+        if key:
+            if len(data) < 10 or data[3:6] != b"\x9d\x01\x2a":
+                return None
+            width = (data[6] | (data[7] << 8)) & 0x3FFF
+            height = (data[8] | (data[9] << 8)) & 0x3FFF
+            if width == 0 or height == 0:
+                return None
+            hdr_off = 10
+            self.dims = (width, height)
+            self.entropy = _default_entropy()
+            self.seg_map = None  # realloc below once mb dims known
+        else:
+            if key_only or self.dims is None or version != 0 \
+                    or self.refs[LAST_FRAME] is None:
+                return None
+            width, height = self.dims
+            hdr_off = 3
+        if hdr_off + first_part_size > len(data):
+            return None
+        mb_w = (width + 15) // 16
+        mb_h = (height + 15) // 16
+        if self.seg_map is None or len(self.seg_map) != mb_w * mb_h:
+            self.seg_map = [0] * (mb_w * mb_h)
+        p1 = BoolDecoder(data[hdr_off:hdr_off + first_part_size])
+        if key:
+            p1.literal(1)  # color space
+            p1.literal(1)  # clamping type
+
+        # segmentation (9.3): feature data and the map PERSIST across
+        # frames; the header carries update flags for each
+        seg_enabled = p1.get(128)
+        seg_update_map = False
+        seg_tree_probs = [255, 255, 255]
+        if seg_enabled:
+            seg_update_map = bool(p1.get(128))
+            if p1.get(128):  # update feature data
+                self.seg_abs = bool(p1.get(128))
+                for i in range(4):
+                    self.seg_q[i] = p1.signed_literal(7) if p1.get(128) else 0
+                for i in range(4):
+                    self.seg_lf[i] = p1.signed_literal(6) if p1.get(128) else 0
+            if seg_update_map:
+                for i in range(3):
+                    seg_tree_probs[i] = p1.literal(8) if p1.get(128) else 255
+
+        filter_type = p1.literal(1)
+        filter_level = p1.literal(6)
+        sharpness = p1.literal(3)
+
+        # loop-filter ref/mode deltas (9.4) — persistent, update-flagged
+        lf_delta_on = p1.get(128)
+        if lf_delta_on and p1.get(128):
+            for i in range(4):
+                if p1.get(128):
+                    self.ref_lf_delta[i] = p1.signed_literal(6)
+            for i in range(4):
+                if p1.get(128):
+                    self.mode_lf_delta[i] = p1.signed_literal(6)
+
+        log2_parts = p1.literal(2)
+        n_parts = 1 << log2_parts
+        y_ac_qi = p1.literal(7)
+
+        def _delta():
+            return p1.signed_literal(4) if p1.get(128) else 0
+
+        y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d = (
+            _delta(), _delta(), _delta(), _delta(), _delta()
+        )
+
+        # reference-buffer management fields (9.7/9.8)
+        sign_bias = {INTRA_FRAME: 0, LAST_FRAME: 0,
+                     GOLDEN_FRAME: 0, ALTREF_FRAME: 0}
+        refresh_golden = refresh_alt = copy_gf = copy_arf = 0
+        if not key:
+            refresh_golden = p1.get(128)
+            refresh_alt = p1.get(128)
+            if not refresh_golden:
+                copy_gf = p1.literal(2)
+            if not refresh_alt:
+                copy_arf = p1.literal(2)
+            sign_bias[GOLDEN_FRAME] = p1.get(128)
+            sign_bias[ALTREF_FRAME] = p1.get(128)
+        refresh_entropy = p1.get(128)
+        refresh_last = 1 if key else p1.get(128)
+
+        # working entropy = persistent + this frame's updates
+        ent = self.entropy
+        probs = [[[list(p) for p in ctxs] for ctxs in bands]
+                 for bands in ent["coeff"]]
+        mvp = [list(ent["mv"][0]), list(ent["mv"][1])]
+        ymode_p = list(ent["ymode"])
+        uvmode_p = list(ent["uvmode"])
+        for t in range(4):
+            for b in range(8):
+                for cx in range(3):
+                    for pi in range(11):
+                        if p1.get(COEFF_UPDATE_PROBS[t][b][cx][pi]):
+                            probs[t][b][cx][pi] = p1.literal(8)
+        mb_no_skip = p1.literal(1)
+        prob_skip = p1.literal(8) if mb_no_skip else 0
+        prob_intra = prob_last = prob_gf = 0
+        if not key:
+            prob_intra = p1.literal(8)
+            prob_last = p1.literal(8)
+            prob_gf = p1.literal(8)
+            if p1.get(128):
+                for i in range(4):
+                    ymode_p[i] = p1.literal(8)
+            if p1.get(128):
+                for i in range(3):
+                    uvmode_p[i] = p1.literal(8)
+            for comp in range(2):
+                for j in range(19):
+                    if p1.get(MV_UPDATE_PROBS[comp][j]):
+                        v = p1.literal(7)
+                        mvp[comp][j] = (v << 1) if v else 1
+
+        # pass A: modes (+ MVs on inter frames) from partition 1.
+        # modes[i] = (skip, ym, uvm, bm, seg); minfo[r][c] =
+        # (ref, mode, mv, sub_mvs) feeds the census and prediction.
+        modes = []
+        minfo = [[None] * mb_w for _ in range(mb_h)]
+        above_bm = [[B_DC_PRED] * 4 for _ in range(mb_w)]
+        left_bm = [B_DC_PRED] * 4
+        seg_tree = [2, 4, -0, -1, -2, -3]
+        for mb_i in range(mb_w * mb_h):
+            mb_r, mb_c = mb_i // mb_w, mb_i % mb_w
+            if mb_c == 0:
+                left_bm = [B_DC_PRED] * 4
+            if seg_update_map:
+                seg = p1.tree(seg_tree, seg_tree_probs)
+                self.seg_map[mb_i] = seg
+            else:
+                seg = self.seg_map[mb_i] if seg_enabled else 0
+            skip = p1.get(prob_skip) if mb_no_skip else 0
+            abm = above_bm[mb_c]
+            if not key and p1.get(prob_intra):
+                # ----- inter MB
+                if not p1.get(prob_last):
+                    ref = LAST_FRAME
+                elif p1.get(prob_gf):
+                    ref = ALTREF_FRAME
+                else:
+                    ref = GOLDEN_FRAME
+                best, nearest, near, mvref_p = _find_near_mvs(
+                    minfo, mb_r, mb_c, mb_w, mb_h, ref, sign_bias)
+                mode = p1.tree(MV_REF_TREE, mvref_p)
+                sub_mvs = None
+                if mode == SPLITMV:
+                    part = p1.tree(MBSPLIT_TREE_P1, MBSPLIT_PROBS) - 1
+                    partmap = MBSPLITS[part]
+                    sub_mvs = [None] * 16
+                    for k in range(MBSPLIT_COUNT[part]):
+                        i0 = partmap.index(k)
+                        lmv = _left_block_mv(minfo, sub_mvs, mb_r, mb_c, i0)
+                        amv = _above_block_mv(minfo, sub_mvs, mb_r, mb_c, i0)
+                        sm = p1.tree(SUB_MV_REF_TREE,
+                                     SUB_MV_REF_PROBS[_sub_mv_context(lmv, amv)])
+                        if sm == NEW4X4:
+                            d = _read_mv(p1, mvp)
+                            mvk = (d[0] + best[0], d[1] + best[1])
+                        elif sm == LEFT4X4:
+                            mvk = lmv
+                        elif sm == ABOVE4X4:
+                            mvk = amv
+                        else:
+                            mvk = (0, 0)
+                        for i in range(16):
+                            if partmap[i] == k:
+                                sub_mvs[i] = mvk
+                    mv = sub_mvs[15]
+                elif mode == NEARESTMV:
+                    mv = nearest
+                elif mode == NEARMV:
+                    mv = near
+                elif mode == NEWMV:
+                    d = _read_mv(p1, mvp)
+                    mv = (d[0] + best[0], d[1] + best[1])
+                else:
+                    mv = (0, 0)
+                minfo[mb_r][mb_c] = (ref, mode, mv, sub_mvs)
+                modes.append((skip, mode, None, None, seg))
+                continue
+            # ----- intra MB (key frame, or intra-in-inter)
+            if key:
+                ym = p1.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            else:
+                ym = p1.tree(YMODE_TREE, ymode_p)
+            if ym == B_PRED:
+                bm = [0] * 16
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    if key:
+                        ctx_a = abm[sc] if sr == 0 else bm[sb - 4]
+                        ctx_l = left_bm[sr] if sc == 0 else bm[sb - 1]
+                        bm[sb] = p1.tree(BMODE_TREE, KF_BMODE_PROBS[ctx_a][ctx_l])
+                    else:
+                        bm[sb] = p1.tree(BMODE_TREE, BMODE_PROBS_INTER)
+            else:
+                bm = [MODE_TO_BMODE[ym]] * 16
+            for sc in range(4):
+                abm[sc] = bm[12 + sc]
+            for sr in range(4):
+                left_bm[sr] = bm[4 * sr + 3]
+            if key:
+                uvm = p1.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+            else:
+                uvm = p1.tree(UV_MODE_TREE, uvmode_p)
+            minfo[mb_r][mb_c] = (INTRA_FRAME, ym, (0, 0), None)
+            modes.append((skip, ym, uvm, bm, seg))
+
+        # per-segment dequant tables
+        def seg_qi(s):
+            base = self.seg_q[s] if self.seg_abs else y_ac_qi + self.seg_q[s]
+            return min(127, max(0, base))
+
+        dq_tables = [
+            frame_quants(seg_qi(s) if seg_enabled else y_ac_qi,
+                         y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
+            for s in range(4 if seg_enabled else 1)
+        ]
+
+        def mb_filter_level(s, ym, ref):
+            lvl = filter_level
+            if seg_enabled:
+                lvl = self.seg_lf[s] if self.seg_abs \
+                    else filter_level + self.seg_lf[s]
+                lvl = min(63, max(0, lvl))
+            if lf_delta_on:
+                lvl += self.ref_lf_delta[ref]
+                if ref == INTRA_FRAME:
+                    if ym == B_PRED:
+                        lvl += self.mode_lf_delta[0]
+                else:
+                    # RFC 9.4 mode deltas: [1]=ZEROMV, [2]=other
+                    # inter (NEAREST/NEAR/NEW), [3]=SPLITMV
+                    lvl += self.mode_lf_delta[
+                        1 if ym == ZEROMV else (3 if ym == SPLITMV else 2)]
+                lvl = min(63, max(0, lvl))
+            return lvl
+
+        if filter_level == 0:
+            mb_levels = [0] * len(modes)
+        else:
+            mb_levels = [
+                mb_filter_level(m[4], m[1], minfo[i // mb_w][i % mb_w][0])
+                for i, m in enumerate(modes)
+            ]
+
+        token_area = data[hdr_off + first_part_size:]
+        if n_parts == 1:
+            part_decoders = [BoolDecoder(token_area)]
+        else:
+            table = token_area[: 3 * (n_parts - 1)]
+            if len(table) < 3 * (n_parts - 1):
+                return None
+            sizes = [int.from_bytes(table[3 * i:3 * i + 3], "little")
+                     for i in range(n_parts - 1)]
+            off = 3 * (n_parts - 1)
+            part_decoders = []
+            for i in range(n_parts):
+                end = off + sizes[i] if i < n_parts - 1 else len(token_area)
+                if end > len(token_area):
+                    return None
+                part_decoders.append(BoolDecoder(token_area[off:end]))
+                off = end
+        y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.int32)
+        u = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+        v = np.zeros((mb_h * 8, mb_w * 8), dtype=np.int32)
+
+        # lazily padded reference planes for motion compensation
+        pad_cache = {}
+
+        def ref_planes(ref):
+            if ref not in pad_cache:
+                ry, ru, rv = self.refs[ref]
+                pad_cache[ref] = tuple(
+                    np.pad(p, _REF_PAD, mode="edge") for p in (ry, ru, rv))
+            return pad_cache[ref]
+
+        has_coeffs = []
+        above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+                 for _ in range(mb_w)]
+        for mb_r in range(mb_h):
+            left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+            for mb_c in range(mb_w):
+                skip, ym, uvm, bm, seg = modes[mb_r * mb_w + mb_c]
+                ref, _, mv, sub_mvs = minfo[mb_r][mb_c]
+                inter = ref != INTRA_FRAME
+                has_y2 = ym not in (B_PRED, SPLITMV)
+                y_dc, y_ac, y2_dc, y2_ac, uv_dc, uv_ac = dq_tables[
+                    seg if seg_enabled else 0]
+                p2 = part_decoders[mb_r % n_parts]
+                a = above[mb_c]
+                mb_nz = False
+                ycoef = [[0] * 16 for _ in range(16)]
+                ucoef = [[0] * 16 for _ in range(4)]
+                vcoef = [[0] * 16 for _ in range(4)]
+                if skip:
+                    left["y"] = [0] * 4
+                    left["u"] = [0] * 2
+                    left["v"] = [0] * 2
+                    a["y"] = [0] * 4
+                    a["u"] = [0] * 2
+                    a["v"] = [0] * 2
+                    if has_y2:
+                        left["y2"] = 0
+                        a["y2"] = 0
+                else:
+                    if not has_y2:
+                        for sb in range(16):
+                            sr, sc = sb // 4, sb % 4
+                            cc, nz = _decode_coeffs(
+                                p2, probs, 3, 0,
+                                a["y"][sc] + left["y"][sr], y_dc, y_ac)
+                            ycoef[sb] = cc
+                            a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                            mb_nz = mb_nz or nz
+                    else:
+                        c2, nz2 = _decode_coeffs(
+                            p2, probs, 1, 0, a["y2"] + left["y2"], y2_dc, y2_ac)
+                        a["y2"] = left["y2"] = 1 if nz2 else 0
+                        mb_nz = mb_nz or nz2 or any(c2)
+                        dcs = inv_walsh4x4(c2)
+                        for sb in range(16):
+                            sr, sc = sb // 4, sb % 4
+                            cc, nz = _decode_coeffs(
+                                p2, probs, 0, 1,
+                                a["y"][sc] + left["y"][sr], y_dc, y_ac)
+                            cc[0] = dcs[sb]
+                            ycoef[sb] = cc
+                            a["y"][sc] = left["y"][sr] = 1 if nz else 0
+                            mb_nz = mb_nz or nz
+                    for pl, coefs, pkey in ((2, ucoef, "u"), (2, vcoef, "v")):
+                        for sb in range(4):
+                            cc, nz = _decode_coeffs(
+                                p2, probs, pl, 0,
+                                a[pkey][sb % 2] + left[pkey][sb // 2],
+                                uv_dc, uv_ac)
+                            coefs[sb] = cc
+                            a[pkey][sb % 2] = left[pkey][sb // 2] = 1 if nz else 0
+                            mb_nz = mb_nz or nz
+
+                has_coeffs.append(mb_nz or ym == B_PRED or ym == SPLITMV)
+
+                r0, c0 = mb_r * 16, mb_c * 16
+                cr0, cc0 = mb_r * 8, mb_c * 8
+                if inter:
+                    py, pu, pv = ref_planes(ref)
+                    if ym == SPLITMV:
+                        smv_c = [
+                            _clamp_mv_umv(m, mb_r, mb_c, mb_w, mb_h)
+                            for m in sub_mvs]
+                        for sb in range(16):
+                            sr, sc = sb // 4, sb % 4
+                            y[r0 + sr * 4:r0 + sr * 4 + 4,
+                              c0 + sc * 4:c0 + sc * 4 + 4] = \
+                                _predict_inter_block(
+                                    py, r0 + sr * 4, c0 + sc * 4, 4, 4,
+                                    smv_c[sb])
+                        for qr in range(2):
+                            for qc in range(2):
+                                cm = _chroma_mv_split(smv_c, qr, qc)
+                                for plane, pref in ((u, pu), (v, pv)):
+                                    plane[cr0 + qr * 4:cr0 + qr * 4 + 4,
+                                          cc0 + qc * 4:cc0 + qc * 4 + 4] = \
+                                        _predict_inter_block(
+                                            pref, cr0 + qr * 4, cc0 + qc * 4,
+                                            4, 4, cm)
+                    else:
+                        mv_c = _clamp_mv_umv(mv, mb_r, mb_c, mb_w, mb_h)
+                        y[r0:r0 + 16, c0:c0 + 16] = _predict_inter_block(
+                            py, r0, c0, 16, 16, mv_c)
+                        cm = _chroma_mv(mv_c)
+                        u[cr0:cr0 + 8, cc0:cc0 + 8] = _predict_inter_block(
+                            pu, cr0, cc0, 8, 8, cm)
+                        v[cr0:cr0 + 8, cc0:cc0 + 8] = _predict_inter_block(
+                            pv, cr0, cc0, 8, 8, cm)
+                    if not skip:
+                        for sb in range(16):
+                            rr = r0 + (sb // 4) * 4
+                            ccx = c0 + (sb % 4) * 4
+                            res = inv_dct4x4(ycoef[sb])
+                            y[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                y[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+                        for plane, coefs in ((u, ucoef), (v, vcoef)):
+                            for sb in range(4):
+                                rr = cr0 + (sb // 2) * 4
+                                ccx = cc0 + (sb % 2) * 4
+                                res = inv_dct4x4(coefs[sb])
+                                plane[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                    plane[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+                elif ym == B_PRED:
+                    for sb in range(16):
+                        rr, ccx = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
+                        _predict4(y, rr, ccx, bm[sb])
+                        if not skip:
+                            res = inv_dct4x4(ycoef[sb])
+                            y[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                y[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+                    _predict(u, cr0, cc0, 8, uvm)
+                    _predict(v, cr0, cc0, 8, uvm)
+                    if not skip:
+                        for plane, coefs in ((u, ucoef), (v, vcoef)):
+                            for sb in range(4):
+                                rr = cr0 + (sb // 2) * 4
+                                ccx = cc0 + (sb % 2) * 4
+                                res = inv_dct4x4(coefs[sb])
+                                plane[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                    plane[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+                else:
+                    _predict(y, r0, c0, 16, ym)
+                    _predict(u, cr0, cc0, 8, uvm)
+                    _predict(v, cr0, cc0, 8, uvm)
+                    if not skip:
+                        for sb in range(16):
+                            rr, ccx = r0 + (sb // 4) * 4, c0 + (sb % 4) * 4
+                            res = inv_dct4x4(ycoef[sb])
+                            y[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                y[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+                        for plane, coefs in ((u, ucoef), (v, vcoef)):
+                            for sb in range(4):
+                                rr = cr0 + (sb // 2) * 4
+                                ccx = cc0 + (sb % 2) * 4
+                                res = inv_dct4x4(coefs[sb])
+                                plane[rr:rr + 4, ccx:ccx + 4] = np.clip(
+                                    plane[rr:rr + 4, ccx:ccx + 4] + res, 0, 255)
+        apply_loop_filter(y, u, v, modes, has_coeffs, mb_levels, sharpness,
+                          filter_type, mb_w, mb_h, keyframe=key)
+
+        # reference-buffer management (9.7/9.10): copies read the
+        # buffers sequentially (arf first, then gf — so a gf copy
+        # "from altref" sees an arf that was itself just copied),
+        # then refresh flags install the new frame; key frames
+        # refresh all three.
+        cur = (y, u, v)
+        if key:
+            self.refs = {LAST_FRAME: cur, GOLDEN_FRAME: cur, ALTREF_FRAME: cur}
+        else:
+            if copy_arf == 1:
+                self.refs[ALTREF_FRAME] = self.refs[LAST_FRAME]
+            elif copy_arf == 2:
+                self.refs[ALTREF_FRAME] = self.refs[GOLDEN_FRAME]
+            if copy_gf == 1:
+                self.refs[GOLDEN_FRAME] = self.refs[LAST_FRAME]
+            elif copy_gf == 2:
+                self.refs[GOLDEN_FRAME] = self.refs[ALTREF_FRAME]
+            if refresh_golden:
+                self.refs[GOLDEN_FRAME] = cur
+            if refresh_alt:
+                self.refs[ALTREF_FRAME] = cur
+            if refresh_last:
+                self.refs[LAST_FRAME] = cur
+        if refresh_entropy:
+            self.entropy = {"coeff": probs, "mv": mvp,
+                            "ymode": ymode_p, "uvmode": uvmode_p}
+
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        return {
+            "planes": (
+                y[:height, :width].astype(np.uint8),
+                u[:ch, :cw].astype(np.uint8),
+                v[:ch, :cw].astype(np.uint8),
+            ),
+            "keyframe": key,
+            "show": show,
+        }
+
+
+def encode_vp8_inter(
+    width, height, mb_plan, qi=0, filter_level=0, sharpness=0,
+    filter_type=0, refresh_last=True, refresh_golden=False,
+    refresh_alt=False, copy_gf=0, copy_arf=0, sign_bias_golden=0,
+    sign_bias_alt=0, refresh_entropy=True, prob_skip=128, prob_intra=128,
+    prob_last=128, prob_gf=128, mv_prob_updates=(), show=True,
+):
+    """Minimal spec-conformant VP8 INTER frame for the stream-decoder
+    tests. ``mb_plan(mb_r, mb_c)`` returns a dict:
+
+    * ``{"kind": "zero"|"nearest"|"near", "ref": ..., "skip": 1}`` —
+      ZEROMV / census-candidate modes (caller is responsible for the
+      census producing the MV it wants for nearest/near; the encoder
+      runs the same census as the decoder and records the actual MV);
+    * ``{"kind": "new", "mv": (row, col), ...}`` — NEWMV with an
+      absolute 1/8-pel MV (even components), coded as a delta against
+      the census best_mv;
+    * ``{"kind": "split", "partition": p, "mvs": [...]}`` — SPLITMV
+      with one absolute MV per partition (skip/level unsupported for
+      splits beyond zero residual);
+    * ``{"kind": "intra", "ym": DC_PRED.., "uvm": ..., "level": n}`` —
+      an intra MB inside the inter frame (16x16 modes only).
+
+    Non-split/non-intra MBs accept ``"level"`` (a Y2 DC token exactly
+    as :func:`encode_vp8_key_two_tone`: the decoded MB adds
+    ``vp8_dc_delta(level)`` to its prediction) and ``"skip"``.
+    ``mv_prob_updates`` is a list of (component, index, 7-bit value)
+    written through the RFC 17.1 update scheme (effective prob =
+    value<<1 or 1). Entropy defaults are assumed current (i.e. the
+    preceding frames either were key frames or wrote no persistent
+    updates); pair with refresh_entropy=False to keep it that way.
+    """
+    mb_w = (width + 15) // 16
+    mb_h = (height + 15) // 16
+    probs = DEFAULT_COEFF_PROBS
+    mvp = [list(MV_PROBS_DEFAULT[0]), list(MV_PROBS_DEFAULT[1])]
+    sign_bias = {INTRA_FRAME: 0, LAST_FRAME: 0,
+                 GOLDEN_FRAME: sign_bias_golden, ALTREF_FRAME: sign_bias_alt}
+
+    p1 = BoolEncoder()
+    p1.put(0, 128)                    # segmentation disabled
+    p1.put_literal(filter_type, 1)
+    p1.put_literal(filter_level, 6)
+    p1.put_literal(sharpness, 3)
+    p1.put(0, 128)                    # no lf deltas
+    p1.put_literal(0, 2)              # one token partition
+    p1.put_literal(qi, 7)
+    for _ in range(5):
+        p1.put(0, 128)                # no quant deltas
+    p1.put(1 if refresh_golden else 0, 128)
+    p1.put(1 if refresh_alt else 0, 128)
+    if not refresh_golden:
+        p1.put_literal(copy_gf, 2)
+    if not refresh_alt:
+        p1.put_literal(copy_arf, 2)
+    p1.put(sign_bias_golden, 128)
+    p1.put(sign_bias_alt, 128)
+    p1.put(1 if refresh_entropy else 0, 128)
+    p1.put(1 if refresh_last else 0, 128)
+    for t in range(4):
+        for b in range(8):
+            for cx in range(3):
+                for pi in range(11):
+                    p1.put(0, COEFF_UPDATE_PROBS[t][b][cx][pi])
+    p1.put_literal(1, 1)              # mb_no_coeff_skip
+    p1.put_literal(prob_skip, 8)
+    p1.put_literal(prob_intra, 8)
+    p1.put_literal(prob_last, 8)
+    p1.put_literal(prob_gf, 8)
+    p1.put(0, 128)                    # no ymode prob update
+    p1.put(0, 128)                    # no uv mode prob update
+    updates = {(c, i): val for c, i, val in mv_prob_updates}
+    for comp in range(2):
+        for j in range(19):
+            if (comp, j) in updates:
+                p1.put(1, MV_UPDATE_PROBS[comp][j])
+                p1.put_literal(updates[(comp, j)], 7)
+                val = updates[(comp, j)]
+                mvp[comp][j] = (val << 1) if val else 1
+            else:
+                p1.put(0, MV_UPDATE_PROBS[comp][j])
+
+    # mode/MV pass, running the decoder's census on the evolving grid
+    minfo = [[None] * mb_w for _ in range(mb_h)]
+    plans = {}
+    for mb_r in range(mb_h):
+        for mb_c in range(mb_w):
+            plan = dict(mb_plan(mb_r, mb_c))
+            plans[(mb_r, mb_c)] = plan
+            kind = plan["kind"]
+            skip = int(plan.get("skip", 0))
+            level = plan.get("level", 0)
+            assert not (skip and level), "skip MBs carry no residual"
+            p1.put(skip, prob_skip)
+            if kind == "intra":
+                p1.put(0, prob_intra)
+                ym = plan.get("ym", DC_PRED)
+                assert ym in MODE_TO_BMODE, "16x16 intra modes only"
+                p1.put_tree(YMODE_TREE, YMODE_PROBS_DEFAULT, ym)
+                p1.put_tree(UV_MODE_TREE, UV_MODE_PROBS_DEFAULT,
+                            plan.get("uvm", DC_PRED))
+                minfo[mb_r][mb_c] = (INTRA_FRAME, ym, (0, 0), None)
+                continue
+            p1.put(1, prob_intra)
+            ref = plan.get("ref", LAST_FRAME)
+            if ref == LAST_FRAME:
+                p1.put(0, prob_last)
+            else:
+                p1.put(1, prob_last)
+                p1.put(1 if ref == ALTREF_FRAME else 0, prob_gf)
+            best, nearest, near, mvref_p = _find_near_mvs(
+                minfo, mb_r, mb_c, mb_w, mb_h, ref, sign_bias)
+            if kind == "split":
+                part = plan["partition"]
+                partmap = MBSPLITS[part]
+                p1.put_tree(MV_REF_TREE, mvref_p, SPLITMV)
+                p1.put_tree(MBSPLIT_TREE_P1, MBSPLIT_PROBS, part + 1)
+                sub_mvs = [None] * 16
+                for k in range(MBSPLIT_COUNT[part]):
+                    mvk = tuple(plan["mvs"][k])
+                    i0 = partmap.index(k)
+                    lmv = _left_block_mv(minfo, sub_mvs, mb_r, mb_c, i0)
+                    amv = _above_block_mv(minfo, sub_mvs, mb_r, mb_c, i0)
+                    sp = SUB_MV_REF_PROBS[_sub_mv_context(lmv, amv)]
+                    if mvk == lmv:
+                        p1.put_tree(SUB_MV_REF_TREE, sp, LEFT4X4)
+                    elif mvk == amv:
+                        p1.put_tree(SUB_MV_REF_TREE, sp, ABOVE4X4)
+                    elif mvk == (0, 0):
+                        p1.put_tree(SUB_MV_REF_TREE, sp, ZERO4X4)
+                    else:
+                        p1.put_tree(SUB_MV_REF_TREE, sp, NEW4X4)
+                        _put_mv(p1, mvp,
+                                (mvk[0] - best[0], mvk[1] - best[1]))
+                    for i in range(16):
+                        if partmap[i] == k:
+                            sub_mvs[i] = mvk
+                minfo[mb_r][mb_c] = (ref, SPLITMV, sub_mvs[15], sub_mvs)
+                assert not level, "split MBs: zero residual only"
+                continue
+            if kind == "zero":
+                p1.put_tree(MV_REF_TREE, mvref_p, ZEROMV)
+                mv = (0, 0)
+            elif kind == "nearest":
+                p1.put_tree(MV_REF_TREE, mvref_p, NEARESTMV)
+                mv = nearest
+            elif kind == "near":
+                p1.put_tree(MV_REF_TREE, mvref_p, NEARMV)
+                mv = near
+            else:
+                mv = tuple(plan["mv"])
+                p1.put_tree(MV_REF_TREE, mvref_p, NEWMV)
+                _put_mv(p1, mvp, (mv[0] - best[0], mv[1] - best[1]))
+            mode = {"zero": ZEROMV, "nearest": NEARESTMV,
+                    "near": NEARMV, "new": NEWMV}[kind]
+            minfo[mb_r][mb_c] = (ref, mode, mv, None)
+    part1 = p1.flush()
+
+    # token pass (mirrors the decoder's context tracking)
+    p2 = BoolEncoder()
+    above = [{"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+             for _ in range(mb_w)]
+    for mb_r in range(mb_h):
+        left = {"y2": 0, "y": [0] * 4, "u": [0] * 2, "v": [0] * 2}
+        for mb_c in range(mb_w):
+            plan = plans[(mb_r, mb_c)]
+            kind = plan["kind"]
+            skip = int(plan.get("skip", 0))
+            level = plan.get("level", 0)
+            has_y2 = kind != "split"
+            a = above[mb_c]
+            if skip:
+                left["y"] = [0] * 4
+                left["u"] = [0] * 2
+                left["v"] = [0] * 2
+                a["y"] = [0] * 4
+                a["u"] = [0] * 2
+                a["v"] = [0] * 2
+                if has_y2:
+                    left["y2"] = 0
+                    a["y2"] = 0
+                continue
+            if has_y2:
+                ctx = a["y2"] + left["y2"]
+                if level:
+                    nctx = _put_token_value(
+                        p2, probs, 1, COEFF_BANDS[0], ctx, level)
+                    _put_eob(p2, probs, 1, COEFF_BANDS[1], nctx)
+                    a["y2"] = left["y2"] = 1
+                else:
+                    _put_eob(p2, probs, 1, COEFF_BANDS[0], ctx)
+                    a["y2"] = left["y2"] = 0
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    _put_eob(p2, probs, 0, COEFF_BANDS[0],
+                             a["y"][sc] + left["y"][sr])
+                    a["y"][sc] = left["y"][sr] = 0
+            else:
+                for sb in range(16):
+                    sr, sc = sb // 4, sb % 4
+                    _put_eob(p2, probs, 3, COEFF_BANDS[0],
+                             a["y"][sc] + left["y"][sr])
+                    a["y"][sc] = left["y"][sr] = 0
+            for key_, btype in (("u", 2), ("v", 2)):
+                for sb in range(4):
+                    _put_eob(p2, probs, btype, COEFF_BANDS[0],
+                             a[key_][sb % 2] + left[key_][sb // 2])
+                    a[key_][sb % 2] = left[key_][sb // 2] = 0
+    part2 = p2.flush()
+
+    tag = 1 | (0 << 1) | ((1 if show else 0) << 4) | (len(part1) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    return head + part1 + part2
