@@ -1418,8 +1418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the VIDEO path under the gate: a THREE-container corpus —
         # MJPEG-in-AVI (RIFF movi walk), MJPEG-in-MP4 (full ISO-BMFF
         # sample-table demux: stsd/stsz/stsc/stco/stss, ops/video.py
-        # parse_mp4_samples), and VP8-in-WebM — sampled every 2nd frame
-        # and each sampled frame decoded by the real JPEG / VP8 codec;
+        # parse_mp4_samples), and VP8-in-WebM — half the WebM docs are
+        # INTER streams (key frame 0 + ZEROMV skips + SPLITMV half-
+        # swaps) walked in bitstream order by the stateful
+        # Vp8StreamDecoder with real motion compensation — sampled
+        # every 2nd frame, each sampled frame decoded by the real
+        # JPEG / VP8 codec;
         # the oracle regenerates the sampled frame indices and each
         # frame's exact aHash constant from the same md5(doc_id)
         # nibbles in SQL, IDENTICALLY across the container split, so a
@@ -2411,12 +2415,21 @@ def oracle_sql() -> dict[str, str]:
       FROM n
     """
 
+    # webm docs (n6 odd) with n14 odd are INTER streams: sampled frame
+    # j's top tone is the base when j % 4 = 0 and its inverse when
+    # j % 4 = 2 (key frame 0, ZEROMV skips on odd frames, SPLITMV
+    # half-swaps on even frames — ops/mm_corpus.video_params)
     video_frames_sql = _mm_cte + """
-    , f AS (SELECT doc_id, n2, n4, n5, n9, n10, n11, n12,
+    , f AS (SELECT doc_id, n2, n4, n5, n6, n9, n10, n11, n12, n14,
                    4 + (n7 % 5) AS nf FROM n)
     SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
            4 + n2 AS width, 16 AS height,
-           CASE WHEN (n4 * 16 + n5 + 17 * frame_idx) % 256 >= 128
+           CASE WHEN (CASE WHEN n6 % 2 = 1 AND n14 % 2 = 1
+                           THEN CASE WHEN frame_idx % 4 = 0
+                                     THEN n4 * 16 + n5
+                                     ELSE 255 - (n4 * 16 + n5) END
+                           ELSE (n4 * 16 + n5 + 17 * frame_idx) % 256
+                      END) >= 128
                 THEN 4294967295 ELSE 9223372032559808512 END AS phash,
            CASE WHEN n9 % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS c_container,
            160 + 16 * n10 AS c_width,

@@ -120,7 +120,13 @@ def synthetic_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                      dtype="object"),
             })
 
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+    # corpus synthesis + downstream decode are compute-heavy: spread
+    # the 8-byte ids across cores before synthesizing payloads (no-op
+    # at scale / on already-parallel scans; bodies never shuffle)
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)
 
 
 def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, int]:
@@ -138,7 +144,15 @@ def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, i
     RIFF movi walk) or in MP4 (nib 5 % 4 == 2, full ISO-BMFF
     sample-table demux: stsd/stsz/stsc/stco/stss) — the oracle rows
     are IDENTICAL across the split, so the gate passes only if all
-    three real demux+decode pipelines agree with it."""
+    three real demux+decode pipelines agree with it. Within the WEBM
+    family, nibble 13 splits key-only streams from INTER streams:
+    frame 0 is the key frame at tone_base, odd frames are ZEROMV
+    skip copies and even frames SPLITMV 16x8 half-swaps (per-partition
+    full-pel MVs +/-8 rows read the OTHER half of the last frame), so
+    sampled frame j's top tone is tone_base when j % 4 == 0 and its
+    inverse when j % 4 == 2 — exact (full-pel motion compensation is
+    a copy), oracle-derivable, and NOT reproducible by a keyframe-only
+    or motion-ignoring decoder (row count / hash both diverge)."""
     nib = _nibbles(doc_id) if nib is None else nib
     return 4 + nib[1], 16, 4 + nib[6] % 5, nib[3] * 16 + nib[4]
 
@@ -166,6 +180,22 @@ def _video_payload(doc_id: int) -> bytes:
     w, h, n_frames, tone_base = video_params(doc_id, nib)
     tones = [(tone_base + 17 * i) % 256 for i in range(n_frames)]
     if nib[5] % 2 == 1:
+        if nib[13] % 2 == 1:
+            # INTER stream: key frame 0, then alternating ZEROMV skip
+            # copies (odd) and SPLITMV 16x8 half-swaps (even) — the
+            # swap's full-pel +/-8-row MVs read the other half of the
+            # last frame, so motion compensation is an exact copy
+            from schema_fantasy_spark.ops.vp8 import encode_vp8_inter
+
+            swap = {"kind": "split", "partition": 0,
+                    "mvs": [(64, 0), (-64, 0)]}
+            skip = {"kind": "zero", "skip": 1}
+            frames = [(_vp8_two_tone_frame(w, h, tone_base), True)]
+            for i in range(1, n_frames):
+                plan = swap if i % 2 == 0 else skip
+                frames.append(
+                    (encode_vp8_inter(w, h, lambda r, c, p=plan: p), False))
+            return encode_webm_vp8(frames, w, h, fps=12)
         frames = [_vp8_two_tone_frame(w, h, t) for t in tones]
         return encode_webm_vp8(frames, w, h, fps=12)
     frames = []
@@ -193,7 +223,13 @@ def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                      dtype="object"),
             })
 
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+    # corpus synthesis + downstream decode are compute-heavy: spread
+    # the 8-byte ids across cores before synthesizing payloads (no-op
+    # at scale / on already-parallel scans; bodies never shuffle)
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)
 
 
 def container_params(doc_id: int, nib: list | None = None):
@@ -240,7 +276,13 @@ def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFra
                                      dtype="object"),
             })
 
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+    # corpus synthesis + downstream decode are compute-heavy: spread
+    # the 8-byte ids across cores before synthesizing payloads (no-op
+    # at scale / on already-parallel scans; bodies never shuffle)
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)
 
 
 def audio_params(doc_id: int) -> Tuple[int, int, int, bool, int]:
@@ -401,7 +443,13 @@ def synthetic_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                      dtype="object"),
             })
 
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+    # corpus synthesis + downstream decode are compute-heavy: spread
+    # the 8-byte ids across cores before synthesizing payloads (no-op
+    # at scale / on already-parallel scans; bodies never shuffle)
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)
 
 
 def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -417,4 +465,10 @@ def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                                      dtype="object"),
             })
 
-    return df.select(id_col).mapInPandas(run, PAYLOAD_SCHEMA)
+    # corpus synthesis + downstream decode are compute-heavy: spread
+    # the 8-byte ids across cores before synthesizing payloads (no-op
+    # at scale / on already-parallel scans; bodies never shuffle)
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)

@@ -669,20 +669,29 @@ def video_frames(
     output, never a stage failure) — the same per-row contract as the
     image/audio decoders. mapInPandas, partition-preserving: at 10^12
     docs no video byte ever shuffles."""
+    from itertools import islice
+
     from schema_fantasy_spark.ops.video import (
         EBML_MAGIC, parse_avi, parse_mp4_samples, parse_webm_vp8,
     )
-    from schema_fantasy_spark.ops.vp8 import decode_vp8_frame
+    from schema_fantasy_spark.ops.vp8 import Vp8StreamDecoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, ws, hs, phashes = [], [], [], [], []
+
+            def emit(i, k, px):
+                ids.append(i)
+                idxs.append(k)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                phashes.append(ahash64(px))
+
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
                 frames = None
-                decode = decode_image_pixels
                 if payload[:4] == b"RIFF":
                     avi = parse_avi(payload)
                     frames = avi["frames"] if avi else None
@@ -692,28 +701,43 @@ def video_frames(
                         frames = [payload[o : o + s]
                                   for o, s, _sync in mp4["samples"]]
                 elif payload[:4] == EBML_MAGIC:
+                    # VP8 video: inter frames reference earlier ones,
+                    # so the stream decoder walks blocks in order —
+                    # but only the frames some sampled frame's state
+                    # chain passes through need decoding (backward
+                    # scan; chains break at keyframes), so key-only
+                    # streams decode exactly the sampled frames
                     webm = parse_webm_vp8(payload)
-                    frames = webm["frames"] if webm else None
-
-                    def decode(fr):
-                        planes = decode_vp8_frame(fr)
-                        if planes is None:
-                            return None
-                        y = planes[0]  # keyframe luma; corpus is gray
-                        return np.stack([y, y, y], axis=2)
+                    if not webm or not webm["blocks"]:
+                        continue
+                    blocks = webm["blocks"]
+                    want = set(islice(
+                        range(0, len(blocks), every_n), max_frames))
+                    needed = [False] * len(blocks)
+                    chain = False
+                    for k in range(len(blocks) - 1, -1, -1):
+                        needed[k] = k in want or chain
+                        chain = needed[k] and not blocks[k][1]
+                    dec = Vp8StreamDecoder()
+                    for k, (body, _is_key) in enumerate(blocks):
+                        if not needed[k]:
+                            continue
+                        out = dec.decode_frame(body)
+                        if out is None or not out["show"]:
+                            continue
+                        if k in want:
+                            y = out["planes"][0]  # corpus is achromatic
+                            emit(i, k, np.stack([y, y, y], axis=2))
+                    continue
                 if frames is None:
                     continue
                 for k, frame in list(enumerate(frames))[::every_n][
                     :max_frames
                 ]:
-                    px = decode(frame)
+                    px = decode_image_pixels(frame)
                     if px is None:
                         continue
-                    ids.append(i)
-                    idxs.append(k)
-                    hs.append(px.shape[0])
-                    ws.append(px.shape[1])
-                    phashes.append(ahash64(px))
+                    emit(i, k, px)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

@@ -656,12 +656,14 @@ def encode_webm_vp8(
     frames: list, width: int, height: int, fps: int = 12,
     timescale_ns: int = 1_000_000,
 ) -> bytes:
-    """Full WebM file around raw VP8 KEY frames: EBML header (DocType
+    """Full WebM file around raw VP8 frames: EBML header (DocType
     webm), Segment with Info/Tracks (CodecID V_VP8, TrackNumber 1,
-    PixelWidth/Height) and one Cluster of SimpleBlocks (keyframe flag
-    set, one block per frame at fps spacing). Pairs with
-    :func:`parse_webm_vp8` and ops/vp8.decode_vp8_frame for a real
-    in-container VP8 keyframe pipeline."""
+    PixelWidth/Height) and one Cluster of SimpleBlocks, one block per
+    frame at fps spacing. Each frame is raw bytes (keyframe, the
+    historical form) or a ``(bytes, is_key)`` pair — inter frames get
+    the SimpleBlock keyframe flag cleared. Pairs with
+    :func:`parse_webm_vp8` + ops/vp8.Vp8StreamDecoder for a real
+    in-container VP8 video pipeline (key AND inter frames)."""
 
     def el(eid: bytes, body: bytes) -> bytes:
         return eid + _ebml_vint(len(body)) + body
@@ -687,12 +689,15 @@ def encode_webm_vp8(
     )
     tracks = el(b"\x16\x54\xae\x6b", track)
     ms_per_frame = round(1000 / fps)
+    def _norm(f):
+        return f if isinstance(f, tuple) else (f, True)
+
     blocks = b"".join(
         el(b"\xa3",
            b"\x81"                                     # track 1 VINT
            + struct.pack(">h", i * ms_per_frame)        # relative ts
-           + b"\x80"                                   # flags: keyframe
-           + bytes(f))
+           + (b"\x80" if _norm(f)[1] else b"\x00")     # keyframe flag
+           + bytes(_norm(f)[0]))
         for i, f in enumerate(frames)
     )
     cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00") + blocks)
@@ -701,17 +706,21 @@ def encode_webm_vp8(
 
 
 def parse_webm_vp8(payload: bytes) -> Optional[dict]:
-    """VP8 KEY frames of a WebM/Matroska file: {width, height,
-    track_number, frames: [bytes]} walking Segment -> Tracks (the
-    V_VP8 TrackEntry) -> Clusters -> SimpleBlocks (keyframe-flagged
-    blocks of that track; lacing is not used by this writer and laced
-    blocks are skipped). Malformed/truncated tails quarantine cleanly:
-    complete blocks before the damage survive, like every decoder in
-    ops/. None when the payload is not EBML or has no V_VP8 track."""
+    """VP8 frames of a WebM/Matroska file: {width, height,
+    track_number, frames: [bytes], blocks: [(bytes, is_key)]} walking
+    Segment -> Tracks (the V_VP8 TrackEntry) -> Clusters ->
+    SimpleBlocks of that track. ``blocks`` carries EVERY unlaced block
+    in bitstream order with its keyframe flag (feed to
+    Vp8StreamDecoder); ``frames`` keeps the historical keyframe-only
+    view (lacing is not used by this writer and laced blocks are
+    skipped). Malformed/truncated tails quarantine cleanly: complete
+    blocks before the damage survive, like every decoder in ops/.
+    None when the payload is not EBML or has no V_VP8 track."""
     n = len(payload)
     if n < 8 or payload[:4] != EBML_MAGIC:
         return None
-    out = {"width": None, "height": None, "track_number": None, "frames": []}
+    out = {"width": None, "height": None, "track_number": None,
+           "frames": [], "blocks": []}
     try:
         for eid, b, e in _ebml_children(payload, 0, n):
             if eid != 0x18538067:  # Segment
@@ -753,11 +762,12 @@ def parse_webm_vp8(payload: bytes) -> Optional[dict]:
                     if (tb & 0x7F) != out["track_number"]:
                         continue
                     flags = payload[b2 + 3]
-                    if not flags & 0x80:   # not a keyframe
-                        continue
                     if flags & 0x06:       # laced: this writer never laces
                         continue
-                    out["frames"].append(payload[b2 + 4:e2e])
+                    body = payload[b2 + 4:e2e]
+                    out["blocks"].append((body, bool(flags & 0x80)))
+                    if flags & 0x80:
+                        out["frames"].append(body)
     except Exception:
         pass  # truncated tail: keep what parsed
     return out if out["track_number"] is not None else None

@@ -1300,14 +1300,22 @@ def test_video_frames_corpus_matches_nibble_oracle(spark):
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert set(by_doc) == set(range(64))  # no quarantined docs
+    n_inter = 0
     for doc_id, frs in by_doc.items():
         w, h, nf, tone_base = mm_corpus.video_params(doc_id)
+        nib = mm_corpus._nibbles(doc_id)
+        inter = nib[5] % 2 == 1 and nib[13] % 2 == 1
+        n_inter += inter
         assert sorted(r["frame_idx"] for r in frs) == list(range(0, nf, 2))
         for r in frs:
             assert (r["width"], r["height"]) == (w, 16)
-            tone = (tone_base + 17 * r["frame_idx"]) % 256
+            if inter:  # webm INTER stream: half-swap every other sample
+                tone = tone_base if r["frame_idx"] % 4 == 0 else 255 - tone_base
+            else:
+                tone = (tone_base + 17 * r["frame_idx"]) % 256
             want = 4294967295 if tone >= 128 else 9223372032559808512
             assert r["phash"] == want, (doc_id, r["frame_idx"], tone)
+    assert n_inter > 0  # the inter sub-family is present in the corpus
 
 
 def test_video_frames_quarantines_corrupt(spark):
@@ -1523,6 +1531,58 @@ def test_webm_vp8_roundtrip_and_quarantine(spark):
     webm_rows = [r for r in rows if r["doc_id"] == 3]
     assert [r["frame_idx"] for r in webm_rows] == [0, 2]
     assert all(r["width"] == 19 and r["height"] == 16 for r in webm_rows)
+
+
+def test_webm_vp8_inter_stream_pipeline(spark):
+    """Key + INTER frames through the full container pipeline: the
+    writer clears the SimpleBlock keyframe flag on inter frames, the
+    parser surfaces every block in bitstream order with its flag, the
+    stream decoder motion-compensates for real (half-swap SPLITMV +
+    ZEROMV skips), and video_frames samples the ALTERNATING tones —
+    none of which a keyframe-only or MC-ignoring path can reproduce."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+    from schema_fantasy_spark.ops import video as V
+    from schema_fantasy_spark.ops import vp8
+
+    w, h, t0, nf = 19, 16, 200, 8
+    swap = {"kind": "split", "partition": 0, "mvs": [(64, 0), (-64, 0)]}
+    skip = {"kind": "zero", "skip": 1}
+    frames = [(mc._vp8_two_tone_frame(w, h, t0), True)]
+    for i in range(1, nf):
+        plan = swap if i % 2 == 0 else skip
+        frames.append((vp8.encode_vp8_inter(w, h, lambda r, c, p=plan: p),
+                       False))
+    wb = V.encode_webm_vp8(frames, w, h)
+    p = V.parse_webm_vp8(wb)
+    assert [k for _b, k in p["blocks"]] == [True] + [False] * (nf - 1)
+    assert [bytes(b) for b, _k in p["blocks"]] == [bytes(f) for f, _ in frames]
+    assert len(p["frames"]) == 1  # keyframe-only view unchanged
+    dec = vp8.Vp8StreamDecoder()
+    for k, (body, _isk) in enumerate(p["blocks"]):
+        out = dec.decode_frame(body)
+        assert out is not None and out["show"]
+        top = t0 if k % 4 in (0, 1) else 255 - t0
+        y = out["planes"][0]
+        assert (y[:8] == top).all() and (y[8:] == 255 - top).all(), k
+    # through the operator: sampled indices 0,2,4,6 alternate tones,
+    # and a mid-stream truncation quarantines only the damaged tail
+    df = spark.createDataFrame(
+        [(1, bytearray(wb)), (2, bytearray(wb[: len(wb) - 30]))],
+        "doc_id: long, payload: binary",
+    )
+    rows = mm.video_frames(df, binary_col="payload", id_col="doc_id",
+                           every_n=2, max_frames=4).collect()
+    got = {r["doc_id"]: [] for r in rows}
+    for r in rows:
+        got[r["doc_id"]].append((r["frame_idx"], r["phash"]))
+    a, b = 4294967295, 9223372032559808512
+    hi = a if t0 >= 128 else b
+    lo = b if t0 >= 128 else a
+    assert sorted(got[1]) == [(0, hi), (2, lo), (4, hi), (6, lo)]
+    assert sorted(got[2]) == [(0, hi), (2, lo), (4, hi)]  # tail cut
 
 
 def test_webm_vp8_frames_match_libwebp():
