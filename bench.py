@@ -202,6 +202,13 @@ def main() -> None:
         "DELETE under the gate; text_features scores through the "
         "vocab-capped (top-128 + UNK) fluency model - added work, "
         "not regressions",
+        "r6 late: half the WebM video docs are now INTER streams (key + "
+        "ZEROMV/SPLITMV frames, real motion compensation), and all five "
+        "synthetic corpus builders spread ids across cores before "
+        "payload synthesis (single-row-group bench files previously "
+        "serialized the whole encode+decode in one task): video_frames "
+        "27.7 -> ~2.5s, image_decode 6.7 -> ~3.1, jpeg_decode 3.2 -> "
+        "~1.0 at sf0.1",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
