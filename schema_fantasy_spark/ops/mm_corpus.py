@@ -152,7 +152,12 @@ def video_params(doc_id: int, nib: list | None = None) -> Tuple[int, int, int, i
     sampled frame j's top tone is tone_base when j % 4 == 0 and its
     inverse when j % 4 == 2 — exact (full-pel motion compensation is
     a copy), oracle-derivable, and NOT reproducible by a keyframe-only
-    or motion-ignoring decoder (row count / hash both diverge)."""
+    or motion-ignoring decoder (row count / hash both diverge). The
+    nibble-13 % 4 == 3 quarter carries the SAME inter sequence in the
+    harder container forms — Xiph-laced SimpleBlocks, EBML-laced
+    BlockGroups (keyframe-ness from ReferenceBlock absence), plain
+    BlockGroups — with oracle rows identical to the % 4 == 1 docs, so
+    lace expansion and BlockGroup parsing are gated too."""
     nib = _nibbles(doc_id) if nib is None else nib
     return 4 + nib[1], 16, 4 + nib[6] % 5, nib[3] * 16 + nib[4]
 
@@ -195,6 +200,27 @@ def _video_payload(doc_id: int) -> bytes:
                 plan = swap if i % 2 == 0 else skip
                 frames.append(
                     (encode_vp8_inter(w, h, lambda r, c, p=plan: p), False))
+            if nib[13] % 4 == 3:
+                # same frame SEQUENCE, harder container form: inter
+                # frames ride in Xiph-laced SimpleBlocks and EBML-laced
+                # BlockGroups (keyframe-ness from ReferenceBlock
+                # absence) alternately, leftover singles in a plain
+                # BlockGroup — the oracle rows are IDENTICAL to the
+                # n14 % 4 == 1 docs, so the gate passes only if lace
+                # expansion and BlockGroup parsing are exact
+                entries, j, g = [frames[0]], 1, 0
+                while j < n_frames:
+                    pair = frames[j : j + 2]
+                    if len(pair) == 1:
+                        entries.append({"frames": pair, "group": True})
+                    elif g % 2 == 0:
+                        entries.append({"frames": pair, "lacing": "xiph"})
+                    else:
+                        entries.append({"frames": pair, "lacing": "ebml",
+                                        "group": True})
+                    j += 2
+                    g += 1
+                return encode_webm_vp8(entries, w, h, fps=12)
             return encode_webm_vp8(frames, w, h, fps=12)
         frames = [_vp8_two_tone_frame(w, h, t) for t in tones]
         return encode_webm_vp8(frames, w, h, fps=12)

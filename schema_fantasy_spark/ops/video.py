@@ -652,18 +652,64 @@ def encode_mkv_stub(
 # ----------------------------------------------- webm/vp8 (real frames)
 
 
+def _ebml_svint(v: int) -> bytes:
+    """Signed EBML VINT (lace-size delta coding): stored value is
+    ``v + (2^(7L-1) - 1)`` at the minimal length L."""
+    for ln in range(1, 9):
+        bias = (1 << (7 * ln - 1)) - 1
+        if -bias <= v <= bias:
+            return ((1 << (7 * ln)) | (v + bias)).to_bytes(ln, "big")
+    raise ValueError("svint out of range")
+
+
+def _lace_payload(bodies: list, lacing: str) -> bytes:
+    """Lace-header + concatenated frame data for a multi-frame block
+    (Matroska 4.1.3): Xiph (255-run sizes), EBML (VINT first size +
+    signed-VINT deltas), or fixed (equal sizes, no size table). The
+    last frame's size is implicit in every scheme."""
+    head = bytes([len(bodies) - 1])
+    if lacing == "fixed":
+        if len({len(b) for b in bodies}) != 1:
+            raise ValueError("fixed lacing needs equal frame sizes")
+        return head + b"".join(bodies)
+    if lacing == "xiph":
+        for b in bodies[:-1]:
+            sz = len(b)
+            head += b"\xff" * (sz // 255) + bytes([sz % 255])
+        return head + b"".join(bodies)
+    if lacing == "ebml":
+        head += _ebml_vint(len(bodies[0]))
+        for prev, cur in zip(bodies, bodies[1:-1]):
+            head += _ebml_svint(len(cur) - len(prev))
+        return head + b"".join(bodies)
+    raise ValueError(f"unknown lacing {lacing!r}")
+
+
+_LACE_BITS = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+
 def encode_webm_vp8(
     frames: list, width: int, height: int, fps: int = 12,
     timescale_ns: int = 1_000_000,
 ) -> bytes:
     """Full WebM file around raw VP8 frames: EBML header (DocType
     webm), Segment with Info/Tracks (CodecID V_VP8, TrackNumber 1,
-    PixelWidth/Height) and one Cluster of SimpleBlocks, one block per
-    frame at fps spacing. Each frame is raw bytes (keyframe, the
-    historical form) or a ``(bytes, is_key)`` pair — inter frames get
-    the SimpleBlock keyframe flag cleared. Pairs with
-    :func:`parse_webm_vp8` + ops/vp8.Vp8StreamDecoder for a real
-    in-container VP8 video pipeline (key AND inter frames)."""
+    PixelWidth/Height) and one Cluster at fps spacing. Each entry of
+    ``frames`` is one of:
+
+    * raw bytes — a keyframe SimpleBlock (the historical form);
+    * ``(bytes, is_key)`` — a SimpleBlock, keyframe flag as given;
+    * ``{"frames": [(bytes, is_key), ...], "lacing": None | "xiph" |
+      "ebml" | "fixed", "group": bool}`` — several frames in ONE block:
+      a laced SimpleBlock (keyframe flag set only when every frame is a
+      key frame), or with ``group=True`` a BlockGroup whose Block
+      carries the frames and which emits a ReferenceBlock element when
+      any frame is an inter frame (the Matroska way of marking
+      non-keyframes — Block has no keyframe flag).
+
+    Pairs with :func:`parse_webm_vp8` + ops/vp8.Vp8StreamDecoder for a
+    real in-container VP8 video pipeline (key AND inter frames, laced
+    and BlockGroup forms included)."""
 
     def el(eid: bytes, body: bytes) -> bytes:
         return eid + _ebml_vint(len(body)) + body
@@ -689,33 +735,115 @@ def encode_webm_vp8(
     )
     tracks = el(b"\x16\x54\xae\x6b", track)
     ms_per_frame = round(1000 / fps)
-    def _norm(f):
-        return f if isinstance(f, tuple) else (f, True)
 
-    blocks = b"".join(
-        el(b"\xa3",
-           b"\x81"                                     # track 1 VINT
-           + struct.pack(">h", i * ms_per_frame)        # relative ts
-           + (b"\x80" if _norm(f)[1] else b"\x00")     # keyframe flag
-           + bytes(_norm(f)[0]))
-        for i, f in enumerate(frames)
-    )
+    def one_block(entry, ts):
+        head = b"\x81" + struct.pack(">h", ts)          # track 1, rel ts
+        if not isinstance(entry, dict):
+            body, is_key = entry if isinstance(entry, tuple) else (entry, True)
+            return el(b"\xa3", head + (b"\x80" if is_key else b"\x00")
+                      + bytes(body))
+        group = entry.get("group", False)
+        lacing = entry.get("lacing")
+        bodies = [bytes(b) for b, _k in entry["frames"]]
+        all_key = all(k for _b, k in entry["frames"])
+        if lacing:
+            data = bytes([_LACE_BITS[lacing]]) + _lace_payload(bodies, lacing)
+        else:
+            if len(bodies) != 1:
+                raise ValueError("multiple frames need lacing")
+            data = b"\x00" + bodies[0]
+        if not group:
+            if lacing:
+                data = bytes([data[0] | (0x80 if all_key else 0)]) + data[1:]
+            elif all_key:
+                data = b"\x80" + data[1:]
+            return el(b"\xa3", head + data)
+        block = el(b"\xa1", head + data)
+        if not all_key:  # ReferenceBlock (-1: refs the previous frame)
+            block += el(b"\xfb", b"\xff")
+        return el(b"\xa0", block)
+
+    blocks, ts = b"", 0
+    for entry in frames:
+        blocks += one_block(entry, ts * ms_per_frame)
+        ts += (len(entry["frames"]) if isinstance(entry, dict) else 1)
     cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", b"\x00") + blocks)
     segment = el(b"\x18\x53\x80\x67", info + tracks + cluster)
     return ebml + segment
+
+
+def _unlace(buf: bytes, pos: int, end: int, lace_bits: int):
+    """Frame bodies of a (Simple)Block payload after the flags byte:
+    no lacing -> one body; Xiph (255-run size table), EBML (VINT first
+    size + signed-VINT deltas), or fixed (equal split) -> each laced
+    frame in order (Matroska 4.1.3; the last size is implicit). None on
+    malformed tables — the caller quarantines the block."""
+    if lace_bits == 0:
+        return [buf[pos:end]]
+    if pos >= end:
+        return None
+    n = buf[pos] + 1
+    pos += 1
+    sizes = []
+    if lace_bits == 0x02:          # Xiph
+        for _ in range(n - 1):
+            sz = 0
+            while pos < end and buf[pos] == 255:
+                sz += 255
+                pos += 1
+            if pos >= end:
+                return None
+            sz += buf[pos]
+            pos += 1
+            sizes.append(sz)
+    elif lace_bits == 0x04:        # fixed
+        if (end - pos) % n:
+            return None
+        each = (end - pos) // n
+        sizes = [each] * (n - 1)
+    else:                          # EBML
+        first = _ebml_size(buf, pos, end)
+        if first is None:
+            return None
+        sz, pos = first
+        sizes.append(sz)
+        for _ in range(n - 2):
+            if pos >= end:
+                return None
+            b0 = buf[pos]
+            ln = next((k for k in range(1, 9) if b0 & (0x100 >> k)), None)
+            if ln is None or pos + ln > end:
+                return None
+            v = int.from_bytes(buf[pos : pos + ln], "big") & ~(
+                (0x100 >> ln) << (8 * (ln - 1))
+            )
+            sz += v - ((1 << (7 * ln - 1)) - 1)
+            pos += ln
+            sizes.append(sz)
+    if any(s < 0 for s in sizes) or pos + sum(sizes) > end:
+        return None
+    out = []
+    for s in sizes:
+        out.append(buf[pos : pos + s])
+        pos += s
+    out.append(buf[pos:end])       # last frame: implicit size
+    return out
 
 
 def parse_webm_vp8(payload: bytes) -> Optional[dict]:
     """VP8 frames of a WebM/Matroska file: {width, height,
     track_number, frames: [bytes], blocks: [(bytes, is_key)]} walking
     Segment -> Tracks (the V_VP8 TrackEntry) -> Clusters ->
-    SimpleBlocks of that track. ``blocks`` carries EVERY unlaced block
-    in bitstream order with its keyframe flag (feed to
-    Vp8StreamDecoder); ``frames`` keeps the historical keyframe-only
-    view (lacing is not used by this writer and laced blocks are
-    skipped). Malformed/truncated tails quarantine cleanly: complete
-    blocks before the damage survive, like every decoder in ops/.
-    None when the payload is not EBML or has no V_VP8 track."""
+    SimpleBlocks AND BlockGroups of that track. ``blocks`` carries
+    EVERY frame in bitstream order with its keyframe flag (feed to
+    Vp8StreamDecoder): laced blocks (Xiph / EBML / fixed) expand to
+    one entry per laced frame (the SimpleBlock keyframe flag applies
+    to the whole lace), and BlockGroup keyframe-ness comes from the
+    ABSENCE of a ReferenceBlock child (Block has no keyframe flag).
+    ``frames`` keeps the historical keyframe-only view. Malformed/
+    truncated tails quarantine cleanly: complete blocks before the
+    damage survive, like every decoder in ops/. None when the payload
+    is not EBML or has no V_VP8 track."""
     n = len(payload)
     if n < 8 or payload[:4] != EBML_MAGIC:
         return None
@@ -749,25 +877,45 @@ def parse_webm_vp8(payload: bytes) -> Optional[dict]:
                         out["width"], out["height"] = w, h
             if out["track_number"] is None:
                 return None
-            # pass 2: collect keyframe SimpleBlocks of that track
+            # pass 2: collect the track's frames from SimpleBlocks and
+            # BlockGroups (laced or not), in bitstream order
+            def eat_block(b2, e2e, is_key):
+                """(Simple)Block payload -> append expanded frames;
+                is_key None means 'from the SimpleBlock flag'."""
+                if e2e - b2 < 5:
+                    return
+                tb = payload[b2]
+                if not tb & 0x80:  # multi-byte track VINT: not ours
+                    return
+                if (tb & 0x7F) != out["track_number"]:
+                    return
+                flags = payload[b2 + 3]
+                if is_key is None:
+                    is_key = bool(flags & 0x80)
+                bodies = _unlace(payload, b2 + 4, e2e, flags & 0x06)
+                if bodies is None:
+                    return  # malformed lace table: quarantine the block
+                for body in bodies:
+                    out["blocks"].append((body, is_key))
+                    if is_key:
+                        out["frames"].append(body)
+
             for e1, b1, e1e in _ebml_children(payload, b, e):
                 if e1 != 0x1F43B675:  # Cluster
                     continue
                 for e2, b2, e2e in _ebml_children(payload, b1, e1e):
-                    if e2 != 0xA3 or e2e - b2 < 5:  # SimpleBlock
-                        continue
-                    tb = payload[b2]
-                    if not tb & 0x80:  # multi-byte track VINT: not ours
-                        continue
-                    if (tb & 0x7F) != out["track_number"]:
-                        continue
-                    flags = payload[b2 + 3]
-                    if flags & 0x06:       # laced: this writer never laces
-                        continue
-                    body = payload[b2 + 4:e2e]
-                    out["blocks"].append((body, bool(flags & 0x80)))
-                    if flags & 0x80:
-                        out["frames"].append(body)
+                    if e2 == 0xA3:                     # SimpleBlock
+                        eat_block(b2, e2e, None)
+                    elif e2 == 0xA0:                   # BlockGroup
+                        blk = None
+                        referenced = False
+                        for e3, b3, e3e in _ebml_children(payload, b2, e2e):
+                            if e3 == 0xA1:             # Block
+                                blk = (b3, e3e)
+                            elif e3 == 0xFB:           # ReferenceBlock
+                                referenced = True
+                        if blk is not None:
+                            eat_block(blk[0], blk[1], not referenced)
     except Exception:
         pass  # truncated tail: keep what parsed
     return out if out["track_number"] is not None else None

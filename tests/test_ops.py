@@ -1585,6 +1585,92 @@ def test_webm_vp8_inter_stream_pipeline(spark):
     assert sorted(got[2]) == [(0, hi), (2, lo), (4, hi)]  # tail cut
 
 
+def test_webm_lacing_and_blockgroups(spark):
+    """All three Matroska lacing schemes (Xiph 255-run sizes, EBML
+    VINT+signed-delta sizes, fixed equal split) and BlockGroup/Block/
+    ReferenceBlock round-trip through writer -> parser -> stream
+    decoder; malformed lace tables quarantine the block only."""
+    from schema_fantasy_spark.ops import mm_corpus as mc
+    from schema_fantasy_spark.ops import multimodal as mm
+    from schema_fantasy_spark.ops import video as V
+    from schema_fantasy_spark.ops import vp8
+
+    w, h, t0 = 19, 16, 200
+    key = mc._vp8_two_tone_frame(w, h, t0)
+    swap = vp8.encode_vp8_inter(
+        w, h, lambda r, c: {"kind": "split", "partition": 0,
+                            "mvs": [(64, 0), (-64, 0)]})
+    skip = vp8.encode_vp8_inter(w, h, lambda r, c: {"kind": "zero", "skip": 1})
+    entries = [
+        (key, True),
+        {"frames": [(skip, False), (swap, False)], "lacing": "xiph"},
+        {"frames": [(skip, False), (swap, False)], "lacing": "ebml",
+         "group": True},
+        {"frames": [(skip, False), (skip, False)], "lacing": "fixed"},
+        {"frames": [(swap, False)], "group": True},
+    ]
+    wb = V.encode_webm_vp8(entries, w, h)
+    p = V.parse_webm_vp8(wb)
+    exp = [key, skip, swap, skip, swap, skip, skip, swap]
+    assert [bytes(b) for b, _k in p["blocks"]] == exp
+    assert [k for _b, k in p["blocks"]] == [True] + [False] * 7
+    assert len(p["frames"]) == 1  # keyframe-only view: just the key
+    dec = vp8.Vp8StreamDecoder()
+    tones = []
+    for b, _k in p["blocks"]:
+        out = dec.decode_frame(b)
+        assert out is not None
+        tones.append(int(out["planes"][0][0, 0]))
+    assert tones == [200, 200, 55, 55, 200, 200, 200, 55]
+
+    # size-table edges: a 255-byte frame needs the 0xff-run + 0x00
+    # terminator in Xiph; EBML deltas go negative then positive
+    big = bytes(255)
+    lp = V._lace_payload([big, b"xy"], "xiph")
+    assert V._unlace(b"\x00" + lp, 1, 1 + len(lp), 0x02) == [big, b"xy"]
+    lp = V._lace_payload([b"a" * 300, b"b" * 10, b"c" * 50], "ebml")
+    assert V._unlace(b"\x00" + lp, 1, 1 + len(lp), 0x06) == [
+        b"a" * 300, b"b" * 10, b"c" * 50]
+    # fixed lacing rejects unequal frames at write time
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        V._lace_payload([b"abc", b"de"], "fixed")
+    # malformed lace tables quarantine the BLOCK, not the file: sizes
+    # overrun the block body -> that block's frames are absent, the
+    # other blocks survive
+    assert V._unlace(b"\x01\xff\xff\x05ab", 0, 6, 0x02) is None
+    bad = V.encode_webm_vp8(
+        [(key, True),
+         {"frames": [(skip, False), (swap, False)], "lacing": "xiph"}],
+        w, h)
+    # the laced block's lace header is (flags=0x02, count=1, size):
+    # bump the size byte so the first lace frame overruns the block
+    sig = bytes([0x02, 0x01, len(skip)])
+    k = bad.find(sig)
+    assert k > 0
+    mut = bytearray(bad)
+    mut[k + 2] = 0xFE
+    pm = V.parse_webm_vp8(bytes(mut))
+    assert [bytes(b) for b, _k in pm["blocks"]] == [key]
+
+    # the corpus' laced quarter equals its SimpleBlock twin through the
+    # operator: find an (inter, laced) and an (inter, plain) doc and
+    # compare sampled rows modulo the doc-specific nibbles
+    laced = next(i for i in range(400)
+                 if mc._nibbles(i)[5] % 2 == 1 and mc._nibbles(i)[13] % 4 == 3)
+    df = spark.createDataFrame(
+        [(laced, bytearray(mc._video_payload(laced)))],
+        "doc_id: long, payload: binary")
+    rows = mm.video_frames(df, binary_col="payload", id_col="doc_id",
+                           every_n=2, max_frames=4).collect()
+    wl, _hl, nfl, tbl = mc.video_params(laced)
+    assert sorted(r["frame_idx"] for r in rows) == list(range(0, nfl, 2))
+    for r in rows:
+        tone = tbl if r["frame_idx"] % 4 == 0 else 255 - tbl
+        want = 4294967295 if tone >= 128 else 9223372032559808512
+        assert (r["width"], r["height"], r["phash"]) == (wl, 16, want)
+
+
 def test_webm_vp8_frames_match_libwebp():
     """The frames the WebM corpus embeds are themselves valid WebP-
     decodable VP8 streams: libwebp reconstructs the exact tones."""
