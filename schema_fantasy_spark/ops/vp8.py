@@ -1355,6 +1355,13 @@ SIXTAP_FILTERS = [
     [0, -1, 12, 123, -6, 0],
 ]
 
+# RFC 6386 section 6: two-tap bilinear filters for version 1-2 frames
+# (the cheap reconstruction profile), same 1/8-pel index.
+BILINEAR_FILTERS = [
+    [128, 0], [112, 16], [96, 32], [80, 48],
+    [64, 64], [48, 80], [32, 96], [16, 112],
+]
+
 _REF_PAD = 32  # replicated border around reference planes (motion
                # clamps keep every six-tap read within this margin)
 
@@ -1562,17 +1569,33 @@ def _chroma_mv_split(sub_mvs, quad_r, quad_c):
     return (avg(0), avg(1))
 
 
-def _predict_inter_block(ref_pad, r0, c0, h, w, mv):
+def _predict_inter_block(ref_pad, r0, c0, h, w, mv, filt="sixtap"):
     """Motion-compensated prediction of an h x w block at plane
     coordinates (r0, c0) from a _REF_PAD-padded reference plane; mv in
-    1/8-pel. Zero fractions copy; otherwise the 2-pass six-tap chain
-    (horizontal first over h+5 rows, both passes rounded by +64 >> 7
-    and clamped to 0..255, matching the reference C exactly)."""
+    1/8-pel. Zero fractions copy; otherwise the 2-pass filter chain —
+    six-tap (version 0: horizontal first over h+5 rows) or bilinear
+    (version 1-2: two taps, horizontal first over h+1 rows) — both
+    passes rounded by +64 >> 7 and clamped to 0..255, matching the
+    reference C exactly. Version-3 (full-pel) frames mask the MV
+    fractions before calling, so they always take the copy path."""
     rr = r0 + (mv[0] >> 3) + _REF_PAD
     cc = c0 + (mv[1] >> 3) + _REF_PAD
     fy, fx = mv[0] & 7, mv[1] & 7
     if fx == 0 and fy == 0:
         return ref_pad[rr:rr + h, cc:cc + w]
+    if filt == "bilinear":
+        src = ref_pad[rr:rr + h + 1, cc:cc + w + 1].astype(np.int64)
+        if fx:
+            f = BILINEAR_FILTERS[fx]
+            src = (f[0] * src[:, :w] + f[1] * src[:, 1:w + 1] + 64) >> 7
+        else:
+            src = src[:, :w]
+        if fy:
+            f = BILINEAR_FILTERS[fy]
+            src = (f[0] * src[:h, :] + f[1] * src[1:h + 1, :] + 64) >> 7
+        else:
+            src = src[:h, :]
+        return np.clip(src, 0, 255).astype(np.int32)
     fh = SIXTAP_FILTERS[fx]
     fv = SIXTAP_FILTERS[fy]
     src = ref_pad[rr - 2:rr + h + 3, cc - 2:cc + w + 3].astype(np.int64)
@@ -1605,9 +1628,10 @@ class Vp8StreamDecoder:
     libwebp layer) plus INTER frames — last/golden/altref reference
     buffers, copy/refresh buffer management, persistent entropy and
     segmentation state, the near-MV census, NEAREST/NEAR/ZERO/NEW/
-    SPLIT motion modes, and six-tap sub-pixel motion compensation.
-    Version-0 streams (six-tap + normal loop filter); inter frames of
-    bilinear-filter profiles (version 1-3) return None. Feed frames in
+    SPLIT motion modes, and sub-pixel motion compensation across all
+    four bitstream versions (RFC 6386 9.1 / libvpx vp8_setup_version):
+    0 six-tap + normal loop filter, 1 bilinear + simple filter, 2
+    bilinear + no filter, 3 full-pel only + no filter. Feed frames in
     bitstream order; ``decode_frame`` returns {"planes": (y,u,v),
     "keyframe": bool, "show": bool} or None on unsupported/corrupt
     input (state is then best-effort and the caller should resync at
@@ -1650,11 +1674,15 @@ class Vp8StreamDecoder:
             self.entropy = _default_entropy()
             self.seg_map = None  # realloc below once mb dims known
         else:
-            if key_only or self.dims is None or version != 0 \
+            if key_only or self.dims is None or version > 3 \
                     or self.refs[LAST_FRAME] is None:
                 return None
             width, height = self.dims
             hdr_off = 3
+        # RFC 9.1 / libvpx: version selects the reconstruction filter —
+        # 0 six-tap, 1-2 bilinear, 3 full-pel only (MV fractions masked)
+        mc_filt = "sixtap" if version == 0 else "bilinear"
+        fullpel_mask = ~7 if version == 3 else ~0
         if hdr_off + first_part_size > len(data):
             return None
         mb_w = (width + 15) // 16
@@ -1686,6 +1714,13 @@ class Vp8StreamDecoder:
         filter_type = p1.literal(1)
         filter_level = p1.literal(6)
         sharpness = p1.literal(3)
+        # libvpx vp8_setup_version: the bitstream version overrides the
+        # header's loop-filter bits — version 1 forces the simple
+        # filter, versions 2-3 disable loop filtering entirely.
+        if version == 1:
+            filter_type = 1
+        elif version >= 2:
+            filter_level = 0
 
         # loop-filter ref/mode deltas (9.4) — persistent, update-flagged
         lf_delta_on = p1.get(128)
@@ -1988,9 +2023,13 @@ class Vp8StreamDecoder:
                 cr0, cc0 = mb_r * 8, mb_c * 8
                 if inter:
                     py, pu, pv = ref_planes(ref)
+
+                    def fp(m):
+                        return (m[0] & fullpel_mask, m[1] & fullpel_mask)
+
                     if ym == SPLITMV:
                         smv_c = [
-                            _clamp_mv_umv(m, mb_r, mb_c, mb_w, mb_h)
+                            fp(_clamp_mv_umv(m, mb_r, mb_c, mb_w, mb_h))
                             for m in sub_mvs]
                         for sb in range(16):
                             sr, sc = sb // 4, sb % 4
@@ -1998,25 +2037,25 @@ class Vp8StreamDecoder:
                               c0 + sc * 4:c0 + sc * 4 + 4] = \
                                 _predict_inter_block(
                                     py, r0 + sr * 4, c0 + sc * 4, 4, 4,
-                                    smv_c[sb])
+                                    smv_c[sb], mc_filt)
                         for qr in range(2):
                             for qc in range(2):
-                                cm = _chroma_mv_split(smv_c, qr, qc)
+                                cm = fp(_chroma_mv_split(smv_c, qr, qc))
                                 for plane, pref in ((u, pu), (v, pv)):
                                     plane[cr0 + qr * 4:cr0 + qr * 4 + 4,
                                           cc0 + qc * 4:cc0 + qc * 4 + 4] = \
                                         _predict_inter_block(
                                             pref, cr0 + qr * 4, cc0 + qc * 4,
-                                            4, 4, cm)
+                                            4, 4, cm, mc_filt)
                     else:
-                        mv_c = _clamp_mv_umv(mv, mb_r, mb_c, mb_w, mb_h)
+                        mv_c = fp(_clamp_mv_umv(mv, mb_r, mb_c, mb_w, mb_h))
                         y[r0:r0 + 16, c0:c0 + 16] = _predict_inter_block(
-                            py, r0, c0, 16, 16, mv_c)
-                        cm = _chroma_mv(mv_c)
+                            py, r0, c0, 16, 16, mv_c, mc_filt)
+                        cm = fp(_chroma_mv(mv_c))
                         u[cr0:cr0 + 8, cc0:cc0 + 8] = _predict_inter_block(
-                            pu, cr0, cc0, 8, 8, cm)
+                            pu, cr0, cc0, 8, 8, cm, mc_filt)
                         v[cr0:cr0 + 8, cc0:cc0 + 8] = _predict_inter_block(
-                            pv, cr0, cc0, 8, 8, cm)
+                            pv, cr0, cc0, 8, 8, cm, mc_filt)
                     if not skip:
                         for sb in range(16):
                             rr = r0 + (sb // 4) * 4
@@ -2113,7 +2152,7 @@ def encode_vp8_inter(
     filter_type=0, refresh_last=True, refresh_golden=False,
     refresh_alt=False, copy_gf=0, copy_arf=0, sign_bias_golden=0,
     sign_bias_alt=0, refresh_entropy=True, prob_skip=128, prob_intra=128,
-    prob_last=128, prob_gf=128, mv_prob_updates=(), show=True,
+    prob_last=128, prob_gf=128, mv_prob_updates=(), show=True, version=0,
 ):
     """Minimal spec-conformant VP8 INTER frame for the stream-decoder
     tests. ``mb_plan(mb_r, mb_c)`` returns a dict:
@@ -2318,6 +2357,6 @@ def encode_vp8_inter(
                     a[key_][sb % 2] = left[key_][sb // 2] = 0
     part2 = p2.flush()
 
-    tag = 1 | (0 << 1) | ((1 if show else 0) << 4) | (len(part1) << 5)
+    tag = 1 | (version << 1) | ((1 if show else 0) << 4) | (len(part1) << 5)
     head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
     return head + part1 + part2

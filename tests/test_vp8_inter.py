@@ -335,3 +335,69 @@ def test_corrupt_inter_frame_returns_none(stream):
     # decoder still resyncs on the next good frame
     f = dec.decode_frame(vp8.encode_vp8_key_two_tone(W, H, 40, -20))
     assert f is not None and f["keyframe"]
+
+
+def test_bilinear_subpel_versions_1_and_2(stream):
+    # versions 1-2 reconstruct with the two-tap bilinear filters
+    # (RFC 6386 section 6 / libvpx vp8_setup_version), not six-tap
+    dec, f0 = stream
+    mv = (2, 6)
+    for ver in (1, 2):
+        d = vp8.Vp8StreamDecoder()
+        assert d.decode_frame(
+            vp8.encode_vp8_key_two_tone(W, H, 40, -20)) is not None
+        p = vp8.encode_vp8_inter(
+            W, H, lambda r, c: {"kind": "new", "mv": mv, "skip": 1},
+            version=ver)
+        f1 = d.decode_frame(p)
+        ref = np.pad(f0["planes"][0].astype(np.int64), 32, mode="edge")
+        fh, fv = vp8.BILINEAR_FILTERS[6], vp8.BILINEAR_FILTERS[2]
+        # horizontal first over h+1 rows, per-pass round/clamp
+        tmp = fh[0] * ref[32:32 + H + 1, 32:32 + W] \
+            + fh[1] * ref[32:32 + H + 1, 33:33 + W]
+        tmp = np.clip((tmp + 64) >> 7, 0, 255)
+        exp = np.clip(
+            (fv[0] * tmp[:H] + fv[1] * tmp[1:H + 1] + 64) >> 7, 0, 255)
+        assert np.array_equal(f1["planes"][0].astype(np.int64), exp)
+        # and it must differ from the six-tap version-0 reconstruction
+        d0 = vp8.Vp8StreamDecoder()
+        d0.decode_frame(vp8.encode_vp8_key_two_tone(W, H, 40, -20))
+        f1_v0 = d0.decode_frame(vp8.encode_vp8_inter(
+            W, H, lambda r, c: {"kind": "new", "mv": mv, "skip": 1}))
+        assert not np.array_equal(f1["planes"][0], f1_v0["planes"][0])
+
+
+def test_fullpel_version_3_masks_mv_fractions(stream):
+    # version 3: MV fractional bits ignored — (10, 22) acts as (8, 16)
+    dec, f0 = stream
+    p = vp8.encode_vp8_inter(
+        W, H, lambda r, c: {"kind": "new", "mv": (10, 22), "skip": 1},
+        version=3)
+    f1 = dec.decode_frame(p)
+    assert np.array_equal(
+        f1["planes"][0].astype(np.int32),
+        _shift(f0["planes"][0].astype(np.int32), 1, 2))
+    # chroma: luma mv (10,22) -> chroma (5,11), full-pel mask -> (0,8)
+    assert np.array_equal(
+        f1["planes"][1].astype(np.int32),
+        _shift(f0["planes"][1].astype(np.int32), 0, 1))
+
+
+def test_version_2_disables_loop_filter(stream):
+    # same frame, nonzero filter_level: version 0 filters, version 2
+    # must not (no_lpf in vp8_setup_version)
+    dec, f0 = stream
+
+    def plan(r, c):
+        return {"kind": "zero", "level": vp8.level_for_delta(9)}
+
+    outs = {}
+    for ver in (0, 2):
+        d = vp8.Vp8StreamDecoder()
+        d.decode_frame(vp8.encode_vp8_key_two_tone(W, H, 40, -20))
+        f = d.decode_frame(vp8.encode_vp8_inter(
+            W, H, plan, filter_level=32, version=ver))
+        outs[ver] = f["planes"][0].astype(np.int32)
+    unfiltered = np.clip(f0["planes"][0].astype(np.int32) + 9, 0, 255)
+    assert np.array_equal(outs[2], unfiltered)
+    assert not np.array_equal(outs[0], unfiltered)
