@@ -1351,7 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def image_decode_synthetic(spark, sf):
         # multimodal decode under the oracle gate: a deterministic
-        # two-tone BMP/PPM/PNG/WebP-lossless corpus from md5(doc_id) nibbles
+        # two-tone BMP/PPM/GIF/PNG/WebP corpus from md5(doc_id) nibbles
         # (ops/mm_corpus.py docstring has the derivation); the oracle
         # recomputes width/height/format and the exact aHash constant
         # from the same nibbles in SQL — the REAL decoders (incl. the
@@ -2392,7 +2392,9 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            4 + n2 AS width,
            CASE WHEN lossy THEN 32 ELSE 8 * (1 + n3 % 3) END AS height,
-           CASE n1 % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'webp' END AS format,
+           CASE n1 % 4 WHEN 0 THEN 'bmp'
+                WHEN 1 THEN (CASE WHEN n14 % 2 = 1 THEN 'gif' ELSE 'ppm' END)
+                WHEN 2 THEN 'png' ELSE 'webp' END AS format,
            CASE WHEN (CASE WHEN lossy THEN (n4*16+n5) * 3
                            ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383
                 THEN 4294967295 ELSE 9223372032559808512 END AS phash,
@@ -2400,7 +2402,8 @@ def oracle_sql() -> dict[str, str]:
            (CASE WHEN lossy THEN (n4*16+n5) * 3
                  ELSE (n4*16+n5) + (n6*16+n7) + (n8*16+n9) END) >= 383 AS top_brighter,
            CASE n1 % 4 WHEN 0 THEN 'image/bmp'
-                WHEN 1 THEN 'application/octet-stream'
+                WHEN 1 THEN (CASE WHEN n14 % 2 = 1
+                             THEN 'image/gif' ELSE 'application/octet-stream' END)
                 WHEN 2 THEN 'image/png' ELSE 'image/webp' END AS mime
       FROM f
     """

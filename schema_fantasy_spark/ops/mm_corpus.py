@@ -63,10 +63,10 @@ def image_params(
     doc_id: int, nib: list | None = None
 ) -> Tuple[int, int, int, Tuple[int, int, int]]:
     """(format_selector, width, height, color_a); color_b = inverse.
-    format_selector: 0 = bmp, 1 = ppm, 2 = png, 3 = webp (VP8L
-    lossless — two-tone channels encode with simple prefix codes,
-    bit-exact). Pass precomputed ``nib`` to avoid re-hashing in
-    per-row loops."""
+    format_selector: 0 = bmp, 1 = ppm or GIF (nibble-13 split),
+    2 = png, 3 = webp (VP8L lossless — two-tone channels encode with
+    simple prefix codes, bit-exact). Pass precomputed ``nib`` to avoid
+    re-hashing in per-row loops."""
     nib = _nibbles(doc_id) if nib is None else nib
     fsel = nib[0] % 4
     w = 4 + nib[1]                      # 4..19
@@ -341,6 +341,15 @@ def _image_payload(doc_id: int) -> bytes:
     if fsel == 0:
         return encode_bmp24(px)
     if fsel == 1:
+        # the ppm family splits by nibble 13: odd rows become GIF89a
+        # (palette-exact two-tone, losslessly identical pixels), with
+        # nibble 12 choosing interlaced vs sequential row order — the
+        # oracle only sees format/mime flip, every decoded value is
+        # unchanged (ops/gif.py LZW + interlace both round-trip exact)
+        if nib[13] % 2 == 1:
+            from schema_fantasy_spark.ops.gif import encode_gif_rgb
+
+            return encode_gif_rgb(px, interlace=bool(nib[12] % 2))
         return encode_ppm6(px)
     if fsel == 3:
         # webp rows split lossless VP8L / LOSSY VP8 by nibble 13: the

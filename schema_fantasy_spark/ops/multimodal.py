@@ -129,6 +129,12 @@ def decode_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
         dims = _ppm_header(payload)
         if dims is not None:
             return _valid_dims(dims[0], dims[1], "ppm")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from schema_fantasy_spark.ops.gif import parse_gif_header
+
+        hdr = parse_gif_header(payload)
+        if hdr is not None:
+            return _valid_dims(hdr[0], hdr[1], "gif")
     return None
 
 
@@ -352,10 +358,16 @@ def decode_image_pixels(payload: bytes) -> Optional["np.ndarray"]:
     pure numpy, ops/jpeg.py), and WebP — BOTH variants: lossless VP8L
     (prefix codes, color cache, LZ77, all transforms, ops/webp.py) and
     lossy VP8 key frames (boolean arithmetic decoder, token decode,
-    WHT/DCT, intra prediction — RFC 6386 in pure numpy, ops/vp8.py).
-    None for anything else (video codecs need codec libraries)."""
+    WHT/DCT, intra prediction — RFC 6386 in pure numpy, ops/vp8.py),
+    and GIF 87a/89a first frames (LZW, interlace, GCE transparency
+    composited over the background — ops/gif.py). None for anything
+    else (video codecs need codec libraries)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from schema_fantasy_spark.ops.gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from schema_fantasy_spark.ops.jpeg import decode_jpeg_pixels
 
@@ -446,6 +458,8 @@ def image_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                             fmt = "jpeg"
                         elif payload[:4] == b"RIFF":
                             fmt = "webp"
+                        elif payload[:3] == b"GIF":
+                            fmt = "gif"
                         else:
                             fmt = "ppm"
                         phash = ahash64(px)  # REAL perceptual hash

@@ -98,7 +98,10 @@ def test_corpus_cross_check(spark):
            for r in with_sniffed_mime(df).collect()}
     for d in range(48):
         nib = mc._nibbles(d)
-        assert got[("img", d)] == img_want[nib[0] % 4], d
+        want_img = img_want[nib[0] % 4]
+        if nib[0] % 4 == 1 and nib[13] % 2 == 1:
+            want_img = "image/gif"  # the ppm family's GIF sub-split
+        assert got[("img", d)] == want_img, d
         sr, nf, amp, corrupt, law = mc.audio_params(d)
         if not corrupt:
             want = "audio/mpeg" if law == 3 else "audio/wave"
