@@ -1465,10 +1465,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frames.join(F.broadcast(cmeta), "doc_id")
 
     def audio_metadata_synthetic(spark, sf):
-        # audio decode under the gate, THREE codec families split by
-        # nibble 14: 16-bit PCM (stdlib wave), G.711 mu-law and A-law
+        # audio decode under the gate, SIX codec families: 16-bit PCM
+        # (stdlib wave), G.711 mu-law and A-law
         # (ops/multimodal.parse_wav_g711 — tables byte-verified against
-        # audioop). Square-wave payloads make RMS an exact rational
+        # audioop), MP3 frame walks, FLAC STREAMINFO, and Ogg
+        # Opus/Vorbis page walks with RFC 3533 CRC verification
+        # (ops/audio_formats.py). Square-wave payloads make RMS an exact rational
         # (decoded magnitude / 32768, <= 6 decimals; the oracle replays
         # the G.711 expansion formulas in SQL); rows with nibble 13
         # == 0 are TRUNCATED containers and must be quarantined away
@@ -2451,29 +2453,50 @@ def oracle_sql() -> dict[str, str]:
     # verified exhaustively); else n14%3 -> PCM / G.711 mu-law / A-law
     # square waves whose expansion formulas replay in SQL
     audio_meta_sql = _mm_cte + """
-    , g AS (SELECT *, CASE WHEN n9 % 4 = 0 THEN 3 ELSE n14 % 3 END AS law,
+    , g AS (SELECT *,
+                   CASE WHEN n9 % 4 = 0 THEN 3
+                        WHEN n9 % 4 = 2 AND n8 % 2 = 0 THEN 4
+                        WHEN n9 % 4 = 3 AND n8 % 2 = 0 THEN 5
+                        ELSE n14 % 3 END AS law,
                    n12 % 8 AS aexp, n10 % 16 AS amant,
                    CASE n11 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
                         ELSE 32000 END AS msr
-              FROM n WHERE n13 <> 0)
+              FROM n WHERE n13 <> 0),
+    g2 AS (SELECT *,
+                  CASE WHEN law = 4
+                       THEN CASE n10 % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                 WHEN 2 THEN 96000 ELSE 22050 END
+                       WHEN law = 5
+                       THEN CASE WHEN n14 % 2 = 0 THEN 48000
+                            ELSE CASE n10 % 4 WHEN 0 THEN 8000
+                                      WHEN 1 THEN 11025 WHEN 2 THEN 22050
+                                      ELSE 44100 END END
+                       ELSE 8000 * (1 + n10 % 3) END AS wsr,
+                  CASE WHEN law = 4 THEN 10000 + 256 * n11
+                       WHEN law = 5
+                       THEN CASE WHEN n14 % 2 = 0 THEN 960 * (20 + n11)
+                                 ELSE 5000 + 128 * n11 END
+                       ELSE 400 + 64 * n11 END AS wframes
+             FROM g)
     SELECT doc_id,
-           CASE WHEN law = 3 THEN msr
-                ELSE 8000 * (1 + n10 % 3) END AS sample_rate,
-           CASE WHEN law = 3 AND n12 % 4 <> 3 THEN 2 ELSE 1 END AS n_channels,
+           CASE WHEN law = 3 THEN msr ELSE wsr END AS sample_rate,
+           CASE WHEN law = 3 AND n12 % 4 <> 3 THEN 2
+                WHEN law IN (4, 5) THEN 1 + n12 % 2
+                ELSE 1 END AS n_channels,
            CAST(CASE WHEN law = 3 THEN 8 + n14 % 8
-                     ELSE 400 + 64 * n11 END AS BIGINT) AS n_frames,
+                     ELSE wframes END AS BIGINT) AS n_frames,
            CASE WHEN law = 3
                 THEN round(CAST((8 + n14 % 8) * 1152 AS DOUBLE) / msr, 6)
-                ELSE round(CAST(400 + 64 * n11 AS DOUBLE)
-                           / (8000 * (1 + n10 % 3)), 6) END AS duration_sec,
-           CASE WHEN law = 3 THEN NULL
+                ELSE round(CAST(wframes AS DOUBLE) / wsr, 6)
+                END AS duration_sec,
+           CASE WHEN law >= 3 THEN NULL
                 ELSE round(CAST(CASE law
                  WHEN 0 THEN 512 * (1 + n12)
                  WHEN 1 THEN ((amant * 8 + 132) * (1 << aexp)) - 132
                  ELSE CASE WHEN aexp = 0 THEN amant * 16 + 8
                            ELSE (amant * 16 + 264) * (1 << (aexp - 1)) END
                END AS DOUBLE) / 32768, 6) END AS rms
-      FROM g
+      FROM g2
     """
 
     quantized_topk_sql = """

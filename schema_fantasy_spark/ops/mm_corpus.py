@@ -326,8 +326,27 @@ def audio_params(doc_id: int) -> Tuple[int, int, int, bool, int]:
     amp = 512 * (1 + nib[11])           # 512..8192 — rms = (1+nib)/64
     corrupt = nib[12] == 0              # 1/16 of rows: quarantine path
     # law 3 = MP3 (header walk; nibble 9 gates it ahead of the WAV
-    # codecs), else nibble 14 splits PCM / mu-law / A-law
-    law = 3 if nib[8] % 4 == 0 else nib[13] % 3
+    # codecs); laws 4 (FLAC) and 5 (Ogg Opus/Vorbis) carve half of two
+    # WAV residue classes via nibble 8; else nibble 14 splits
+    # PCM / mu-law / A-law
+    if nib[8] % 4 == 0:
+        law = 3
+    elif nib[8] % 4 == 2 and nib[7] % 2 == 0:
+        law = 4
+    elif nib[8] % 4 == 3 and nib[7] % 2 == 0:
+        law = 5
+    else:
+        law = nib[13] % 3
+    if law == 4:   # FLAC STREAMINFO metadata family
+        sr = [44100, 48000, 96000, 22050][nib[9] % 4]
+        n_frames = 10000 + 256 * nib[10]
+    elif law == 5:  # Ogg family: nibble 14 splits opus / vorbis
+        if nib[13] % 2 == 0:  # opus decodes at 48 kHz regardless
+            sr = 48000
+            n_frames = 960 * (20 + nib[10])
+        else:
+            sr = [8000, 11025, 22050, 44100][nib[9] % 4]
+            n_frames = 5000 + 128 * nib[10]
     return sr, n_frames, amp, corrupt, law
 
 
@@ -395,6 +414,19 @@ def _audio_payload(doc_id: int) -> bytes:
             id3_size=20 + nib[10],
         )
         return payload[:13] if corrupt else payload
+    if law == 4:
+        from schema_fantasy_spark.ops.audio_formats import encode_flac_stub
+
+        payload = encode_flac_stub(sr, 1 + nib[11] % 2, n_frames)
+        return payload[:9] if corrupt else payload
+    if law == 5:
+        from schema_fantasy_spark.ops.audio_formats import encode_ogg_stub
+
+        codec = "opus" if nib[13] % 2 == 0 else "vorbis"
+        payload = encode_ogg_stub(codec, sr, 1 + nib[11] % 2, n_frames,
+                                  pre_skip=8 * nib[9])
+        # mid-page cut: the CRC walk must quarantine, not misread
+        return payload[: len(payload) // 2] if corrupt else payload
     if law == 0:
         samples = np.empty(n_frames, dtype="<i2")
         samples[0::2] = amp

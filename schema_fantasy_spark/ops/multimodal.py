@@ -1006,6 +1006,29 @@ def audio_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                         width = wf.getsampwidth()
                         raw = wf.readframes(nfr)
                 except (wave.Error, EOFError):
+                    if payload_b[:4] == b"fLaC" or payload_b[:4] == b"OggS":
+                        # header-walk codecs (like MP3): rate/frames/
+                        # duration from STREAMINFO / the final granule,
+                        # rms stays NULL (no frame decode in-container)
+                        from schema_fantasy_spark.ops.audio_formats import (
+                            parse_flac_metadata, parse_ogg_metadata,
+                        )
+
+                        if payload_b[:4] == b"fLaC":
+                            fm = parse_flac_metadata(payload_b)
+                        else:
+                            om = parse_ogg_metadata(payload_b)
+                            fm = om[1:] if om is not None else None
+                        if fm is None:
+                            continue  # corrupt container: quarantine
+                        sr, nch, nfr, dur = fm
+                        ids.append(i)
+                        rates.append(sr)
+                        chans.append(nch)
+                        frames.append(nfr)
+                        durs.append(dur)
+                        rmss.append(None)
+                        continue
                     m = parse_mp3_metadata(payload_b) \
                         if payload_b[:3] == b"ID3" or payload_b[:1] == b"\xff" \
                         else None

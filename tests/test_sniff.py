@@ -104,7 +104,10 @@ def test_corpus_cross_check(spark):
         assert got[("img", d)] == want_img, d
         sr, nf, amp, corrupt, law = mc.audio_params(d)
         if not corrupt:
-            want = "audio/mpeg" if law == 3 else "audio/wave"
+            # FLAC is absent from the WHATWG table (negative path);
+            # Ogg hits the OggS signature
+            want = {3: "audio/mpeg", 4: "application/octet-stream",
+                    5: "application/ogg"}.get(law, "audio/wave")
             assert got[("aud", d)] == want, (d, law)
         fmt = mc.container_params(d, nib)[0]
         vid_want = {"mp4": "video/mp4", "avi": "video/avi",
