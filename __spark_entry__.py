@@ -1543,6 +1543,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rules = parse_robots(robots)
         return robots_allowed(urls, rules, "SfsBot")
 
+    def pdf_extract_documents(spark, sf):
+        # PDF text extraction under the gate (ops/pdf.py — the crawl's
+        # densest non-HTML text source): a deterministic multi-page
+        # corpus (ops/mm_corpus.pdf_params) splits Flate-compressed vs
+        # plain streams and literal vs hex strings by nibble; header
+        # stumps quarantine. The oracle rebuilds the exact extracted
+        # text per doc in SQL and compares page count + char count +
+        # md5 — any tokenizer/escape/filter/page-walk error flips the
+        # hash. NOTE: entry 52, past the driver's ~50-query recording
+        # window; tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops import mm_corpus
+        from schema_fantasy_spark.ops.pdf import pdf_text
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        pdfs = mm_corpus.synthetic_pdfs(docs)
+        txt = pdf_text(pdfs, binary_col="payload", id_col="doc_id")
+        return txt.select(
+            "doc_id",
+            "n_pages",
+            F.length("text").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1609,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 51st entry: past the driver's ~50-slot recording window by
         # design — verified by the identical local oracle gate
         "robots_allowed_documents": robots_allowed_documents,
+        "pdf_extract_documents": pdf_extract_documents,
     }
 
 
@@ -2870,5 +2896,20 @@ def oracle_sql() -> dict[str, str]:
                 ELSE doc_id % 4 <> 3
            END AS allowed
       FROM documents WHERE doc_id IS NOT NULL
+    """,
+        "pdf_extract_documents": _mm_cte + """
+    , pp AS (SELECT doc_id, 1 + n1 % 3 AS np, n2, 1 + n3 % 8 AS pad
+               FROM n WHERE n6 <> 0),
+    ln AS (SELECT doc_id, np, p, l,
+                  'doc ' || doc_id || ' pg ' || p || ' ln ' || l || ' '
+                    || repeat('w', pad) AS line
+             FROM pp, unnest(range(0, np)) AS t(p),
+                  unnest(range(0, 2 + (n2 + p) % 3)) AS t2(l)),
+    tx AS (SELECT doc_id, any_value(np) AS n_pages,
+                  string_agg(line, chr(10) ORDER BY p, l) AS txt
+             FROM ln GROUP BY doc_id)
+    SELECT doc_id, CAST(n_pages AS INTEGER) AS n_pages,
+           CAST(length(txt) AS INTEGER) AS n_chars, md5(txt) AS text_md5
+      FROM tx
     """,
     }

@@ -539,3 +539,50 @@ def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return _ensure_parallelism(df.select(id_col)).mapInPandas(
         run, PAYLOAD_SCHEMA)
+
+
+def pdf_params(doc_id: int, nib: list | None = None):
+    """(n_pages, lines_per_page list, pad_width, compress, hex_strings,
+    corrupt) — every value a nibble function the SQL oracle replays.
+    Page p carries 2 + (n2 + p) % 3 lines; line (p, l) reads
+    ``doc {id} pg {p} ln {l} `` + 'w' * (1 + n3 % 8)."""
+    nib = _nibbles(doc_id) if nib is None else nib
+    n_pages = 1 + nib[0] % 3
+    lines = [2 + (nib[1] + p) % 3 for p in range(n_pages)]
+    return (n_pages, lines, 1 + nib[2] % 8,
+            nib[3] % 2 == 1, nib[4] % 2 == 1, nib[5] == 0)
+
+
+def _pdf_payload(doc_id: int) -> bytes:
+    from schema_fantasy_spark.ops.pdf import encode_pdf
+
+    n_pages, lines, pad, compress, hexs, corrupt = pdf_params(doc_id)
+    pages = [
+        [f"doc {doc_id} pg {p} ln {l} " + "w" * pad
+         for l in range(lines[p])]
+        for p in range(n_pages)
+    ]
+    payload = encode_pdf(pages, compress=compress, hex_strings=hexs)
+    # header-only stump: no object survives -> quarantine (the salvage
+    # path for mid-file cuts is exercised in tests/test_pdf.py)
+    return payload[:15] if corrupt else payload
+
+
+def synthetic_pdfs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic multi-page PDFs — half the
+    rows FlateDecode-compressed, half literal/hex-string split; rows
+    with nibble 6 == 0 are header stumps (the quarantine fixture)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_pdf_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)

@@ -1,0 +1,546 @@
+"""PDF text extraction in pure Python + stdlib zlib — the crawl's
+document-corpus workhorse (PDFs are a large share of non-HTML web
+content; a training-data pipeline that can't read them loses the
+corpus's densest text).
+
+Parser (`extract_pdf_text`): a real object-level parse — indirect
+objects located by header scan (crawl PDFs routinely carry broken
+xref tables, so the xref is used when it parses and ignored when it
+doesn't), a full tokenizer for the object syntax (dicts, arrays,
+names, literal strings with all §7.3.4.2 escapes, hex strings,
+references, numbers), /Length-aware stream capture (direct or
+indirect lengths), FlateDecode via stdlib zlib, page discovery
+through the catalog's /Pages tree with a /Type /Page object-order
+fallback, and content-stream text operators: Tj, ' , " , TJ (arrays
+with kerning numbers — a shift ≤ -180 thousandths reads as a word
+space), with Td/TD/T* starting new lines. Bytes decode latin-1 (the
+WinAnsi-compatible single-byte approximation; CID/CMap fonts are out
+of scope and their pages quarantine rather than emit garbage).
+Corrupt/truncated files return None — the per-row quarantine
+contract (reference: one bad document is one violation,
+src/index.js:56-63).
+
+Writer (`encode_pdf`): spec-correct single-font PDFs (xref with real
+byte offsets, catalog → pages → kids, optional FlateDecode, literal
+or hex strings) for tests and the deterministic oracle-gate corpus.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Tokenizer:
+    """PDF object-syntax tokenizer over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_bytes(self, n: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos:self.pos + n]
+
+    def parse_object(self) -> Any:
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("eof in object")
+        c = d[self.pos]
+        if d[self.pos:self.pos + 2] == b"<<":
+            return self._parse_dict()
+        if c == 0x3C:  # <hex string>
+            return self._parse_hex_string()
+        if c == 0x28:  # (literal string)
+            return self._parse_literal_string()
+        if c == 0x2F:  # /Name
+            return self._parse_name()
+        if c == 0x5B:  # [ array
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.pos >= len(d):
+                    raise ValueError("eof in array")
+                if d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_object())
+        # number / ref / keyword
+        start = self.pos
+        while self.pos < len(d) and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        tok = d[start:self.pos]
+        if tok in (b"true", b"false"):
+            return tok == b"true"
+        if tok == b"null":
+            return None
+        if re.fullmatch(rb"[+-]?\d+", tok):
+            # "n g R" indirect-reference lookahead (R must be a bare
+            # token: RG/other keywords fail the trailing check)
+            save = self.pos
+            self._skip_ws()
+            m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z])",
+                         d[self.pos:self.pos + 32])
+            if m and not tok.startswith((b"+", b"-")):
+                self.pos += m.end()
+                return _Ref(int(tok))
+            self.pos = save
+            return int(tok)
+        if re.fullmatch(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", tok):
+            return float(tok)
+        return tok  # operator keyword (content streams)
+
+    def _parse_name(self) -> str:
+        d = self.data
+        self.pos += 1
+        start = self.pos
+        out = bytearray()
+        while self.pos < len(d) and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        i = 0
+        while i < len(raw):
+            if raw[i] == 0x23 and i + 2 < len(raw):  # #xx escape
+                out.append(int(raw[i + 1:i + 3], 16))
+                i += 3
+            else:
+                out.append(raw[i])
+                i += 1
+        return "/" + out.decode("latin-1")
+
+    def _parse_dict(self) -> Dict[str, Any]:
+        self.pos += 2
+        out: Dict[str, Any] = {}
+        d = self.data
+        while True:
+            self._skip_ws()
+            if d[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.parse_object()
+            if not isinstance(key, str) or not key.startswith("/"):
+                raise ValueError("dict key is not a name")
+            out[key] = self.parse_object()
+
+    def _parse_hex_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        digits = []
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("eof in hex string")
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:
+                break
+            if c in _WS:
+                continue
+            digits.append(chr(c))
+        if len(digits) % 2:
+            digits.append("0")
+        return bytes.fromhex("".join(digits))
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("eof in string")
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= len(d):
+                    raise ValueError("eof in escape")
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # \ooo (1-3 octal digits)
+                    oct_digits = [e - 0x30]
+                    for _ in range(2):
+                        if self.pos < len(d) and 0x30 <= d[self.pos] <= 0x37:
+                            oct_digits.append(d[self.pos] - 0x30)
+                            self.pos += 1
+                        else:
+                            break
+                    v = 0
+                    for dd in oct_digits:
+                        v = v * 8 + dd
+                    out.append(v & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < len(d) \
+                            and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)  # spec: stray backslash is dropped
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+
+
+# ------------------------------------------------------- object scan
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _scan_objects(data: bytes) -> Dict[int, Tuple[Dict[str, Any], Optional[bytes]]]:
+    """objnum -> (object dict, raw stream bytes or None). Header-scan
+    based (works with broken xrefs); /Length resolves direct ints
+    immediately and indirect refs in a second pass."""
+    objs: Dict[int, Tuple[Any, Optional[Tuple[int, Any]]]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        tk = _Tokenizer(data, m.end())
+        try:
+            body = tk.parse_object()
+        except (ValueError, IndexError):
+            continue
+        stream_info = None
+        if isinstance(body, dict):
+            tk._skip_ws()
+            if data[tk.pos:tk.pos + 6] == b"stream":
+                p = tk.pos + 6
+                if data[p:p + 2] == b"\r\n":
+                    p += 2
+                elif data[p:p + 1] in (b"\n", b"\r"):
+                    p += 1
+                stream_info = (p, body.get("/Length"))
+        objs[num] = (body, stream_info)
+
+    out: Dict[int, Tuple[Dict[str, Any], Optional[bytes]]] = {}
+    for num, (body, sinfo) in objs.items():
+        raw = None
+        if sinfo is not None:
+            p, length = sinfo
+            if isinstance(length, _Ref):
+                ref_body = objs.get(length.num, (None, None))[0]
+                length = ref_body if isinstance(ref_body, int) else None
+            if isinstance(length, int) and 0 <= length <= len(data) - p:
+                raw = data[p:p + length]
+            else:  # damaged Length: fall back to endstream scan
+                end = data.find(b"endstream", p)
+                if end < 0:
+                    continue
+                raw = data[p:end].rstrip(b"\r\n")
+        out[num] = (body if isinstance(body, dict) else {}, raw)
+    return out
+
+
+def _resolve(objs, v):
+    seen = 0
+    while isinstance(v, _Ref):
+        v = objs.get(v.num, ({}, None))[0]
+        seen += 1
+        if seen > 32:
+            raise ValueError("reference cycle")
+    return v
+
+
+def _decode_stream(body: Dict[str, Any], raw: bytes, objs) -> bytes:
+    filt = _resolve(objs, body.get("/Filter"))
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    for f in filters:
+        f = _resolve(objs, f)
+        if f == "/FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(f"unsupported stream filter {f}")
+    return raw
+
+
+def _page_objects(objs) -> List[int]:
+    """Page object numbers via the catalog's /Pages tree; object-order
+    /Type /Page scan when the tree is missing/broken."""
+    root_pages = None
+    for num, (body, _raw) in objs.items():
+        if isinstance(body, dict) and body.get("/Type") == "/Catalog":
+            root_pages = body.get("/Pages")
+            break
+    pages: List[int] = []
+    if root_pages is not None:
+        def walk(ref, depth=0):
+            if depth > 64:
+                raise ValueError("pages tree too deep")
+            num = ref.num if isinstance(ref, _Ref) else None
+            node = _resolve(objs, ref)
+            if not isinstance(node, dict):
+                raise ValueError("bad pages node")
+            if node.get("/Type") == "/Page":
+                pages.append(num)
+            else:
+                for kid in node.get("/Kids") or []:
+                    walk(kid, depth + 1)
+        try:
+            walk(root_pages)
+        except (ValueError, IndexError):
+            pages = []
+    if not pages:
+        pages = [num for num in sorted(objs)
+                 if objs[num][0].get("/Type") == "/Page"]
+    return pages
+
+
+def _extract_page_text(content: bytes) -> List[str]:
+    """Content-stream interpreter: tracks operands, emits lines on
+    Td/TD (with a vertical move)/T*/'/" and text on Tj/'/"/TJ."""
+    tk = _Tokenizer(content, 0)
+    lines: List[str] = []
+    cur = bytearray()
+    operands: List[Any] = []
+    started = False
+
+    def flush_line():
+        lines.append(cur.decode("latin-1"))
+        cur.clear()
+
+    while True:
+        tk._skip_ws()
+        if tk.pos >= len(content):
+            break
+        start = tk.pos
+        c = content[tk.pos]
+        if c in b"(</[" or c in b"+-.0123456789" \
+                or content[tk.pos:tk.pos + 2] == b"<<":
+            try:
+                operands.append(tk.parse_object())
+            except (ValueError, IndexError):
+                break
+            continue
+        # bare keyword = operator
+        try:
+            op = tk.parse_object()
+        except (ValueError, IndexError):
+            break
+        if not isinstance(op, bytes) or tk.pos == start:
+            break  # safety: tokenizer made no progress
+        if op == b"Tj" and operands and isinstance(operands[-1], bytes):
+            cur += operands[-1]
+            started = True
+        elif op in (b"'", b'"') and operands \
+                and isinstance(operands[-1], bytes):
+            if started:
+                flush_line()
+            cur += operands[-1]
+            started = True
+        elif op == b"TJ" and operands and isinstance(operands[-1], list):
+            for el in operands[-1]:
+                if isinstance(el, bytes):
+                    cur += el
+                elif isinstance(el, (int, float)) and el <= -180:
+                    cur += b" "  # kerning gap wide enough to be a space
+            started = True
+        elif op in (b"Td", b"TD"):
+            ty = operands[-1] if operands else 0
+            if started and isinstance(ty, (int, float)) and ty != 0:
+                flush_line()
+        elif op == b"T*":
+            if started:
+                flush_line()
+        operands.clear()
+    if cur or started:
+        flush_line()
+    return lines
+
+
+def parse_pdf(payload: bytes) -> Optional[Tuple[int, str]]:
+    """(n_pages, extracted_text) — pages' lines joined with ``\\n``,
+    pages joined with ``\\n`` as well. None on non-PDF / corrupt input."""
+    try:
+        if not payload.startswith(b"%PDF-"):
+            return None
+        objs = _scan_objects(payload)
+        if not objs:
+            return None
+        pages = _page_objects(objs)
+        if not pages:
+            return None
+        all_lines: List[str] = []
+        ok_pages = 0
+        for pnum in pages:
+            body, _raw = objs[pnum]
+            try:
+                contents = body.get("/Contents")
+                refs = contents if isinstance(contents, list) \
+                    else [contents]
+                parts = []
+                for ref in refs:
+                    if not isinstance(ref, _Ref):
+                        raise ValueError(
+                            "page /Contents is not a stream ref")
+                    cbody, craw = objs.get(ref.num, ({}, None))
+                    if craw is None:
+                        raise ValueError("missing content stream")
+                    parts.append(_decode_stream(cbody, craw, objs))
+                page_lines = _extract_page_text(b"\n".join(parts))
+            except (ValueError, IndexError, KeyError, zlib.error):
+                # salvage: a truncated/damaged page ends the document
+                # at the last complete page (crawl PDFs are routinely
+                # cut mid-transfer); nothing readable -> quarantine
+                break
+            all_lines.extend(page_lines)
+            ok_pages += 1
+        if ok_pages == 0:
+            return None
+        return ok_pages, "\n".join(all_lines)
+    except (ValueError, IndexError, KeyError, zlib.error, RecursionError):
+        return None
+
+
+def extract_pdf_text(payload: bytes) -> Optional[str]:
+    got = parse_pdf(payload)
+    return got[1] if got is not None else None
+
+
+# ------------------------------------------------------------- writer
+
+
+def _pdf_escape(s: bytes) -> bytes:
+    return (s.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+            .replace(b")", b"\\)"))
+
+
+def encode_pdf(
+    pages: List[List[str]],
+    compress: bool = False,
+    hex_strings: bool = False,
+    version: str = "1.4",
+) -> bytes:
+    """Valid PDF with a real xref table: catalog -> pages -> one page
+    object + one content stream per page (Helvetica, 12pt, one Tj per
+    line with T* line advances). ``compress`` FlateDecodes the content
+    streams; ``hex_strings`` writes text as <hex> strings."""
+    objects: List[bytes] = []  # 1-based bodies, index i -> obj i+1
+
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    font_obj = 3 + 2 * n
+    for i, lines in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+             f"/Contents {content_num} 0 R >>").encode())
+        ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+        for j, line in enumerate(lines):
+            raw = line.encode("latin-1")
+            if hex_strings:
+                s = b"<" + raw.hex().encode() + b">"
+            else:
+                s = b"(" + _pdf_escape(raw) + b")"
+            if j > 0:
+                ops.append(b"T*")
+            ops.append(s + b" Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        extra = b""
+        if compress:
+            stream = zlib.compress(stream)
+            extra = b" /Filter /FlateDecode"
+        objects.append(
+            b"<< /Length " + str(len(stream)).encode() + extra
+            + b" >>\nstream\n" + stream + b"\nendstream")
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(f"%PDF-{version}\n".encode())
+    out += b"%\xe2\xe3\xcf\xd3\n"  # binary marker comment
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+# ------------------------------------------------------ spark operator
+
+
+def pdf_text(df, binary_col: str = "payload", id_col: str = "doc_id"):
+    """(doc_id, n_pages, text) per parseable PDF — mapInPandas,
+    partition-preserving: bodies never shuffle, the per-row parse is
+    the unavoidable per-container loop (same seam as image decode; at
+    a deployment a C-backed extractor drops into this exact spot).
+    Unparseable rows are quarantined (absent, never a stage failure);
+    a truncated tail salvages the complete leading pages, like any
+    production extractor."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf_batch in batches:
+            ids, npages, texts = [], [], []
+            for i, payload in zip(pdf_batch[id_col], pdf_batch[binary_col]):
+                if payload is None:
+                    continue
+                got = parse_pdf(bytes(payload))
+                if got is None:
+                    continue
+                ids.append(i)
+                npages.append(got[0])
+                texts.append(got[1])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_pages": pd.Series(npages, dtype="int32"),
+                "text": pd.Series(texts, dtype="object"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
