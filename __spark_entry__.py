@@ -1546,11 +1546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pdf_extract_documents(spark, sf):
         # PDF text extraction under the gate (ops/pdf.py — the crawl's
         # densest non-HTML text source): a deterministic multi-page
-        # corpus (ops/mm_corpus.pdf_params) splits Flate-compressed vs
-        # plain streams and literal vs hex strings by nibble; header
-        # stumps quarantine. The oracle rebuilds the exact extracted
-        # text per doc in SQL and compares page count + char count +
-        # md5 — any tokenizer/escape/filter/page-walk error flips the
+        # corpus (ops/mm_corpus.pdf_params) splits by nibble across
+        # uncompressed/Flate/LZW content streams, literal vs hex
+        # strings, and classic xref-table vs PDF 1.5 ObjStm +
+        # xref-stream layouts (12 container families); header stumps
+        # quarantine. The oracle rebuilds the exact extracted text per
+        # doc in SQL and compares page count + char count + md5 — any
+        # tokenizer/escape/filter/ObjStm/page-walk error flips the
         # hash. NOTE: entry 52, past the driver's ~50-query recording
         # window; tools/check_correctness.py verifies it either way.
         from schema_fantasy_spark.ops import mm_corpus

@@ -218,6 +218,189 @@ class _Tokenizer:
                 out.append(c)
 
 
+# ----------------------------------------------------- stream filters
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, ws ignored, `>` EOD, odd
+    trailing digit pads with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    digits = bytes(c for c in data if c not in _WS)
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", digits):
+        raise ValueError("bad ASCIIHex data")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups, `z` = 4 zero bytes,
+    `~>` EOD, partial final group of n chars yields n-1 bytes."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: List[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # z
+            if group:
+                raise ValueError("z inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("bad ASCII85 char")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("1-char ASCII85 tail")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4): MSB-first variable-width (9-12 bit) codes,
+    256 = clear, 257 = EOD; /EarlyChange 1 (default) widens one code
+    early, exactly as TIFF/PDF readers expect."""
+    out = bytearray()
+    table: Dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: Optional[bytes] = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (bitbuf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("lzw: first code not literal")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("lzw: code out of range")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: emit what decoded (crawl tolerance)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder (writer/tests counterpart of `_lzw_decode`)."""
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits: List[Tuple[int, int]] = [(256, 9)]
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early > (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    out = bytearray()
+    bitbuf = nbits = 0
+    for code, wd in bits:
+        bitbuf = (bitbuf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _unpredict(data: bytes, parms: Dict[str, Any]) -> bytes:
+    """/Predictor post-filter (§7.4.4.4): 2 = TIFF horizontal,
+    10-15 = PNG row filters (None/Sub/Up/Average/Paeth per row)."""
+    pred = parms.get("/Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("/Colors", 1)
+    bpc = parms.get("/BitsPerComponent", 8)
+    columns = parms.get("/Columns", 1)
+    if bpc != 8:
+        raise ValueError("predictor with BitsPerComponent != 8")
+    bpp = colors
+    rowlen = columns * colors
+    if pred == 2:  # TIFF
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG: each row prefixed by a filter-type byte
+    if len(data) % (rowlen + 1):
+        raise ValueError("png predictor: ragged rows")
+    out = bytearray()
+    prior = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + 1 + rowlen])
+        for i in range(rowlen):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] + left
+            elif ft == 2:
+                v = row[i] + up
+            elif ft == 3:
+                v = row[i] + (left + up) // 2
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pr = left if pa <= pb and pa <= pc else \
+                    (up if pb <= pc else ul)
+                v = row[i] + pr
+            else:
+                raise ValueError(f"png filter type {ft}")
+            row[i] = v & 0xFF
+        out += row
+        prior = row
+    return bytes(out)
+
+
 # ------------------------------------------------------- object scan
 
 
@@ -282,13 +465,82 @@ def _decode_stream(body: Dict[str, Any], raw: bytes, objs) -> bytes:
     if filt is None:
         return raw
     filters = filt if isinstance(filt, list) else [filt]
-    for f in filters:
+    parms = _resolve(objs, body.get("/DecodeParms", body.get("/DP")))
+    parms_list = parms if isinstance(parms, list) else [parms]
+    for i, f in enumerate(filters):
         f = _resolve(objs, f)
-        if f == "/FlateDecode":
-            raw = zlib.decompress(raw)
+        p = _resolve(objs, parms_list[i]) if i < len(parms_list) else None
+        p = p if isinstance(p, dict) else {}
+        if f == "/FlateDecode" or f == "/Fl":
+            raw = _unpredict(zlib.decompress(raw), p)
+        elif f == "/LZWDecode" or f == "/LZW":
+            early = p.get("/EarlyChange", 1)
+            raw = _unpredict(
+                _lzw_decode(raw, early if isinstance(early, int) else 1), p)
+        elif f == "/ASCIIHexDecode" or f == "/AHx":
+            raw = _ahx_decode(raw)
+        elif f == "/ASCII85Decode" or f == "/A85":
+            raw = _a85_decode(raw)
         else:
+            # DCT/JPX/JBIG2/CCITT are image filters (never text
+            # content); Crypt needs the (unsupported) decryptor
             raise ValueError(f"unsupported stream filter {f}")
     return raw
+
+
+def _expand_object_streams(objs) -> None:
+    """PDF 1.5 /ObjStm expansion (§7.5.7): modern writers pack the
+    non-stream objects — the catalog, the pages tree, every page dict —
+    into compressed object streams, so a header scan alone sees no
+    pages at all. Parses each ObjStm's (objnum, offset) header pairs
+    and tokenizes the contained objects at /First + offset. Direct
+    definitions win on conflict; a damaged container quarantines only
+    its own objects."""
+    packed: Dict[int, Tuple[Dict[str, Any], Optional[bytes]]] = {}
+    for _num, (body, raw) in list(objs.items()):
+        if body.get("/Type") != "/ObjStm" or raw is None:
+            continue
+        try:
+            data = _decode_stream(body, raw, objs)
+            n = _resolve(objs, body.get("/N"))
+            first = _resolve(objs, body.get("/First"))
+            if not (isinstance(n, int) and isinstance(first, int)):
+                continue
+            tk = _Tokenizer(data, 0)
+            pairs: List[Tuple[int, int]] = []
+            for _ in range(n):
+                onum = tk.parse_object()
+                ooff = tk.parse_object()
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise ValueError("bad ObjStm header pair")
+                pairs.append((onum, ooff))
+            for onum, ooff in pairs:
+                otk = _Tokenizer(data, first + ooff)
+                obody = otk.parse_object()
+                packed[onum] = (
+                    obody if isinstance(obody, dict) else {}, None)
+        except (ValueError, IndexError, KeyError, zlib.error):
+            continue
+    for num, v in packed.items():
+        objs.setdefault(num, v)
+
+
+def _is_encrypted(payload: bytes, objs) -> bool:
+    """/Encrypt lives in the trailer dict (classic xref) or the
+    cross-reference stream dict (PDF 1.5+). Encrypted strings/streams
+    would extract as garbage — quarantine instead."""
+    for m in re.finditer(rb"trailer", payload):
+        tk = _Tokenizer(payload, m.end())
+        try:
+            t = tk.parse_object()
+        except (ValueError, IndexError):
+            continue
+        if isinstance(t, dict) and "/Encrypt" in t:
+            return True
+    for _num, (body, _raw) in objs.items():
+        if body.get("/Type") == "/XRef" and "/Encrypt" in body:
+            return True
+    return False
 
 
 def _page_objects(objs) -> List[int]:
@@ -394,6 +646,9 @@ def parse_pdf(payload: bytes) -> Optional[Tuple[int, str]]:
         objs = _scan_objects(payload)
         if not objs:
             return None
+        if _is_encrypted(payload, objs):
+            return None
+        _expand_object_streams(objs)
         pages = _page_objects(objs)
         if not pages:
             return None
@@ -447,26 +702,32 @@ def encode_pdf(
     compress: bool = False,
     hex_strings: bool = False,
     version: str = "1.4",
+    lzw: bool = False,
+    objstm: bool = False,
 ) -> bytes:
-    """Valid PDF with a real xref table: catalog -> pages -> one page
-    object + one content stream per page (Helvetica, 12pt, one Tj per
-    line with T* line advances). ``compress`` FlateDecodes the content
-    streams; ``hex_strings`` writes text as <hex> strings."""
-    objects: List[bytes] = []  # 1-based bodies, index i -> obj i+1
+    """Valid PDF: catalog -> pages -> one page object + one content
+    stream per page (Helvetica, 12pt, one Tj per line with T* line
+    advances). ``compress`` filters the content streams (FlateDecode,
+    or LZWDecode when ``lzw``); ``hex_strings`` writes text as <hex>
+    strings. ``objstm`` writes the modern PDF 1.5 layout: all
+    non-stream objects packed into a Flate ObjStm and a binary
+    cross-reference STREAM (/Type /XRef, W [1 4 2], type-2 entries)
+    instead of a classic xref table + trailer."""
+    dict_objs: Dict[int, bytes] = {}    # non-stream bodies
+    stream_objs: Dict[int, bytes] = {}  # full "<<..>>\nstream\n..endstream"
 
     n = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
-    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objects.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    dict_objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    dict_objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
     font_obj = 3 + 2 * n
     for i, lines in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
-        objects.append(
-            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-             f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
-             f"/Contents {content_num} 0 R >>").encode())
+        dict_objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>").encode()
         ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
         for j, line in enumerate(lines):
             raw = line.encode("latin-1")
@@ -481,27 +742,68 @@ def encode_pdf(
         stream = b"\n".join(ops)
         extra = b""
         if compress:
-            stream = zlib.compress(stream)
-            extra = b" /Filter /FlateDecode"
-        objects.append(
+            if lzw:
+                stream = _lzw_encode(stream)
+                extra = b" /Filter /LZWDecode"
+            else:
+                stream = zlib.compress(stream)
+                extra = b" /Filter /FlateDecode"
+        stream_objs[content_num] = (
             b"<< /Length " + str(len(stream)).encode() + extra
             + b" >>\nstream\n" + stream + b"\nendstream")
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    dict_objs[font_obj] = \
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     out = bytearray(f"%PDF-{version}\n".encode())
     out += b"%\xe2\xe3\xcf\xd3\n"  # binary marker comment
-    offsets = [0]
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    size = font_obj + (3 if objstm else 1)
+    offsets: Dict[int, int] = {}
+
+    if not objstm:
+        for num in sorted(dict_objs | stream_objs):
+            body = dict_objs.get(num) or stream_objs[num]
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_off = len(out)
+        out += f"xref\n0 {size}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+                f"startxref\n{xref_off}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: ObjStm + cross-reference stream
+    objstm_num, xref_num = font_obj + 1, font_obj + 2
+    packed = sorted(dict_objs)
+    header, body = [], bytearray()
+    for num in packed:
+        header.append(f"{num} {len(body)}")
+        body += dict_objs[num] + b"\n"
+    head = (" ".join(header) + "\n").encode()
+    payload = zlib.compress(head + bytes(body))
+    stream_objs[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(head)} "
+        f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
+        + b"\nstream\n" + payload + b"\nendstream")
+    for num in sorted(stream_objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + stream_objs[num] + b"\nendobj\n"
+    # xref stream entries, W [1 4 2]: free / type-1 offset / type-2
     xref_off = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_off}\n%%EOF\n").encode()
+    rows = {0: (0, 0, 65535)}
+    for idx, num in enumerate(packed):
+        rows[num] = (2, objstm_num, idx)
+    for num in stream_objs:
+        rows[num] = (1, offsets[num], 0)
+    rows[xref_num] = (1, xref_off, 0)
+    xdata = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in (rows[i] for i in range(size)))
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+            f"/Root 1 0 R /W [1 4 2] /Length {len(xdata)} >>"
+            ).encode() + b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)
 
 

@@ -152,10 +152,10 @@ def test_reference_vs_keyword_disambiguation():
 
 
 def test_corpus_round_trip_and_quarantine():
-    seen = {(False, False): 0, (False, True): 0,
-            (True, False): 0, (True, True): 0}
-    for d in range(200):
-        n_pages, lines, pad, comp, hexs, corrupt = mc.pdf_params(d)
+    seen = {}
+    for d in range(300):
+        n_pages, lines, pad, comp, hexs, corrupt, objstm, lzw = \
+            mc.pdf_params(d)
         payload = mc._pdf_payload(d)
         if corrupt:
             assert pdf.parse_pdf(payload) is None, d
@@ -164,8 +164,11 @@ def test_corpus_round_trip_and_quarantine():
         exp = "\n".join(f"doc {d} pg {p} ln {l} " + "w" * pad
                         for p in range(n_pages) for l in range(lines[p]))
         assert got == (n_pages, exp), d
-        seen[(comp, hexs)] += 1
-    assert all(v > 10 for v in seen.values()), seen  # all 4 variants occur
+        key = (comp, hexs, objstm, comp and lzw)
+        seen[key] = seen.get(key, 0) + 1
+    # every container family occurs: classic/1.5 layout x plain/hex
+    # strings x uncompressed/Flate/LZW content streams
+    assert len(seen) == 12 and all(v > 3 for v in seen.values()), seen
 
 
 def test_pdf_text_operator(spark):
@@ -178,3 +181,122 @@ def test_pdf_text_operator(spark):
     assert set(got) == {1, 3}
     assert (got[1]["n_pages"], got[1]["text"]) == (2, "a\nb\nc")
     assert (got[3]["n_pages"], got[3]["text"]) == (1, "z")
+
+
+# ---- round-6 hardening: filters, ObjStm/xref streams, /Encrypt
+
+
+@pytest.mark.parametrize("hexs", [False, True])
+@pytest.mark.parametrize("lzw", [False, True])
+def test_objstm_round_trip(hexs, lzw):
+    pages = [["modern layout", "packed objects"], ["page (two)"]]
+    b = pdf.encode_pdf(pages, compress=True, lzw=lzw,
+                       hex_strings=hexs, objstm=True)
+    # genuinely the 1.5 layout: no classic trailer, real ObjStm + XRef
+    assert b"trailer" not in b and b"/ObjStm" in b and b"/XRef" in b
+    assert pdf.parse_pdf(b) == (2, _flat(pages))
+
+
+def test_objstm_damaged_container_quarantines_only_its_objects():
+    pages = [["pg one"], ["pg two"]]
+    b = pdf.encode_pdf(pages, objstm=True)
+    # corrupt the ObjStm zlib payload: every packed object (catalog,
+    # pages tree, page dicts) vanishes -> no pages -> None
+    i = b.find(b"/ObjStm")
+    s = b.find(b"stream\n", i) + 7
+    assert pdf.parse_pdf(b[:s] + b"XXXX" + b[s + 4:]) is None
+
+
+def test_lzw_round_trip_and_known_vector():
+    # worked example from the PDF spec family: '-----A---B' under
+    # EarlyChange is the classic TIFF/PDF LZW test string
+    data = b"-----A---B"
+    enc = pdf._lzw_encode(data)
+    assert pdf._lzw_decode(enc) == data
+    for early in (0, 1):
+        blob = (b"the quick brown fox " * 200) + bytes(range(256)) * 3
+        assert pdf._lzw_decode(
+            pdf._lzw_encode(blob, early=early), early=early) == blob
+
+
+def test_lzw_content_stream():
+    content = pdf._lzw_encode(b"BT (lzw text) Tj ET")
+    raw = _mini(b"")
+    raw = raw.replace(
+        b"<< /Length 0 >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /LZWDecode >>")
+    raw = raw.replace(b"stream\n\nendstream",
+                      b"stream\n" + content + b"\nendstream")
+    assert pdf.parse_pdf(raw) == (1, "lzw text")
+
+
+def test_asciihex_and_ascii85_filters():
+    text = b"BT (filtered) Tj ET"
+    hx = text.hex().encode() + b">"
+    raw = _mini(b"").replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(hx)).encode()
+        + b" /Filter /ASCIIHexDecode >>\nstream\n" + hx + b"\nendstream")
+    assert pdf.parse_pdf(raw) == (1, "filtered")
+
+    # ASCII85: spec vectors (4-byte group, z shortcut, partial tail)
+    assert pdf._a85_decode(b"9jqo^~>") == b"Man "
+    assert pdf._a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert pdf._a85_decode(b"87cUR~>") == b"Hell"
+    import base64
+    for tail in range(1, 5):
+        blob = b"Wiki" * 3 + b"x" * tail
+        assert pdf._a85_decode(base64.a85encode(blob) + b"~>") == blob
+    # chained: A85 over Flate
+    deflated = zlib.compress(text)
+    a85 = base64.a85encode(deflated) + b"~>"
+    raw = _mini(b"").replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(a85)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+        + a85 + b"\nendstream")
+    assert pdf.parse_pdf(raw) == (1, "filtered")
+
+
+def test_png_predictor_up_and_tiff():
+    # PNG Up filter (type 2), columns=4: rows accumulate vertically
+    rows = [bytes([1, 2, 3, 4]), bytes([5, 5, 5, 5])]
+    filtered = b"\x02" + rows[0] + b"\x02" + bytes(
+        (rows[1][i] - rows[0][i]) & 0xFF for i in range(4))
+    got = pdf._unpredict(filtered, {"/Predictor": 12, "/Columns": 4})
+    assert got == rows[0] + rows[1]
+    # TIFF horizontal (predictor 2)
+    got = pdf._unpredict(bytes([10, 1, 1, 1]),
+                         {"/Predictor": 2, "/Columns": 4})
+    assert got == bytes([10, 11, 12, 13])
+    # flate + predictor through the stream path
+    content = b"BT (predicted) Tj ET"
+    pad = content + b" " * ((4 - len(content) % 4) % 4)
+    fil = bytearray()
+    prior = bytes(4)
+    for r in range(0, len(pad), 4):
+        row = pad[r:r + 4]
+        fil += b"\x02" + bytes((row[i] - prior[i]) & 0xFF for i in range(4))
+        prior = row
+    blob = zlib.compress(bytes(fil))
+    raw = _mini(b"").replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length " + str(len(blob)).encode()
+        + b" /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns 4 >> >>\nstream\n"
+        + blob + b"\nendstream")
+    assert pdf.parse_pdf(raw) == (1, "predicted")
+
+
+def test_encrypted_pdf_quarantines():
+    b = pdf.encode_pdf([["secret"]])
+    # classic trailer form
+    enc = b.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert pdf.parse_pdf(b) is not None
+    assert pdf.parse_pdf(enc) is None
+    # xref-stream form
+    b15 = pdf.encode_pdf([["secret"]], objstm=True)
+    enc15 = b15.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R")
+    assert pdf.parse_pdf(b15) is not None
+    assert pdf.parse_pdf(enc15) is None
