@@ -614,7 +614,10 @@ def test_mm_corpus_roundtrip(spark):
         else:
             bright = sum(ca) >= 383
         assert (meta[i]["width"], meta[i]["height"]) == (w, h), i
-        assert meta[i]["format"] == {0: "bmp", 1: "ppm", 2: "png", 3: "webp"}[fsel]
+        exp_fmt = {0: "bmp", 1: "ppm", 2: "png", 3: "webp"}[fsel]
+        if fsel == 1 and nib[13] % 2 == 1:
+            exp_fmt = "gif"  # nibble-13 split (mm_corpus: ppm or GIF)
+        assert meta[i]["format"] == exp_fmt, i
         assert meta[i]["phash"] == (
             4294967295 if bright else 9223372032559808512
         ), i
@@ -636,6 +639,11 @@ def test_mm_corpus_roundtrip(spark):
             assert r["n_channels"] == (1 if nib[11] % 4 == 3 else 2)
             assert r["n_frames"] == 8 + nib[13] % 8
             assert r["rms"] is None
+            continue
+        if law in (4, 5):  # FLAC / Ogg: metadata walk only, rms NULL
+            assert (r["sample_rate"], r["n_frames"]) == (sr, nf), i
+            assert r["n_channels"] == 1 + nib[11] % 2, i
+            assert r["rms"] is None, i
             continue
         assert (r["sample_rate"], r["n_frames"], r["n_channels"]) == (sr, nf, 1)
         if law == 0:
