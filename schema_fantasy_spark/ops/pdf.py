@@ -713,6 +713,8 @@ def encode_pdf(
     non-stream objects packed into a Flate ObjStm and a binary
     cross-reference STREAM (/Type /XRef, W [1 4 2], type-2 entries)
     instead of a classic xref table + trailer."""
+    if objstm and version == "1.4":
+        version = "1.5"  # ObjStm/xref streams are PDF 1.5 features
     dict_objs: Dict[int, bytes] = {}    # non-stream bodies
     stream_objs: Dict[int, bytes] = {}  # full "<<..>>\nstream\n..endstream"
 
