@@ -1570,6 +1570,223 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5(F.col("text").cast("binary")).alias("text_md5"),
         )
 
+    def html_metadata_documents(spark, sf):
+        # HTML metadata + outlink extraction under the gate (ops/
+        # html_meta.py): per-doc pages are synthesized in Column exprs
+        # across 4 families (attribute order, quote style, named +
+        # numeric entities, inner tags in anchors, quote-guarded '>' in
+        # attributes, missing fields, unresolvable hrefs), run through
+        # with_html_metadata, and reduced to closed-form-checkable
+        # columns. The oracle states the expected title / description /
+        # og:title / canonical / resolved-link strings directly from the
+        # same modular construction — any regex/order/quote/entity/
+        # resolution error flips a value. NOTE: entry 53, past the
+        # driver's ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        from schema_fantasy_spark.ops.html_meta import with_html_metadata
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        i = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        page = (
+            F.when(m == 0, F.concat(
+                F.lit('<html><head><title>Doc '), i,
+                F.lit(' &amp; friends</title>'),
+                F.lit('<meta name="description" content="d'), i, F.lit('">'),
+                F.lit('<link rel="canonical" href="https://h'), k,
+                F.lit('.example.com/c/'), i, F.lit('"></head><body>'),
+                F.lit('<a href="/r/'), i, F.lit('">first '), i, F.lit('</a>'),
+                F.lit('<a href="https://x'), k,
+                F.lit('.org/p?a=1&amp;b=2">x &amp; y</a></body></html>'),
+            ))
+            .when(m == 1, F.concat(
+                F.lit("<html><head><title> spaced   "), i, F.lit(" </title>"),
+                F.lit("<meta content='D "), i,
+                F.lit("' name='description'></head><body><a href='//cdn"), k,
+                F.lit(".net/a'>c<span>d</span></a></body></html>"),
+            ))
+            .when(m == 2, F.concat(
+                F.lit('<html><head><meta property="og:title" content="OG&#233;'),
+                i, F.lit('"></head><body><a href="mailto:a@b.c">m</a>'),
+                F.lit('<a href="#top">t</a><a href="rel/x">r</a></body></html>'),
+            ))
+            .otherwise(F.concat(
+                F.lit('<html><head><title>T\n&quot;'), i, F.lit('&quot;</title>'),
+                F.lit('<link href="https://h'), k, F.lit('.example.com/canon/'),
+                i, F.lit('" rel="canonical"></head><body>'),
+                F.lit('<a data-q="v>w" href="/deep/'), i, F.lit('">z'), i,
+                F.lit('</a></body></html>'),
+            ))
+        )
+        pages = docs.select(
+            "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
+            page.alias("html"),
+        )
+        out = with_html_metadata(pages, base_scheme_col="scheme", base_host_col="host")
+        return out.select(
+            "doc_id", "title", "description", "og_title", "canonical",
+            F.size("outlinks").alias("n_outlinks"),
+            F.size("resolved_outlinks").alias("n_resolved"),
+            F.array_join(
+                F.transform(
+                    F.col("resolved_outlinks"),
+                    lambda l: F.concat_ws("|", l["href"], l["anchor"]),
+                ),
+                "\n",
+            ).alias("resolved_links"),
+        )
+
+    def pagerank_hosts_documents(spark, sf):
+        # Host link-graph PageRank under the gate (ops/linkgraph.py):
+        # edges derive deterministically from documents (h(doc_id%18) ->
+        # h((7*doc_id+3)%19), plus a second fan-out edge when doc_id%3
+        # == 0; node h18 is never a source, so dangling-mass teleport is
+        # exercised on real rows), then 5 fixed-point BIGINT iterations.
+        # The oracle REPLAYS the full iteration in SQL (chained CTEs,
+        # integer //), bit-for-bit — any edge-dedup/degree/dangling/
+        # rounding error flips ranks. NOTE: entry 54, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py verifies
+        # it either way.
+        from schema_fantasy_spark.ops.linkgraph import pagerank
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        src = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(18)).cast("string"))
+        d1 = F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id") * 7 + 3, F.lit(19)).cast("string")
+        )
+        d2 = F.concat(
+            F.lit("h"), F.pmod(F.col("doc_id") * 5 + 11, F.lit(19)).cast("string")
+        )
+        e1 = docs.select(src.alias("src"), d1.alias("dst"))
+        e2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+            src.alias("src"), d2.alias("dst")
+        )
+        edges = e1.union(e2).where(F.col("src") != F.col("dst"))
+        pr = pagerank(edges, iterations=5)
+        return pr.select(F.col("node").alias("host"), "rank_scaled")
+
+    def sitemap_urls_documents(spark, sf):
+        # Sitemap inventory under the gate (ops/sitemap.py): per-host
+        # bodies synthesized in Column exprs — even hosts a urlset of
+        # 2+k%3 entries (escaped-& query locs, lastmod, priority on even
+        # slots only), odd hosts a single-level sitemapindex whose two
+        # child urlsets are joined back by child URL and re-parsed (the
+        # data-driven index expansion the op prescribes). The oracle
+        # states the per-host inventory closed-form from the same
+        # construction — any block/loc/lastmod/priority/entity/index-
+        # expansion error flips a value. NOTE: entry 55, past the
+        # driver's ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        from schema_fantasy_spark.ops.sitemap import parse_sitemaps, sitemap_urls
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        hosts = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(19)).cast("int").alias("k")
+        ).distinct()
+        ks = F.col("k").cast("string")
+        host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+        base = F.concat(F.lit("https://h"), ks, F.lit(".example.com"))
+        nu = (F.lit(2) + F.pmod(F.col("k"), F.lit(3))).cast("int")
+        urlset = F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+                  'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), nu - 1),
+                    lambda j: F.concat(
+                        F.lit("  <url>\n    <loc> "), base, F.lit("/page/"),
+                        j.cast("string"),
+                        F.lit("?a=1&amp;b=2 </loc>\n    <lastmod>2026-02-"),
+                        F.lpad((F.col("k") + j + 1).cast("string"), 2, "0"),
+                        F.lit("</lastmod>\n"),
+                        F.when(
+                            F.pmod(j, F.lit(2)) == 0,
+                            F.concat(
+                                F.lit("    <priority>0."),
+                                (F.lit(5) + j).cast("string"),
+                                F.lit("</priority>\n"),
+                            ),
+                        ).otherwise(F.lit("")),
+                        F.lit("  </url>\n"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        )
+        index = F.concat(
+            F.lit('<?xml version="1.0"?>\n<sitemapindex '
+                  'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                  "  <sitemap><loc>"),
+            base,
+            F.lit("/sm/0.xml</loc><lastmod>2026-01-02</lastmod></sitemap>\n"
+                  "  <sitemap><loc>"),
+            base,
+            F.lit("/sm/1.xml</loc></sitemap>\n</sitemapindex>"),
+        )
+        xml = F.when(F.pmod(F.col("k"), F.lit(2)) == 0, urlset).otherwise(index)
+        sm = hosts.select("k", host.alias("host"), xml.alias("sitemap_xml"))
+        parsed = parse_sitemaps(sm, key_cols=("k", "host"))
+        odd = hosts.filter(F.pmod(F.col("k"), F.lit(2)) == 1)
+        childs = odd.select("k", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("c"))
+        cbase = F.concat(
+            F.lit("https://h"), F.col("k").cast("string"), F.lit(".example.com")
+        )
+        cs = F.col("c").cast("string")
+        child_body = F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(1)),
+                    lambda j: F.concat(
+                        F.lit("<url><loc>"), cbase, F.lit("/p/"), cs, F.lit("/"),
+                        j.cast("string"), F.lit("</loc><lastmod>2026-03-"),
+                        F.lpad(
+                            (F.col("k") + F.col("c") + j + 1).cast("string"), 2, "0"
+                        ),
+                        F.lit("</lastmod></url>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        )
+        child_tbl = childs.select(
+            F.concat(cbase, F.lit("/sm/"), cs, F.lit(".xml")).alias("child_url"),
+            child_body.alias("body"),
+        )
+        expanded = (
+            parsed.filter(F.col("kind") == "index")
+            .select("host", "kind", F.explode("children").alias("child_url"))
+            .join(child_tbl, "child_url")
+            .select("host", "kind", F.explode(sitemap_urls(F.col("body"))).alias("u"))
+        )
+        direct = parsed.filter(F.col("kind") == "urlset").select(
+            "host", "kind", F.explode("urls").alias("u")
+        )
+        return (
+            direct.unionByName(expanded)
+            .groupBy("host", "kind")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_urls"),
+                F.sum(
+                    F.when(F.col("u.priority").isNotNull(), 1).otherwise(0)
+                ).cast("int").alias("n_priority"),
+                F.max("u.lastmod").alias("max_lastmod"),
+                F.array_join(F.array_sort(F.collect_list("u.loc")), "\n").alias(
+                    "locs"
+                ),
+            )
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1637,6 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # design — verified by the identical local oracle gate
         "robots_allowed_documents": robots_allowed_documents,
         "pdf_extract_documents": pdf_extract_documents,
+        "html_metadata_documents": html_metadata_documents,
+        "pagerank_hosts_documents": pagerank_hosts_documents,
+        "sitemap_urls_documents": sitemap_urls_documents,
     }
 
 
@@ -2689,6 +2909,48 @@ def oracle_sql() -> dict[str, str]:
 
     rich_props_sql = rich_props_sql_for("TRUE")
 
+    def _pagerank_cte(iterations=5, scale=10**12, num=85, den=100):
+        """Unrolled CTE chain replaying ops/linkgraph.pagerank exactly:
+        same BIGINT fixed-point recurrence, DuckDB's integer ``//``
+        matching Spark's ``DIV`` on the all-positive values here."""
+        sql = f"""
+    WITH e0 AS (
+      SELECT 'h' || CAST(doc_id % 18 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 19 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id IS NOT NULL
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 18 AS VARCHAR),
+             'h' || CAST((doc_id * 5 + 11) % 19 AS VARCHAR)
+        FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 = 0
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+              FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) // n AS rank FROM nodes, nn)"""
+        prev = "r0"
+        for it in range(1, iterations + 1):
+            sql += f""",
+    c{it} AS (SELECT e.dst AS node,
+                     CAST(SUM(r.rank // g.d) AS BIGINT) AS contrib
+                FROM edges e JOIN {prev} r ON r.node = e.src
+                             JOIN deg g ON g.node = e.src
+               GROUP BY e.dst),
+    g{it} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+                FROM {prev} r LEFT JOIN deg ON deg.node = r.node
+               WHERE deg.d IS NULL),
+    r{it} AS (SELECT v.node,
+                     (({den - num}) * (CAST({scale} AS BIGINT) // nn.n)) // {den}
+                     + ({num} * (COALESCE(c.contrib, CAST(0 AS BIGINT))
+                                 + g{it}.dang // nn.n)) // {den} AS rank
+                FROM nodes v CROSS JOIN nn CROSS JOIN g{it}
+                LEFT JOIN c{it} c ON c.node = v.node)"""
+            prev = f"r{it}"
+        return sql + f"""
+    SELECT node AS host, CAST(rank AS BIGINT) AS rank_scaled FROM {prev}
+    """
+
     return {
         "flagship_validation": flagship,
         "combinator_validation": combinator,
@@ -2913,5 +3175,67 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CAST(n_pages AS INTEGER) AS n_pages,
            CAST(length(txt) AS INTEGER) AS n_chars, md5(txt) AS text_md5
       FROM tx
+    """,
+        # closed-form expected metadata from the same modular page
+        # construction as the Spark query (entry 53)
+        "html_metadata_documents": """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+                      CAST(doc_id % 19 AS VARCHAR) AS k, doc_id % 4 AS m
+                 FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'Doc ' || i || ' & friends'
+                  WHEN 1 THEN 'spaced ' || i
+                  WHEN 2 THEN NULL
+                  ELSE 'T "' || i || '"' END AS title,
+           CASE m WHEN 0 THEN 'd' || i
+                  WHEN 1 THEN 'D ' || i ELSE NULL END AS description,
+           CASE m WHEN 2 THEN 'OGé' || i ELSE NULL END AS og_title,
+           CASE m WHEN 0 THEN 'https://h' || k || '.example.com/c/' || i
+                  WHEN 3 THEN 'https://h' || k || '.example.com/canon/' || i
+                  ELSE NULL END AS canonical,
+           CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END
+                AS INTEGER) AS n_outlinks,
+           CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END
+                AS INTEGER) AS n_resolved,
+           CASE m
+             WHEN 0 THEN 'https://h' || k || '.example.com/r/' || i
+                         || '|first ' || i || chr(10)
+                         || 'https://x' || k || '.org/p?a=1&b=2|x & y'
+             WHEN 1 THEN 'https://cdn' || k || '.net/a|c d'
+             WHEN 2 THEN ''
+             ELSE 'https://h' || k || '.example.com/deep/' || i || '|z' || i
+           END AS resolved_links
+      FROM d
+    """,
+        # full bit-for-bit replay of the fixed-point PageRank iteration
+        # (entry 54) — generated CTE chain, BIGINT // throughout
+        "pagerank_hosts_documents": _pagerank_cte(),
+        # closed-form per-host sitemap inventory from the same modular
+        # construction as the Spark query (entry 55)
+        "sitemap_urls_documents": """
+    WITH h AS (SELECT DISTINCT CAST(doc_id % 19 AS INTEGER) AS k
+                 FROM documents WHERE doc_id IS NOT NULL),
+    d AS (SELECT k, CAST(k AS VARCHAR) AS ks, 2 + k % 3 AS nu,
+                 'https://h' || CAST(k AS VARCHAR) || '.example.com' AS base
+            FROM h)
+    SELECT 'h' || ks || '.example.com' AS host,
+           CASE WHEN k % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
+           CAST(CASE WHEN k % 2 = 0 THEN nu ELSE 4 END AS INTEGER) AS n_urls,
+           CAST(CASE WHEN k % 2 = 0 THEN (nu + 1) // 2 ELSE 0 END
+                AS INTEGER) AS n_priority,
+           CASE WHEN k % 2 = 0
+                THEN '2026-02-' || lpad(CAST(k + nu AS VARCHAR), 2, '0')
+                ELSE '2026-03-' || lpad(CAST(k + 3 AS VARCHAR), 2, '0')
+           END AS max_lastmod,
+           CASE WHEN k % 2 = 0 THEN array_to_string(
+                  list_transform(range(0, nu),
+                                 j -> base || '/page/' || CAST(j AS VARCHAR)
+                                      || '?a=1&b=2'),
+                  chr(10))
+                ELSE base || '/p/0/0' || chr(10) || base || '/p/0/1'
+                     || chr(10) || base || '/p/1/0' || chr(10)
+                     || base || '/p/1/1'
+           END AS locs
+      FROM d
     """,
     }

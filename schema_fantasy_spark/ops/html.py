@@ -95,6 +95,20 @@ def _decode_numeric_entities(s: Column) -> Column:
     )
 
 
+def decode_entities(s: Column) -> Column:
+    """Entity decoding shared by text extraction and metadata extraction:
+    numeric references first (full Unicode range), then the five standard
+    named entities plus ``&nbsp;`` (to a plain space), ``&amp;`` LAST so
+    ``&amp;lt;`` yields the literal ``&lt;``."""
+    s = _decode_numeric_entities(s)
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return s
+
+
 def extract_text(html: Column) -> Column:
     """Extracted text of an HTML document column (see module contract)."""
     s = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
@@ -102,12 +116,7 @@ def extract_text(html: Column) -> Column:
     s = F.regexp_replace(s, r"(?is)<head\b.*?</head\s*>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, _TAG, " ")
-    s = _decode_numeric_entities(s)
-    for ent, rep in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
-    ):
-        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = decode_entities(s)
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
