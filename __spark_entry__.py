@@ -1787,6 +1787,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def jsonld_validation_documents(spark, sf):
+        # The INTEGRATION entry: raw HTML -> embedded JSON-LD extraction
+        # (ops/html_meta.jsonld_blocks, pure Column) -> the engine's own
+        # dynamic Arrow-UDF validation kernel over the extracted blocks
+        # (the reference's core job, fed by the crawl's structured-data
+        # channel). Pages span 5 families: valid Article; missing name
+        # (required); @type outside the pattern; wordCount below minimum;
+        # and a TWO-block page whose second block fails minLength (block
+        # indexing under posexplode). Every page carries a javascript
+        # decoy block and a quote-guarded type= spoof inside another
+        # attribute — extracting either flips rows. The oracle states
+        # every violation closed-form. NOTE: entry 56, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py verifies
+        # it either way.
+        from schema_fantasy_spark.dynamic import validate_json
+        from schema_fantasy_spark.ops.html_meta import jsonld_blocks
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(5))
+        lead = F.concat(
+            F.lit(
+                '<html><head><script type="text/javascript">var x = '
+                '{"@type":"Nope"};</script>'
+                "<script data-t='type=\"application/ld+json\"' "
+                'type="module">no</script></head><body><p>doc '
+            ),
+            i,
+            F.lit("</p>"),
+        )
+        body = (
+            F.when(m == 0, F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type":"Article","name":"Article '),
+                i, F.lit(' fine","wordCount":150}</script>'),
+            ))
+            .when(m == 1, F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"Product","wordCount":120}</script>'
+            ))
+            .when(m == 2, F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type":"Video","name":"Video '),
+                i, F.lit(' name","wordCount":130}</script>'),
+            ))
+            .when(m == 3, F.concat(
+                F.lit("<script type='application/ld+json'> "
+                      '{"@type":"Article","name":"Article '),
+                i, F.lit(' ok","wordCount":7} </script>'),
+            ))
+            .otherwise(F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type":"Product","name":"Product '),
+                i, F.lit(' good","wordCount":300}</script>'
+                         '<script type="application/ld+json">'
+                         '{"@type":"Article","name":"abc","wordCount":200}'
+                         "</script>"),
+            ))
+        )
+        pages = docs.select(
+            "doc_id", F.concat(lead, body, F.lit("</body></html>")).alias("html")
+        )
+        blocks = pages.select(
+            "doc_id",
+            F.posexplode(jsonld_blocks(F.col("html"))).alias("block_idx", "jsonld"),
+        )
+        schema = {
+            "type": "object",
+            "required": ["@type", "name"],
+            "properties": {
+                "@type": {"type": "string", "pattern": "^(Article|Product)$"},
+                "name": {"type": "string", "minLength": 5},
+                "wordCount": {"type": "integer", "minimum": 100},
+            },
+        }
+        v = validate_json(blocks, "jsonld", schema)
+        out = ValidationEngine.violations(v, ["doc_id", "block_idx"])
+        return out.select(
+            "doc_id",
+            "block_idx",
+            F.array_join("path", "/").alias("path"),
+            "keyword",
+            "message",
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1857,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata_documents": html_metadata_documents,
         "pagerank_hosts_documents": pagerank_hosts_documents,
         "sitemap_urls_documents": sitemap_urls_documents,
+        "jsonld_validation_documents": jsonld_validation_documents,
     }
 
 
@@ -3237,5 +3325,25 @@ def oracle_sql() -> dict[str, str]:
                      || base || '/p/1/1'
            END AS locs
       FROM d
+    """,
+        # closed-form violation rows from the JSON-LD page construction
+        # (entry 56): family 0 and the first block of family 4 are valid
+        # and emit nothing; decoy script blocks must never surface
+        "jsonld_validation_documents": """
+    SELECT doc_id, CAST(0 AS INTEGER) AS block_idx, '' AS path,
+           'required' AS keyword, 'missing name' AS message
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER), '@type', 'pattern',
+           'does not match /^(Article|Product)$/'
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 2
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER), 'wordCount', 'minimum',
+           'less than 100'
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 3
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER), 'name', 'minLength',
+           'shorter than 5 characters'
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 4
     """,
     }

@@ -122,6 +122,29 @@ def html_outlinks(html: Column) -> Column:
     return F.filter(F.transform(elems, _link), lambda l: l["href"].isNotNull())
 
 
+#: a whole <script ...>...</script> element whose type attribute is
+#: application/ld+json (quote-aware interior so type= inside another
+#: attribute's value cannot spoof it)
+_JSONLD_ELEM = (
+    rf"(?is)<script\b{_IN}*?\btype\s*=\s*[\"']application/ld\+json[\"']"
+    rf"{_IN}*>(.*?)</script\s*>"
+)
+
+
+def jsonld_blocks(html: Column) -> Column:
+    """All ``<script type="application/ld+json">`` bodies of a page, in
+    document order, trimmed — ``array<string>`` of raw JSON texts ready
+    for the dynamic validation kernel (script content is raw character
+    data: no entity decoding, per the HTML script-element rules). Other
+    script elements (javascript, modules) are never matched. Trim is a
+    regexp (\\s), NOT F.trim — Spark's trim strips only 0x20 spaces and
+    JSON-LD blocks routinely start with a newline."""
+    return F.transform(
+        F.regexp_extract_all(html, F.lit(_JSONLD_ELEM), F.lit(1)),
+        lambda b: F.regexp_replace(b, r"^\s+|\s+$", ""),
+    )
+
+
 def resolve_href(href: Column, base_scheme: Column, base_host: Column) -> Column:
     """Resolve an href against the page's base: absolute http(s) pass
     through; ``//host/path`` gains the base scheme; ``/path`` gains

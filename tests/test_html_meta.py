@@ -113,6 +113,21 @@ def test_with_html_metadata_end_to_end(spark):
     assert with_html_metadata(dfb).collect()[0]["title"] == "T"
 
 
+def test_jsonld_blocks(spark):
+    from schema_fantasy_spark.ops.html_meta import jsonld_blocks
+
+    html = (
+        '<script type="text/javascript">var x = {"@type":"Nope"};</script>'
+        '<script type="application/ld+json">\n {"@type":"Article","name":"A"} '
+        "</script><p>body</p>"
+        "<script data-x='type=\"application/ld+json\"' type='module'>no</script>"
+        "<SCRIPT TYPE='application/ld+json'>{\"@type\":\"Product\"}</SCRIPT>"
+    )
+    got = _one(spark, html, jsonld_blocks)
+    assert got == ['{"@type":"Article","name":"A"}', '{"@type":"Product"}']
+    assert _one(spark, "<p>none</p>", jsonld_blocks) == []
+
+
 def test_plan_is_python_free(spark):
     df = spark.createDataFrame([("<p>x</p>", "https", "h.com")],
                                "html: string, scheme: string, host: string")
