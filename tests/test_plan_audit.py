@@ -320,3 +320,38 @@ def test_webtext_ops_plan_shapes(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "SortMergeJoin LeftOuter" in p3, p3  # docs<->hits: not broadcast
     assert "BroadcastHashJoin LeftOuter" not in p3, p3
+
+
+def test_pagerank_bounded_lineage_and_jobs(spark):
+    """ops/linkgraph.pagerank: the per-iteration lazy localCheckpoint
+    must truncate lineage — the returned plan reads an ExistingRDD and
+    carries only the LAST iteration's joins (an untruncated 5-iteration
+    plan would nest 3^5 subtrees and dozens of joins) — and a full
+    materialization must stay a bounded number of jobs (1 final action;
+    broadcast exchanges for N and the per-iteration dangling aggregate
+    account for the rest)."""
+    from schema_fantasy_spark.ops.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"h{i}", f"h{(i * 3 + 1) % 7}") for i in range(7)]
+        + [("h7", "h0")],  # h7 dangles (never a dst of the cycle part)
+        "src: string, dst: string",
+    )
+    plan = plan_of(pagerank(edges, iterations=5), "simple")
+    assert "ExistingRDD" in plan
+    assert plan.count("Join") <= 4, plan
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    group = "pagerank-job-audit"
+    sc.setJobGroup(group, "count jobs for one pagerank materialization")
+    try:
+        n = len(pagerank(edges, iterations=5).collect())
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert n == 8
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # 1 N-broadcast + 5 dangling broadcasts + 1 final collect (+ slack 2)
+    assert len(jobs) <= 9, f"{len(jobs)} jobs: {sorted(jobs)}"
