@@ -1874,6 +1874,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "message",
         )
 
+    def anchor_text_hosts_documents(spark, sf):
+        # Anchor-text profile per destination host (ops/linkgraph.
+        # top_anchors): links derive deterministically from documents
+        # (dst = h((7*doc_id+3)%19), anchor = a(doc_id%5) — near-uniform
+        # counts so the deterministic tie-break does real work), top-2
+        # per host. Oracle replays the groupBy + row_number window in
+        # SQL — any count/ordering/tie-break drift flips rows. NOTE:
+        # entry 57, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.linkgraph import top_anchors
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        links = docs.select(
+            F.concat(
+                F.lit("h"), F.pmod(F.col("doc_id") * 7 + 3, F.lit(19)).cast("string")
+            ).alias("dst"),
+            F.concat(
+                F.lit("a"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+            ).alias("anchor"),
+        )
+        return top_anchors(links, k=2).select(
+            F.col("dst").alias("dst_host"), "anchor", "cnt", "rnk"
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1945,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts_documents": pagerank_hosts_documents,
         "sitemap_urls_documents": sitemap_urls_documents,
         "jsonld_validation_documents": jsonld_validation_documents,
+        "anchor_text_hosts_documents": anchor_text_hosts_documents,
     }
 
 
@@ -3345,5 +3372,19 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CAST(1 AS INTEGER), 'name', 'minLength',
            'shorter than 5 characters'
       FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 4
+    """,
+        # full replay of the anchor-profile aggregation + window (entry 57)
+        "anchor_text_hosts_documents": """
+    WITH l AS (SELECT 'h' || CAST((doc_id * 7 + 3) % 19 AS VARCHAR) AS dst,
+                      'a' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+                 FROM documents WHERE doc_id IS NOT NULL),
+    c AS (SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM l GROUP BY dst, anchor),
+    r AS (SELECT dst, anchor, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY dst
+                                    ORDER BY cnt DESC, anchor ASC) AS rnk
+            FROM c)
+    SELECT dst AS dst_host, anchor, cnt, CAST(rnk AS INTEGER) AS rnk
+      FROM r WHERE rnk <= 2
     """,
     }

@@ -65,6 +65,25 @@ def host_edges(
     return e.where((F.col("dst") != "") & (F.col("src") != F.col("dst"))).distinct()
 
 
+def top_anchors(
+    links: DataFrame, k: int = 2, dst_col: str = "dst", anchor_col: str = "anchor"
+) -> DataFrame:
+    """Top-k anchor texts per destination host — the classic web-corpus
+    relevance signal (how the web describes a target). Two-stage shape
+    for 10^12 links: groupBy(dst, anchor) FIRST (partial aggregation
+    combines map-side, so the window's shuffle moves distinct
+    (dst, anchor, cnt) rows, not raw links), then one row_number window
+    per dst. Ties break deterministically: count desc, anchor asc —
+    cross-engine stable with no float anywhere."""
+    from pyspark.sql import Window
+
+    counts = links.groupBy(dst_col, anchor_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(dst_col).orderBy(
+        F.col("cnt").desc(), F.col(anchor_col).asc()
+    )
+    return counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,

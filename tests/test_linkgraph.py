@@ -84,3 +84,19 @@ def test_pagerank_mass_roughly_conserved(spark):
     got = _run_spark(spark, edges)
     total = sum(got.values())
     assert SCALE * 0.999 < total <= SCALE
+
+
+def test_top_anchors_deterministic_ties(spark):
+    from schema_fantasy_spark.ops.linkgraph import top_anchors
+
+    links = spark.createDataFrame(
+        [("h1", "zeta"), ("h1", "zeta"), ("h1", "alpha"), ("h1", "alpha"),
+         ("h1", "mid"), ("h2", "only")],
+        "dst: string, anchor: string",
+    )
+    got = sorted(
+        (r["dst"], r["anchor"], r["cnt"], r["rnk"])
+        for r in top_anchors(links, k=2).collect()
+    )
+    # h1: alpha and zeta tie at 2 — anchor asc breaks the tie
+    assert got == [("h1", "alpha", 2, 1), ("h1", "zeta", 2, 2), ("h2", "only", 1, 1)]
