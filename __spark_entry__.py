@@ -1900,6 +1900,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dst").alias("dst_host"), "anchor", "cnt", "rnk"
         )
 
+    def classifier_scores_documents(spark, sf):
+        # Supervised model-based corpus filtering under the gate (ops/
+        # classifier.py — the fastText-style gate of DCLM/FineWeb-style
+        # recipes, made integer-exact): train on the deterministic
+        # doc_id%3 slice with lang=='en' labels (top-64 vocab by count
+        # desc/token asc + UNK bucket, add-one smoothing, millionth
+        # quantization, NO logs), then score EVERY document with the
+        # shuffle-free literal-map fold. The oracle replays TRAINING AND
+        # SCORING bit-for-bit in SQL — any tokenizer/cap/tie-break/
+        # rounding drift flips scores. NOTE: entry 58, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py verifies
+        # it either way.
+        from schema_fantasy_spark.ops.classifier import (
+            train_token_classifier,
+            with_classifier_score,
+        )
+
+        docs = (
+            tables.load(spark, sf, "documents")
+            .filter(F.col("doc_id").isNotNull())
+            .select("doc_id", "text", (F.col("lang") == "en").alias("is_en"))
+        )
+        model = train_token_classifier(docs, "is_en", max_vocab=64)
+        out = with_classifier_score(docs, model, out_col="score")
+        return out.select(
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            (F.col("score") > 0).alias("pred_en"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -1972,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls_documents": sitemap_urls_documents,
         "jsonld_validation_documents": jsonld_validation_documents,
         "anchor_text_hosts_documents": anchor_text_hosts_documents,
+        "classifier_scores_documents": classifier_scores_documents,
     }
 
 
@@ -3386,5 +3417,54 @@ def oracle_sql() -> dict[str, str]:
             FROM c)
     SELECT dst AS dst_host, anchor, cnt, CAST(rnk AS INTEGER) AS rnk
       FROM r WHERE rnk <= 2
+    """,
+        # full bit-for-bit replay of classifier TRAINING (vocab cut,
+        # smoothing, integer quantization) and SCORING (entry 58)
+        "classifier_scores_documents": """
+    WITH docs AS (
+      SELECT doc_id, text, lang = 'en' AS pos
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    trd AS (SELECT * FROM docs WHERE text IS NOT NULL AND doc_id % 3 = 0),
+    trtok AS (
+      SELECT pos, lower(tok) AS tok
+        FROM trd, unnest(string_split_regex(text, '[^A-Za-z]+')) AS u(tok)
+       WHERE tok <> ''
+    ),
+    cnt AS (SELECT tok, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+              FROM trtok GROUP BY tok),
+    vocab AS (SELECT tok, cp, cn FROM cnt
+               ORDER BY cp + cn DESC, tok ASC LIMIT 64),
+    tot AS (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS tn FROM cnt),
+    vv AS (SELECT (SELECT COUNT(*) FROM vocab) + 1 AS v),
+    w AS (SELECT tok, ((cp + 1) * 1000000) // (tot.tp + vv.v)
+                      - ((cn + 1) * 1000000) // (tot.tn + vv.v) AS w
+            FROM vocab, tot, vv),
+    wu AS (SELECT ((tp - (SELECT COALESCE(SUM(cp), 0) FROM vocab) + 1)
+                   * 1000000) // (tp + v)
+                  - ((tn - (SELECT COALESCE(SUM(cn), 0) FROM vocab) + 1)
+                     * 1000000) // (tn + v) AS wu
+             FROM tot, vv),
+    pr AS (SELECT ((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) * 1000000)
+                  // (COUNT(*) + 2)
+                  - ((SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1) * 1000000)
+                  // (COUNT(*) + 2) AS b
+             FROM trd),
+    alltok AS (
+      SELECT doc_id, lower(tok) AS tok
+        FROM docs, unnest(string_split_regex(text, '[^A-Za-z]+')) AS u(tok)
+       WHERE text IS NOT NULL AND tok <> ''
+    ),
+    sc AS (SELECT a.doc_id, SUM(COALESCE(w.w, wu.wu)) AS s
+             FROM alltok a LEFT JOIN w ON w.tok = a.tok CROSS JOIN wu
+            GROUP BY a.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(pr.b + COALESCE(sc.s, 0) AS BIGINT) END AS score,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE (pr.b + COALESCE(sc.s, 0)) > 0 END AS pred_en
+      FROM docs d CROSS JOIN pr LEFT JOIN sc ON sc.doc_id = d.doc_id
     """,
     }
