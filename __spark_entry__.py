@@ -1601,7 +1601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('.example.com/c/'), i, F.lit('"></head><body>'),
                 F.lit('<a href="/r/'), i, F.lit('">first '), i, F.lit('</a>'),
                 F.lit('<a href="https://x'), k,
-                F.lit('.org/p?a=1&amp;b=2">x &amp; y</a></body></html>'),
+                F.lit('.org/p?a=1&amp;b=2">x &amp; y</a>'),
+                F.lit('<a rel="nofollow" href="https://ads'), k,
+                F.lit('.example.net/z">sponsored '), i,
+                F.lit('</a></body></html>'),
             ))
             .when(m == 1, F.concat(
                 F.lit("<html><head><title> spaced   "), i, F.lit(" </title>"),
@@ -1631,6 +1634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "title", "description", "og_title", "canonical",
             F.size("outlinks").alias("n_outlinks"),
             F.size("resolved_outlinks").alias("n_resolved"),
+            F.size(
+                F.filter(F.col("outlinks"), lambda l: l["nofollow"])
+            ).alias("n_nofollow"),
             F.array_join(
                 F.transform(
                     F.col("resolved_outlinks"),
@@ -3339,14 +3345,17 @@ def oracle_sql() -> dict[str, str]:
            CASE m WHEN 0 THEN 'https://h' || k || '.example.com/c/' || i
                   WHEN 3 THEN 'https://h' || k || '.example.com/canon/' || i
                   ELSE NULL END AS canonical,
-           CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 1 END
                 AS INTEGER) AS n_outlinks,
-           CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END
                 AS INTEGER) AS n_resolved,
+           CAST(CASE m WHEN 0 THEN 1 ELSE 0 END AS INTEGER) AS n_nofollow,
            CASE m
              WHEN 0 THEN 'https://h' || k || '.example.com/r/' || i
                          || '|first ' || i || chr(10)
                          || 'https://x' || k || '.org/p?a=1&b=2|x & y'
+                         || chr(10)
+                         || 'https://ads' || k || '.example.net/z|sponsored ' || i
              WHEN 1 THEN 'https://cdn' || k || '.net/a|c d'
              WHEN 2 THEN ''
              ELSE 'https://h' || k || '.example.com/deep/' || i || '|z' || i

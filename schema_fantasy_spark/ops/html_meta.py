@@ -106,18 +106,28 @@ _A_ELEM = rf"(?is)<a\b{_IN}*>.*?</a\s*>"
 
 def html_outlinks(html: Column) -> Column:
     """All ``<a href=...>`` outlinks of a page, in document order, as
-    ``array<struct<href:string, anchor:string>>`` — href entity-decoded
-    verbatim (no resolution), anchor run through the text pipeline.
-    ``<a>`` elements without an href are skipped."""
+    ``array<struct<href:string, anchor:string, nofollow:boolean>>`` —
+    href entity-decoded verbatim (no resolution), anchor run through the
+    text pipeline, nofollow true when the link's ``rel`` attribute
+    carries the token (link graphs exclude nofollow edges — the
+    rel-ownership signal crawlers have honored since 2005). ``<a>``
+    elements without an href are skipped."""
     elems = F.regexp_extract_all(html, F.lit(_A_ELEM), F.lit(0))
     href_pat = rf"(?is)<a\b{_IN}*?\bhref\s*=\s*{_Q}"
+    rel_pat = rf"(?is)<a\b{_IN}*?\brel\s*=\s*{_Q}"
 
     def _link(e: Column) -> Column:
         href = decode_entities(_first2(e, href_pat))
         anchor = _clean_fragment(
             F.regexp_extract(e, r"(?is)<a\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>(.*?)</a\s*>", 1)
         )
-        return F.struct(href.alias("href"), anchor.alias("anchor"))
+        rel = F.coalesce(_first2(e, rel_pat), F.lit(""))
+        nofollow = F.arrays_overlap(
+            F.split(F.lower(rel), r"\s+"), F.array(F.lit("nofollow"))
+        )
+        return F.struct(
+            href.alias("href"), anchor.alias("anchor"), nofollow.alias("nofollow")
+        )
 
     return F.filter(F.transform(elems, _link), lambda l: l["href"].isNotNull())
 
@@ -194,6 +204,7 @@ def with_html_metadata(
                             F.col(base_host_col),
                         ).alias("href"),
                         l["anchor"].alias("anchor"),
+                        l["nofollow"].alias("nofollow"),
                     ),
                 ),
                 lambda l: l["href"].isNotNull(),

@@ -55,12 +55,13 @@ def host_edges(
 ) -> DataFrame:
     """Distinct (src, dst) host edges from a page table carrying resolved
     outlinks (ops/html_meta.with_html_metadata output). Self-edges are
-    dropped — they add nothing to inter-host rank flow."""
+    dropped (they add nothing to inter-host rank flow), and so are
+    rel=nofollow links — the publisher explicitly disclaimed the
+    endorsement a link-graph edge encodes."""
+    followed = F.filter(F.col(links_col), lambda l: ~l["nofollow"])
     e = pages.select(
         F.col(src_host_col).alias("src"),
-        F.explode(F.transform(F.col(links_col), lambda l: host_of(l["href"]))).alias(
-            "dst"
-        ),
+        F.explode(F.transform(followed, lambda l: host_of(l["href"]))).alias("dst"),
     )
     return e.where((F.col("dst") != "") & (F.col("src") != F.col("dst"))).distinct()
 

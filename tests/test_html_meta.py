@@ -63,13 +63,17 @@ def test_outlinks_order_and_cleanup(spark):
         '<a name="no-href">skipped</a>'
         '<a href="mailto:x@y.z">mail &amp; such</a>'
         '<a data-x="v>w" href="https://b.com/2?q=1&amp;r=2">q</a>'
+        '<a rel="NoFollow sponsored" href="https://paid.com/x">ad</a>'
+        "<a rel='author' href='https://f.com/y'>f</a>"
     )
     links = _one(spark, html, html_outlinks)
-    assert [(l["href"], l["anchor"]) for l in links] == [
-        ("https://a.com/1", "first"),
-        ("/rel", "bold anchor"),
-        ("mailto:x@y.z", "mail & such"),
-        ("https://b.com/2?q=1&r=2", "q"),
+    assert [(l["href"], l["anchor"], l["nofollow"]) for l in links] == [
+        ("https://a.com/1", "first", False),
+        ("/rel", "bold anchor", False),
+        ("mailto:x@y.z", "mail & such", False),
+        ("https://b.com/2?q=1&r=2", "q", False),
+        ("https://paid.com/x", "ad", True),   # token match, case-insensitive
+        ("https://f.com/y", "f", False),      # rel present but not nofollow
     ]
 
 

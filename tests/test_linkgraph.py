@@ -64,17 +64,20 @@ def test_pagerank_duplicate_edges_and_iterations(spark):
 
 def test_host_edges_from_outlinks(spark):
     rows = [
-        ("h1.com", [{"href": "https://h2.com/a", "anchor": "x"},
-                    {"href": "https://H2.com:8080/b", "anchor": "y"},
-                    {"href": "https://h1.com/self", "anchor": "self"}]),
-        ("h2.com", [{"href": "http://h3.com/", "anchor": "z"}]),
+        ("h1.com", [{"href": "https://h2.com/a", "anchor": "x", "nofollow": False},
+                    {"href": "https://H2.com:8080/b", "anchor": "y", "nofollow": False},
+                    {"href": "https://h1.com/self", "anchor": "self", "nofollow": False},
+                    {"href": "https://paid.com/ad", "anchor": "ad", "nofollow": True}]),
+        ("h2.com", [{"href": "http://h3.com/", "anchor": "z", "nofollow": False}]),
         ("h3.com", []),
     ]
     df = spark.createDataFrame(
         rows,
-        "host: string, resolved_outlinks: array<struct<href:string,anchor:string>>",
+        "host: string, resolved_outlinks: "
+        "array<struct<href:string,anchor:string,nofollow:boolean>>",
     )
     got = {(r["src"], r["dst"]) for r in host_edges(df).collect()}
+    # nofollow edge (h1 -> paid.com) excluded
     assert got == {("h1.com", "h2.com"), ("h1.com", "h2.com:8080"), ("h2.com", "h3.com")}
 
 
