@@ -1936,6 +1936,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("score") > 0).alias("pred_en"),
         )
 
+    def feed_entries_documents(spark, sf):
+        # Feed inventory under the gate (ops/feeds.py): per-host bodies
+        # synthesized in Column exprs — even hosts RSS 2.0 with 2+k%3
+        # items (entities in channel + item titles, guid/pubDate), odd
+        # hosts Atom with 2 entries (numeric-entity titles, href links
+        # in BOTH quote styles, updated/id). The oracle states the
+        # per-host inventory (kind, decoded feed title, entry count,
+        # max timestamp, sorted links + titles) closed-form from the
+        # same construction. NOTE: entry 59, past the driver's ~50-slot
+        # recording window; tools/check_correctness.py verifies it
+        # either way.
+        from schema_fantasy_spark.ops.feeds import parse_feeds
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        hosts = docs.select(
+            F.pmod(F.col("doc_id"), F.lit(19)).cast("int").alias("k")
+        ).distinct()
+        ks = F.col("k").cast("string")
+        host = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+        base = F.concat(F.lit("https://h"), ks, F.lit(".example.com"))
+        nu = (F.lit(2) + F.pmod(F.col("k"), F.lit(3))).cast("int")
+        rss = F.concat(
+            F.lit('<?xml version="1.0"?>\n<rss version="2.0"><channel>\n'
+                  "  <title>Feed &amp; h"),
+            ks,
+            F.lit("</title>\n  <link>"), base, F.lit("/</link>\n"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), nu - 1),
+                    lambda j: F.concat(
+                        F.lit("  <item><title>Item "), j.cast("string"),
+                        F.lit(" &amp; h"), ks, F.lit("</title><link>"),
+                        base, F.lit("/n/"), j.cast("string"),
+                        F.lit("</link><pubDate>2026-02-"),
+                        F.lpad((F.col("k") + j + 1).cast("string"), 2, "0"),
+                        F.lit("T00:00:00Z</pubDate><guid>g"), ks,
+                        F.lit("-"), j.cast("string"),
+                        F.lit("</guid></item>\n"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</channel></rss>"),
+        )
+        atom = F.concat(
+            F.lit('<?xml version="1.0" encoding="utf-8"?>\n'
+                  '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+                  "  <title>AtomFeed h"),
+            ks,
+            F.lit('</title>\n  <link href="'), base, F.lit('/"/>\n'
+                  "  <entry><title>Entr&#233;e 0</title>"
+                  '<link href="'), base, F.lit('/e/0"/>'
+                  "<updated>2026-03-"),
+            F.lpad((F.col("k") + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z</updated><id>urn:h"), ks, F.lit(":0</id></entry>\n"
+                  "  <entry><title>Entr&#233;e 1</title>"
+                  "<link href='"), base, F.lit("/e/1'/>"
+                  "<updated>2026-03-"),
+            F.lpad((F.col("k") + 2).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z</updated><id>urn:h"), ks, F.lit(":1</id></entry>\n"
+                  "</feed>"),
+        )
+        xml = F.when(F.pmod(F.col("k"), F.lit(2)) == 0, rss).otherwise(atom)
+        fd = hosts.select(host.alias("host"), xml.alias("feed_xml"))
+        parsed = parse_feeds(fd, key_cols=("host",))
+        return (
+            parsed.select(
+                "host", "kind", "feed_title", F.explode("entries").alias("e")
+            )
+            .groupBy("host", "kind", "feed_title")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_entries"),
+                F.max("e.ts").alias("max_ts"),
+                F.array_join(F.array_sort(F.collect_list("e.link")), "\n").alias(
+                    "links"
+                ),
+                F.array_join(F.array_sort(F.collect_list("e.title")), "|").alias(
+                    "titles"
+                ),
+            )
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2009,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_validation_documents": jsonld_validation_documents,
         "anchor_text_hosts_documents": anchor_text_hosts_documents,
         "classifier_scores_documents": classifier_scores_documents,
+        "feed_entries_documents": feed_entries_documents,
     }
 
 
@@ -3475,5 +3560,39 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN d.text IS NULL THEN NULL
                 ELSE (pr.b + COALESCE(sc.s, 0)) > 0 END AS pred_en
       FROM docs d CROSS JOIN pr LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+        # closed-form per-host feed inventory from the same modular
+        # construction as the Spark query (entry 59)
+        "feed_entries_documents": """
+    WITH h AS (SELECT DISTINCT CAST(doc_id % 19 AS INTEGER) AS k
+                 FROM documents WHERE doc_id IS NOT NULL),
+    d AS (SELECT k, CAST(k AS VARCHAR) AS ks, 2 + k % 3 AS nu,
+                 'https://h' || CAST(k AS VARCHAR) || '.example.com' AS base
+            FROM h)
+    SELECT 'h' || ks || '.example.com' AS host,
+           CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+           CASE WHEN k % 2 = 0 THEN 'Feed & h' || ks
+                ELSE 'AtomFeed h' || ks END AS feed_title,
+           CAST(CASE WHEN k % 2 = 0 THEN nu ELSE 2 END AS INTEGER)
+             AS n_entries,
+           CASE WHEN k % 2 = 0
+                THEN '2026-02-' || lpad(CAST(k + nu AS VARCHAR), 2, '0')
+                     || 'T00:00:00Z'
+                ELSE '2026-03-' || lpad(CAST(k + 2 AS VARCHAR), 2, '0')
+                     || 'T00:00:00Z' END AS max_ts,
+           CASE WHEN k % 2 = 0 THEN array_to_string(
+                  list_transform(range(0, nu),
+                                 j -> base || '/n/' || CAST(j AS VARCHAR)),
+                  chr(10))
+                ELSE base || '/e/0' || chr(10) || base || '/e/1'
+           END AS links,
+           CASE WHEN k % 2 = 0 THEN array_to_string(
+                  list_transform(range(0, nu),
+                                 j -> 'Item ' || CAST(j AS VARCHAR)
+                                      || ' & h' || ks),
+                  '|')
+                ELSE 'Entrée 0|Entrée 1'
+           END AS titles
+      FROM d
     """,
     }
