@@ -38,6 +38,10 @@ engine ships and gates:
                             (ops.decontaminate, broadcast join);
     5c. PII SCRUB         — (--scrub-pii) redact emails/IPs/cards/
                             phones in the surviving text (ops.pii);
+    5d. QUALITY MODEL     — (--label-col) train the integer-exact
+                            fastText-style classifier on the labeled
+                            slice, drop survivors scoring <= --min-score
+                            (ops.classifier);
     6. write the cleaned table + ONE JSON stats line on stdout
        (including the per-rule funnel rows).
 
@@ -79,6 +83,14 @@ def main() -> int:
                          "8-gram with it (train/test decontamination)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/cards/phones in surviving text")
+    ap.add_argument("--label-col", default=None,
+                    help="boolean quality-label column: train the integer-"
+                         "exact token classifier (ops/classifier.py) on the "
+                         "labeled slice and drop survivors scoring <= "
+                         "--min-score")
+    ap.add_argument("--classifier-vocab", type=int, default=64)
+    ap.add_argument("--min-score", type=int, default=0,
+                    help="classifier score threshold (millionths)")
     ap.add_argument("--min-words", type=int, default=5,
                     help="funnel rule: minimum whitespace-token count")
     ap.add_argument("--max-chars", type=int, default=1_000_000,
@@ -197,8 +209,12 @@ def main() -> int:
             bench_text_col=args.text_col, n=8, method=args.method,
         )
         before = cleaned.count()
+        # NO broadcast hint: hits is a full-corpus aggregate (unbounded
+        # when contamination is widespread) — AQE picks the strategy
+        # from the real size at runtime (VERDICT r5 finding, same fix
+        # as ops/decontaminate.with_contamination)
         cleaned = cleaned.join(
-            F.broadcast(hits.select(args.id_col)), args.id_col, "left_anti"
+            hits.select(args.id_col), args.id_col, "left_anti"
         )
         n_contaminated = before - cleaned.count()
 
@@ -210,6 +226,32 @@ def main() -> int:
             args.text_col, pii_scrub(F.col(args.text_col))["scrubbed"]
         )
 
+    # 5d. model-based quality filter (ops/classifier.py): train the
+    # integer-exact fastText-style classifier on the labeled slice of
+    # the INPUT corpus, drop survivors scoring <= --min-score. Training
+    # is 3 bounded driver reads; scoring is a shuffle-free fold.
+    n_model_filtered = 0
+    if args.label_col:
+        from schema_fantasy_spark.ops.classifier import (
+            train_token_classifier,
+            with_classifier_score,
+        )
+
+        model = train_token_classifier(
+            df,
+            args.label_col,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            max_vocab=args.classifier_vocab,
+        )
+        before = cleaned.count()
+        cleaned = (
+            with_classifier_score(cleaned, model, args.text_col, "__cls")
+            .filter(F.col("__cls") > args.min_score)
+            .drop("__cls")
+        )
+        n_model_filtered = before - cleaned.count()
+
     cleaned.write.mode("overwrite").parquet(args.output)
     distinct.unpersist()
     n_out = spark.read.parquet(args.output).count()
@@ -219,6 +261,7 @@ def main() -> int:
         "sample_sixteenths": args.sample_sixteenths,
         "removed_url_collapse": n_url_collapsed,
         "removed_contaminated": n_contaminated,
+        "removed_model_filter": n_model_filtered,
         "funnel": funnel_rows,
         "n_after_funnel": n_funnel,
         "n_after_exact": n_distinct,

@@ -193,3 +193,45 @@ def test_dedup_job_deterministic_sample_stage(spark, tmp_path, monkeypatch):
     assert stats["n_in"] == want and 0 < want < 64
     assert stats["n_out"] == want  # all distinct: nothing else drops
     assert spark.read.parquet(outp).count() == want
+
+
+def test_dedup_job_classifier_stage(spark, tmp_path, monkeypatch):
+    """--label-col trains the integer-exact classifier on the labeled
+    slice (doc_id%3==0) and drops survivors scoring <= --min-score: the
+    negative-class survivor is removed, accounting recorded."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bad = "zzq yyq xxq wwq vvq uuq ttq ssq rrq qqq"
+    rows = [
+        (0, good + " one", True),
+        (3, good + " two", True),
+        (6, bad + " one", False),
+        (9, bad + " two", False),
+        (1, good + " three", True),   # off-slice: scored, kept
+        (2, bad + " three", False),   # off-slice: scored, dropped
+    ]
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, label: boolean"
+    ).write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "dedup_job.py", "--input", inp, "--output", outp,
+        "--threshold", "0.5", "--num-hashes", "16", "--bands", "8",
+        "--min-words", "5", "--label-col", "label",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_job.main()
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["removed_model_filter"] >= 1
+    out = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert out, "classifier must not empty the corpus"
+    assert all(out[i]["label"] for i in out)  # only positive-class survives
