@@ -2020,6 +2020,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def zip_roundtrip_documents(spark, sf):
+        # ZIP container round-trip under the gate (sources/zip_archive):
+        # documents pack into one archive per bucket (applyInPandas
+        # writer — deflate on even buckets, stored on odd), then every
+        # member re-extracts through the reader seam. The oracle
+        # recomputes each member's name, BYTE size, method and content
+        # md5 from the table directly — any container/compression/crc
+        # error flips rows (lossless or the md5s break, same contract as
+        # the WARC round-trip in suite_documents). NOTE: entry 60, past
+        # the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        import pandas as pd
+
+        from schema_fantasy_spark.sources.zip_archive import build_zip, parse_zip
+
+        docs = (
+            tables.load(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            members = {
+                f"d{int(i)}.txt": t.encode("utf-8")
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            }
+            return pd.DataFrame(
+                {"bucket": [b], "zip": [build_zip(members, compress=b % 2 == 0)]}
+            )
+
+        archives = docs.groupBy("bucket").applyInPandas(pack, "bucket int, zip binary")
+
+        def unpack(batches):
+            for pdf in batches:
+                out = {"member": [], "content": [], "size": [], "method": []}
+                for z in pdf["zip"]:
+                    for r in parse_zip(bytes(z)):
+                        if r["error"] is not None:
+                            raise RuntimeError(r["error"])  # gate = lossless
+                        out["member"].append(r["member"])
+                        out["content"].append(r["content"])
+                        out["size"].append(r["size"])
+                        out["method"].append(r["method"])
+                yield pd.DataFrame(out)
+
+        members = archives.mapInPandas(
+            unpack, "member string, content binary, size long, method string"
+        )
+        return members.select(
+            F.regexp_extract("member", r"^d(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "member",
+            "size",
+            "method",
+            F.md5("content").alias("text_md5"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2094,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_hosts_documents": anchor_text_hosts_documents,
         "classifier_scores_documents": classifier_scores_documents,
         "feed_entries_documents": feed_entries_documents,
+        "zip_roundtrip_documents": zip_roundtrip_documents,
     }
 
 
@@ -3594,5 +3655,16 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'Entrée 0|Entrée 1'
            END AS titles
       FROM d
+    """,
+        # member name / byte size / method / md5 recomputed from the
+        # table directly (entry 60) — lossless or the hashes break
+        "zip_roundtrip_documents": """
+    SELECT doc_id,
+           'd' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           CASE WHEN (doc_id % 8) % 2 = 0 THEN 'deflate' ELSE 'stored'
+           END AS method,
+           md5(text) AS text_md5
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
     """,
     }
