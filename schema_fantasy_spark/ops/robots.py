@@ -89,6 +89,30 @@ def parse_robots(
     return agents.join(rules, ["host", "grp"]).drop("grp")
 
 
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) rows from ``Sitemap:`` directives — the
+    discovery link between crawl governance (this module) and the
+    sitemap inventory (ops/sitemap.py). Per RFC 9309 §2.2.4 / the
+    sitemaps.org protocol the directive is GROUP-INDEPENDENT (valid
+    anywhere in the file, any number of times), so this is a flat line
+    scan: no group windows, no shuffle beyond the explode."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("line"),
+    )
+    body = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    directive = F.lower(F.regexp_extract(body, r"^([A-Za-z-]+)\s*:", 1))
+    # the value is a URL: split on the FIRST colon only (https:// has one)
+    value = F.trim(F.regexp_extract(body, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    return (
+        lines.select("host", directive.alias("d"), value.alias("sitemap_url"))
+        .filter((F.col("d") == "sitemap") & (F.col("sitemap_url") != ""))
+        .drop("d")
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

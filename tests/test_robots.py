@@ -105,3 +105,24 @@ def test_plan_broadcasts_rules(spark):
     plan = robots_allowed(urls, rules, "b")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_robots_sitemaps_group_independent(spark):
+    from schema_fantasy_spark.ops.robots import robots_sitemaps
+
+    txt = (
+        "Sitemap: https://e.com/sm0.xml\n"
+        "User-agent: *\nDisallow: /tmp/\n"
+        "sitemap: https://e.com/sm1.xml  # trailing comment\n"
+        "User-agent: bot\nAllow: /\n"
+        "SITEMAP: https://e.com/sm2.xml\n"
+        "Sitemap:\n"  # empty value drops
+    )
+    df = spark.createDataFrame([("e.com", txt), ("f.com", "User-agent: *\n")],
+                               "host: string, robots_txt: string")
+    got = sorted((r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect())
+    assert got == [
+        ("e.com", "https://e.com/sm0.xml"),
+        ("e.com", "https://e.com/sm1.xml"),
+        ("e.com", "https://e.com/sm2.xml"),
+    ]
