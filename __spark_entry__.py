@@ -2080,6 +2080,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("content").alias("text_md5"),
         )
 
+    def tar_roundtrip_documents(spark, sf):
+        # TAR container round-trip under the gate (sources/tar_archive):
+        # same shape as entry 60's ZIP gate — one archive per bucket
+        # (plain tar on even buckets, deterministic .tar.gz on odd),
+        # every member re-extracted through the reader seam, the oracle
+        # recomputing name / byte size / gz flag / content md5 from the
+        # table. NOTE: entry 61, past the driver's ~50-slot recording
+        # window; tools/check_correctness.py verifies it either way.
+        import pandas as pd
+
+        from schema_fantasy_spark.sources.tar_archive import build_tar, parse_tar
+
+        docs = (
+            tables.load(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            members = {
+                f"d{int(i)}.txt": t.encode("utf-8")
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            }
+            return pd.DataFrame(
+                {"bucket": [b], "tar": [build_tar(members, gz=b % 2 == 1)]}
+            )
+
+        archives = docs.groupBy("bucket").applyInPandas(pack, "bucket int, tar binary")
+
+        def unpack(batches):
+            for pdf in batches:
+                out = {"member": [], "content": [], "size": [], "gzipped": []}
+                for z in pdf["tar"]:
+                    for r in parse_tar(bytes(z)):
+                        if r["error"] is not None:
+                            raise RuntimeError(r["error"])  # gate = lossless
+                        out["member"].append(r["member"])
+                        out["content"].append(r["content"])
+                        out["size"].append(r["size"])
+                        out["gzipped"].append(r["gzipped"])
+                yield pd.DataFrame(out)
+
+        members = archives.mapInPandas(
+            unpack, "member string, content binary, size long, gzipped boolean"
+        )
+        return members.select(
+            F.regexp_extract("member", r"^d(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "member",
+            "size",
+            "gzipped",
+            F.md5("content").alias("text_md5"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2155,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_scores_documents": classifier_scores_documents,
         "feed_entries_documents": feed_entries_documents,
         "zip_roundtrip_documents": zip_roundtrip_documents,
+        "tar_roundtrip_documents": tar_roundtrip_documents,
     }
 
 
@@ -3664,6 +3722,15 @@ def oracle_sql() -> dict[str, str]:
            CAST(octet_length(encode(text)) AS BIGINT) AS size,
            CASE WHEN (doc_id % 8) % 2 = 0 THEN 'deflate' ELSE 'stored'
            END AS method,
+           md5(text) AS text_md5
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+        # entry 61: the tar twin of entry 60
+        "tar_roundtrip_documents": """
+    SELECT doc_id,
+           'd' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           (doc_id % 8) % 2 = 1 AS gzipped,
            md5(text) AS text_md5
       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
     """,

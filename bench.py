@@ -209,7 +209,7 @@ def main() -> None:
         "serialized the whole encode+decode in one task): video_frames "
         "27.7 -> ~2.5s, image_decode 6.7 -> ~3.1, jpeg_decode 3.2 -> "
         "~1.0 at sf0.1",
-        "r6 adds ten gate entries past the driver's ~50-slot window, "
+        "r6 adds eleven gate entries past the driver's ~50-slot window, "
         "verified by the identical local oracle gate: robots_allowed "
         "(51, RFC 9309), pdf_extract (52, object-level PDF text "
         "extraction across 12 container families incl. PDF 1.5 "
@@ -221,7 +221,8 @@ def main() -> None:
         "extraction wired into the Arrow-UDF kernel), anchor_text_hosts "
         "(57), classifier_scores (58, integer-exact fastText-style "
         "filter, oracle replays training + scoring), feed_entries (59, "
-        "RSS/Atom), zip_roundtrip (60, ZIP container seam, lossless)",
+        "RSS/Atom), zip_roundtrip (60) and tar_roundtrip (61, container "
+        "seams, lossless)",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:

@@ -355,3 +355,20 @@ def test_pagerank_bounded_lineage_and_jobs(spark):
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     # 1 N-broadcast + 5 dangling broadcasts + 1 final collect (+ slack 2)
     assert len(jobs) <= 9, f"{len(jobs)} jobs: {sorted(jobs)}"
+
+
+def test_classifier_scoring_python_free_no_shuffle(spark):
+    """ops/classifier scoring is a whole-scan fold against a literal
+    map: no Python in the plan, no Exchange — text never moves."""
+    from schema_fantasy_spark.ops.classifier import (
+        TokenModel,
+        with_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id: long, text: string"
+    )
+    model = TokenModel(weights={"alpha": 10, "beta": -3}, w_unk=-1, prior=5)
+    plan = plan_of(with_classifier_score(df, model))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
