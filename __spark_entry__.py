@@ -2137,6 +2137,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("content").alias("text_md5"),
         )
 
+    def wet_roundtrip_documents(spark, sf):
+        # WET (Common Crawl extracted-text sidecar) round-trip under the
+        # gate (sources/wet.py): documents pack into one *.warc.wet
+        # archive per bucket (warcinfo + conversion records; gz members
+        # on even buckets, plain on odd), then every conversion record
+        # re-extracts through parse_wet. Each record carries the doc's
+        # url, a fixed WARC-Date, and a WARC-Refers-To whose uuid tail
+        # is the zero-padded doc_id — the reader must surface all three.
+        # Texts carry a non-ASCII suffix (é, CJK, supplementary-plane
+        # emoji) so the UTF-8 encode/decode and the char-vs-byte length
+        # accounting are both under the gate: the oracle recomputes url,
+        # refers tail, char length, BYTE length and md5 from the table
+        # directly — a lossy decode or a mis-framed record flips rows.
+        # The unpack seam raises unless the warcinfo run-provenance
+        # fields survive into every row. NOTE: entry 62, past the
+        # driver's ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        import pandas as pd
+
+        from schema_fantasy_spark.sources.wet import build_wet, parse_wet
+
+        docs = (
+            tables.load(spark, sf, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .withColumn("text", F.concat(F.col("text"), F.lit(" café 中\U0001f600")))
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            entries = [
+                (
+                    f"https://h{int(i) % 19}.example.com/wet/{int(i)}",
+                    "2026-01-01T00:00:00Z",
+                    f"<urn:uuid:00000000-0000-0000-0000-{int(i):012d}>",
+                    t,
+                )
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            wet = build_wet(
+                entries,
+                info_fields={"extraction-run": "r6"},
+                compress=b % 2 == 0,
+            )
+            return pd.DataFrame({"bucket": [b], "wet": [wet]})
+
+        archives = docs.groupBy("bucket").applyInPandas(pack, "bucket int, wet binary")
+
+        def unpack(batches):
+            for pdf in batches:
+                out = {"url": [], "date": [], "refers_to": [], "text": []}
+                for z in pdf["wet"]:
+                    for r in parse_wet(bytes(z)):
+                        if r["info"].get("extraction-run") != "r6":
+                            raise RuntimeError("warcinfo provenance lost")
+                        out["url"].append(r["url"])
+                        out["date"].append(r["date"])
+                        out["refers_to"].append(r["refers_to"])
+                        out["text"].append(r["text"])
+                yield pd.DataFrame(out)
+
+        recs = archives.mapInPandas(
+            unpack, "url string, date string, refers_to string, text string"
+        )
+        return recs.select(
+            F.regexp_extract("url", r"/wet/(\d+)$", 1).cast("long").alias("doc_id"),
+            "url",
+            F.col("date").alias("warc_date"),
+            F.regexp_extract("refers_to", r"-(\d{12})>$", 1).alias("refers_pad"),
+            F.length("text").alias("char_len"),
+            F.octet_length("text").alias("byte_len"),
+            F.md5("text").alias("text_md5"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2213,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries_documents": feed_entries_documents,
         "zip_roundtrip_documents": zip_roundtrip_documents,
         "tar_roundtrip_documents": tar_roundtrip_documents,
+        "wet_roundtrip_documents": wet_roundtrip_documents,
     }
 
 
@@ -3733,5 +3810,24 @@ def oracle_sql() -> dict[str, str]:
            (doc_id % 8) % 2 = 1 AS gzipped,
            md5(text) AS text_md5
       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+        # entry 62: WET conversion-record round-trip — url, WARC-Date,
+        # refers-to tail, char/byte lengths and md5 all recomputed from
+        # the table (texts carry a non-ASCII suffix so char_len !=
+        # byte_len on every row)
+        "wet_roundtrip_documents": """
+    WITH d AS (
+      SELECT doc_id, text || ' café 中\U0001f600' AS text
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % 19 AS VARCHAR)
+             || '.example.com/wet/' || CAST(doc_id AS VARCHAR) AS url,
+           '2026-01-01T00:00:00Z' AS warc_date,
+           lpad(CAST(doc_id AS VARCHAR), 12, '0') AS refers_pad,
+           CAST(length(text) AS INTEGER) AS char_len,
+           CAST(strlen(text) AS INTEGER) AS byte_len,
+           md5(text) AS text_md5
+      FROM d
     """,
     }

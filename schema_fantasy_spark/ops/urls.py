@@ -123,3 +123,55 @@ def with_canonical_url(
 ) -> DataFrame:
     """Append the canonical-url column (the dedup/uniqueness key)."""
     return df.withColumn(out_col, canonicalize_url(F.col(url_col)))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) index key of an
+    absolute http(s) URL — the key scheme of web-archive CDX indexes
+    (``com,example)/path?a=1``): all of one registered domain's pages
+    sort contiguously, so a range scan over a sorted index answers
+    host-/domain-prefix queries without a shuffle.
+
+    Contract (deterministic; the IA-canonicalizer conventions):
+
+    * scheme dropped; userinfo dropped; host lowercased;
+    * one leading ``www`` label (``www.``, ``www2.`` ...) stripped;
+    * host labels reversed and joined with ``,``; a non-default port
+      (!= 80 http / 443 https) survives as ``:port`` after the labels;
+    * ``)`` then the path (empty -> ``/``) and the ``?``-joined query
+      with parameters sorted, both lowercased; fragment dropped;
+    * non-http(s) or hostless input -> NULL (no index key exists).
+
+    Pure Column expressions (codegen, no Python). Compose after
+    :func:`canonicalize_url` when percent-escape/dot-segment
+    normalization should fold into the key."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    is_http = scheme.isin("http", "https")
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    tail = F.substring(rest, F.length(authority) + 1, F.lit(1 << 30))
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
+    host = F.regexp_replace(hostport, r":\d*$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port = (
+        F.when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(port)
+    )
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    no_frag = F.regexp_replace(tail, r"#.*$", "")
+    path = F.lower(F.regexp_extract(no_frag, r"^([^?]*)", 1))
+    query = F.lower(F.regexp_extract(no_frag, r"^[^?]*\?(.*)$", 1))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.concat(
+        rev,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+    return F.when(is_http & (host != ""), key)

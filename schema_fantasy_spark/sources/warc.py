@@ -36,6 +36,9 @@ _CONTENT_TYPES = {
     "request": "application/http; msgtype=request",
     "warcinfo": "application/warc-fields",
     "metadata": "application/warc-fields",
+    # WET extracted-text records (the Common Crawl *.warc.wet.gz
+    # convention): conversion of a response's HTML to plain text
+    "conversion": "text/plain",
 }
 
 
@@ -48,12 +51,17 @@ def build_record(
     status: int = 200,
     record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
     request_line: str = "GET / HTTP/1.1",
+    extra_fields: Optional[Dict[str, str]] = None,
+    content_type: Optional[str] = None,
 ) -> bytes:
     """One spec-layout WARC record (uncompressed). ``date`` is the
     ISO-8601 WARC-Date (e.g. ``2026-01-01T00:00:00Z``). ``response``
     and ``request`` records wrap ``body`` in an HTTP message (status
     line / ``request_line``); ``warcinfo``/``metadata`` carry it raw as
-    warc-fields. ``url`` may be None (warcinfo records have none)."""
+    warc-fields; ``conversion`` (WET) carries it raw as text/plain.
+    ``url`` may be None (warcinfo records have none). ``extra_fields``
+    adds WARC headers (WARC-Refers-To etc.); ``content_type`` overrides
+    the per-type default (WAT metadata records are application/json)."""
     http = bytearray()
     if warc_type in ("response", "request"):
         first = (f"HTTP/1.1 {status} OK" if warc_type == "response"
@@ -72,9 +80,12 @@ def build_record(
     ]
     if url is not None:
         fields.append(("WARC-Target-URI", url))
+    for k, v in (extra_fields or {}).items():
+        fields.append((k, v))
     fields += [
         ("Content-Type",
-         _CONTENT_TYPES.get(warc_type, "application/octet-stream")),
+         content_type or _CONTENT_TYPES.get(warc_type,
+                                            "application/octet-stream")),
         ("Content-Length", str(len(block))),
     ]
     for k, v in fields:
@@ -89,6 +100,27 @@ def build_warc(records: List[bytes], compress: bool = True) -> bytes:
     if not compress:
         return b"".join(records)
     return b"".join(gzip.compress(r) for r in records)
+
+
+def build_warc_indexed(records: List[bytes], compress: bool = True):
+    """``(archive_bytes, [(offset, length), ...])`` — one index entry per
+    record, offsets/lengths over the archive AS STORED (compressed
+    member extents when ``compress``), i.e. exactly the (offset, length)
+    a CDX index publishes so a fetcher can range-request ONE record out
+    of a multi-GB archive without reading the rest (the Common Crawl
+    access pattern). ``archive[off:off+len]`` is always independently
+    decodable: a whole gzip member, or a whole plain record."""
+    chunks: List[bytes] = []
+    index: List[tuple] = []
+    off = 0
+    for r in records:
+        # mtime pinned: byte-identical archives for identical records,
+        # so the published (offset, length, digest) index is reproducible
+        stored = gzip.compress(r, mtime=0) if compress else r
+        chunks.append(stored)
+        index.append((off, len(stored)))
+        off += len(stored)
+    return b"".join(chunks), index
 
 
 # --------------------------------------------------------------- parsing
