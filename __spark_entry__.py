@@ -2213,6 +2213,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("text").alias("text_md5"),
         )
 
+    def cdx_index_documents(spark, sf):
+        # CDXJ web-archive indexing under the gate (sources/cdx.py +
+        # ops/urls.surt_key): per-doc urls span 5 SURT families
+        # (mixed-case www host, explicit default port, multi-label host
+        # with non-default port, hostname-only, uppercase path +
+        # unsorted query); surt keys are computed NATIVELY (surt_key
+        # Column expr), records pack into per-bucket archives via
+        # build_cdx (gz members on even buckets), and every published
+        # (offset, length) extent is range-fetched standalone and
+        # digest-checked (range_ok). The CDXJ lines re-parse through
+        # the pure-Column cdxj_struct path. The oracle states surt,
+        # ts14, url, status, digest and filename closed-form from the
+        # modular construction — a surt rule, sort, extent or framing
+        # error flips rows. NOTE: entry 63, past the driver's ~50-slot
+        # recording window; tools/check_correctness.py verifies it
+        # either way.
+        import hashlib
+        import json as _json
+
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.urls import surt_key
+        from schema_fantasy_spark.sources.cdx import (
+            build_cdx,
+            cdxj_struct,
+            fetch_record,
+        )
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(5))
+        url = (
+            F.when(m == 0, F.concat(
+                F.lit("https://WWW.h"), k, F.lit(".Example.COM/a/"), i,
+                F.lit("?b=2&a=1")))
+            .when(m == 1, F.concat(
+                F.lit("http://h"), k, F.lit(".example.com:80/"), i))
+            .when(m == 2, F.concat(
+                F.lit("https://sub.h"), k, F.lit(".example.com:8443/p/"),
+                i, F.lit("/")))
+            .when(m == 3, F.concat(
+                F.lit("https://h"), k, F.lit(".example.com")))
+            .otherwise(F.concat(
+                F.lit("https://h"), k, F.lit(".example.com/X/"), i,
+                F.lit("?z=9")))
+        )
+        sec = F.lpad(F.pmod(F.col("doc_id"), F.lit(60)).cast("string"), 2, "0")
+        st = F.pmod(F.col("doc_id"), F.lit(3))
+        rows = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            url.alias("url"),
+            surt_key(url).alias("surt"),
+            F.concat(F.lit("2026-01-01T00:00:"), sec, F.lit("Z")).alias("date"),
+            F.when(st == 0, 200).when(st == 1, 301).otherwise(404).alias("status"),
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            fname = "part-%05d" % b + (".warc.gz" if b % 2 == 0 else ".warc")
+            entries = [
+                {
+                    "surt": r.surt,
+                    "ts14": "".join(c for c in r.date if c.isdigit()),
+                    "url": r.url,
+                    "date": r.date,
+                    "status": int(r.status),
+                    "body": f"page {int(r.doc_id)} café".encode(),
+                }
+                for r in pdf.itertuples()
+            ]
+            archive, cdxj = build_cdx(entries, fname, compress=b % 2 == 0)
+            return pd.DataFrame({"warc": [archive], "cdxj": [cdxj]})
+
+        packed = rows.groupBy("bucket").applyInPandas(
+            pack, "warc binary, cdxj string"
+        )
+
+        def verify(batches):
+            for pdf in batches:
+                out = {"line": [], "range_ok": []}
+                for archive, cdxj in zip(pdf["warc"], pdf["cdxj"]):
+                    archive = bytes(archive)
+                    for ln in cdxj.split("\n"):
+                        meta = _json.loads(ln.split(" ", 2)[2])
+                        rec = fetch_record(
+                            archive, int(meta["offset"]), int(meta["length"])
+                        )
+                        ok = (
+                            rec is not None
+                            and rec["url"] == meta["url"]
+                            and rec["http_status"] == int(meta["status"])
+                            and hashlib.md5(rec["body"]).hexdigest()
+                            == meta["digest"][4:]
+                        )
+                        out["line"].append(ln)
+                        out["range_ok"].append(bool(ok))
+                yield pd.DataFrame(out)
+
+        lines = packed.mapInPandas(verify, "line string, range_ok boolean")
+        r = cdxj_struct(F.col("line"))
+        return lines.select(
+            r["surt"].alias("surt"),
+            r["ts14"].alias("ts14"),
+            r["url"].alias("url"),
+            r["mime"].alias("mime"),
+            r["status"].alias("status"),
+            r["digest"].alias("digest"),
+            r["filename"].alias("filename"),
+            "range_ok",
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2290,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_roundtrip_documents": zip_roundtrip_documents,
         "tar_roundtrip_documents": tar_roundtrip_documents,
         "wet_roundtrip_documents": wet_roundtrip_documents,
+        "cdx_index_documents": cdx_index_documents,
     }
 
 
@@ -3828,6 +3945,42 @@ def oracle_sql() -> dict[str, str]:
            CAST(length(text) AS INTEGER) AS char_len,
            CAST(strlen(text) AS INTEGER) AS byte_len,
            md5(text) AS text_md5
+      FROM d
+    """,
+        # entry 63: CDXJ index — surt/ts14/url/status/digest/filename
+        # stated closed-form from the 5-family modular construction;
+        # range_ok TRUE means every published (offset,length) extent
+        # independently decoded to the digest-matching record
+        "cdx_index_documents": """
+    WITH d AS (
+      SELECT doc_id AS i, doc_id % 19 AS k, doc_id % 5 AS m,
+             doc_id % 8 AS b, doc_id % 60 AS s, doc_id % 3 AS st
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT CASE m
+             WHEN 0 THEN 'com,example,h' || k || ')/a/' || i || '?a=1&b=2'
+             WHEN 1 THEN 'com,example,h' || k || ')/' || i
+             WHEN 2 THEN 'com,example,h' || k || ',sub:8443)/p/' || i || '/'
+             WHEN 3 THEN 'com,example,h' || k || ')/'
+             ELSE 'com,example,h' || k || ')/x/' || i || '?z=9' END AS surt,
+           '202601010000' || lpad(CAST(s AS VARCHAR), 2, '0') AS ts14,
+           CASE m
+             WHEN 0 THEN 'https://WWW.h' || k || '.Example.COM/a/' || i
+                         || '?b=2&a=1'
+             WHEN 1 THEN 'http://h' || k || '.example.com:80/' || i
+             WHEN 2 THEN 'https://sub.h' || k || '.example.com:8443/p/'
+                         || i || '/'
+             WHEN 3 THEN 'https://h' || k || '.example.com'
+             ELSE 'https://h' || k || '.example.com/X/' || i || '?z=9'
+           END AS url,
+           'text/html' AS mime,
+           CAST(CASE st WHEN 0 THEN 200 WHEN 1 THEN 301 ELSE 404 END
+                AS VARCHAR) AS status,
+           'md5:' || md5('page ' || i || ' café') AS digest,
+           'part-' || lpad(CAST(b AS VARCHAR), 5, '0')
+             || CASE WHEN b % 2 = 0 THEN '.warc.gz' ELSE '.warc' END
+             AS filename,
+           TRUE AS range_ok
       FROM d
     """,
     }

@@ -1,0 +1,117 @@
+"""CDXJ index (sources/cdx.py) + SURT keys (ops/urls.surt_key).
+
+Index build/sort, random-access fetch via stored extents, tail-truncation
+independence, native CDXJ parsing, and the surt_key Column contract.
+"""
+
+import gzip
+
+import pytest
+
+from schema_fantasy_spark.sources import cdx as C
+from schema_fantasy_spark.sources.warc import build_warc_indexed, build_record
+
+
+def _entries(n=4):
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "surt": f"com,example,h{9 - i})/p/{i}",
+                "ts14": f"2026010100000{i}",
+                "url": f"https://h{9 - i}.example.com/p/{i}",
+                "date": f"2026-01-01T00:00:0{i}Z",
+                "body": f"body {i} café".encode(),
+                "status": 200 + i,
+            }
+        )
+    return out
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_fetch_every_record_by_extent(compress):
+    archive, cdxj = C.build_cdx(_entries(), "a.warc.gz", compress=compress)
+    lines = cdxj.split("\n")
+    assert len(lines) == 4
+    # sorted by (surt, ts14): surt keys were built descending by host
+    assert lines == sorted(lines)
+    import json
+
+    for ln in lines:
+        surt, ts, meta = ln.split(" ", 2)
+        m = json.loads(meta)
+        rec = C.fetch_record(archive, int(m["offset"]), int(m["length"]))
+        assert rec is not None and rec["url"] == m["url"]
+        assert rec["http_status"] == int(m["status"])
+        i = int(m["url"].rsplit("/", 1)[1])
+        assert rec["body"] == f"body {i} café".encode()
+        # the extent is independently decodable: a whole gzip member
+        # or a whole plain record
+        sl = archive[int(m["offset"]) : int(m["offset"]) + int(m["length"])]
+        if compress:
+            assert sl[:2] == b"\x1f\x8b" and gzip.decompress(sl)
+        else:
+            assert sl.startswith(b"WARC/1.0\r\n")
+
+
+def test_truncated_archive_keeps_earlier_extents():
+    archive, cdxj = C.build_cdx(_entries(), "a.warc.gz", compress=True)
+    import json
+
+    metas = [json.loads(ln.split(" ", 2)[2]) for ln in cdxj.split("\n")]
+    by_off = sorted(metas, key=lambda m: int(m["offset"]))
+    cut = archive[: int(by_off[-1]["offset"]) + 5]  # tail member mangled
+    for m in by_off[:-1]:
+        assert C.fetch_record(cut, int(m["offset"]), int(m["length"]))
+    assert C.fetch_record(cut, int(by_off[-1]["offset"]), int(by_off[-1]["length"])) is None
+
+
+def test_indexed_archive_reproducible():
+    recs = [
+        build_record("https://e.com/1", "2026-01-01T00:00:00Z", b"x")
+        for _ in range(2)
+    ]
+    a1, i1 = build_warc_indexed(recs, compress=True)
+    a2, i2 = build_warc_indexed(recs, compress=True)
+    assert a1 == a2 and i1 == i2  # mtime pinned -> stable published index
+
+
+def test_read_cdxj_native(spark, tmp_path):
+    d = tmp_path / "idx"
+    d.mkdir()
+    _, cdxj = C.build_cdx(_entries(3), "part-0.warc.gz")
+    (d / "part-0.cdxj").write_text(cdxj + "\nnot a cdxj line\n")
+    df = C.read_cdxj(spark, str(d))
+    rows = sorted(
+        df.filter("url IS NOT NULL").collect(), key=lambda r: r.url
+    )
+    assert len(rows) == 3
+    assert rows[0].surt.startswith("com,example,h7)")
+    assert rows[0].ts14 == "20260101000002"
+    assert rows[0].mime == "text/html" and rows[0].status == "202"
+    assert rows[0].digest.startswith("md5:")
+    assert rows[0].offset >= 0 and rows[0].length > 0
+    assert rows[0].filename == "part-0.warc.gz"
+    # no Python in the read plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_surt_key_contract(spark):
+    from pyspark.sql import functions as F
+    from schema_fantasy_spark.ops.urls import surt_key
+
+    cases = [
+        ("https://WWW.Example.COM/A/b?b=2&a=1", "com,example)/a/b?a=1&b=2"),
+        ("http://example.com:80/x", "com,example)/x"),
+        ("https://example.com:443/x", "com,example)/x"),
+        ("https://sub.example.com:8443/p/", "com,example,sub:8443)/p/"),
+        ("https://example.com", "com,example)/"),
+        ("https://u:p@example.com/q#frag", "com,example)/q"),
+        ("http://www2.example.com/", "com,example)/"),
+        ("ftp://example.com/x", None),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [want for _, want in cases]
