@@ -2329,6 +2329,168 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "range_ok",
         )
 
+    def wat_metadata_documents(spark, sf):
+        # WAT metadata-sidecar round-trip under the gate (sources/
+        # wat.py): the SAME 4-family page construction as entry 53
+        # flows through the native extraction (ops/html_meta), the
+        # native to_json envelope builder, per-bucket WAT archives
+        # (warcinfo provenance enforced at unpack), and the native
+        # from_json re-parse — title/description/og:title/canonical/
+        # resolved links must all survive the full sidecar round trip.
+        # The oracle states every field closed-form from the modular
+        # construction, so an extraction, serialization, framing or
+        # re-parse error flips rows. NOTE: entry 64, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.html_meta import with_html_metadata
+        from schema_fantasy_spark.sources.wat import (
+            build_wat,
+            envelope_schema,
+            parse_wat,
+            wat_envelope,
+        )
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        i = F.col("doc_id").cast("string")
+        host = F.concat(F.lit("h"), k, F.lit(".example.com"))
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        page = (
+            F.when(m == 0, F.concat(
+                F.lit('<html><head><title>Doc '), i,
+                F.lit(' &amp; friends</title>'),
+                F.lit('<meta name="description" content="d'), i, F.lit('">'),
+                F.lit('<link rel="canonical" href="https://h'), k,
+                F.lit('.example.com/c/'), i, F.lit('"></head><body>'),
+                F.lit('<a href="/r/'), i, F.lit('">first '), i, F.lit('</a>'),
+                F.lit('<a href="https://x'), k,
+                F.lit('.org/p?a=1&amp;b=2">x &amp; y</a>'),
+                F.lit('<a rel="nofollow" href="https://ads'), k,
+                F.lit('.example.net/z">sponsored '), i,
+                F.lit('</a></body></html>'),
+            ))
+            .when(m == 1, F.concat(
+                F.lit("<html><head><title> spaced   "), i, F.lit(" </title>"),
+                F.lit("<meta content='D "), i,
+                F.lit("' name='description'></head><body><a href='//cdn"), k,
+                F.lit(".net/a'>c<span>d</span></a></body></html>"),
+            ))
+            .when(m == 2, F.concat(
+                F.lit('<html><head><meta property="og:title" content="OG&#233;'),
+                i, F.lit('"></head><body><a href="mailto:a@b.c">m</a>'),
+                F.lit('<a href="#top">t</a><a href="rel/x">r</a></body></html>'),
+            ))
+            .otherwise(F.concat(
+                F.lit('<html><head><title>T\n&quot;'), i, F.lit('&quot;</title>'),
+                F.lit('<link href="https://h'), k, F.lit('.example.com/canon/'),
+                i, F.lit('" rel="canonical"></head><body>'),
+                F.lit('<a data-q="v>w" href="/deep/'), i, F.lit('">z'), i,
+                F.lit('</a></body></html>'),
+            ))
+        )
+        pages = docs.select(
+            "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
+            page.alias("html"),
+        )
+        out = with_html_metadata(pages, base_scheme_col="scheme",
+                                 base_host_col="host")
+        metas = F.filter(
+            F.array(
+                F.struct(
+                    F.lit("description").alias("name"),
+                    F.lit(None).cast("string").alias("property"),
+                    F.col("description").alias("content"),
+                ),
+                F.struct(
+                    F.lit(None).cast("string").alias("name"),
+                    F.lit("og:title").alias("property"),
+                    F.col("og_title").alias("content"),
+                ),
+            ),
+            lambda x: x["content"].isNotNull(),
+        )
+        links = F.transform(
+            F.col("resolved_outlinks"),
+            lambda l: F.struct(l["href"].alias("url"),
+                               l["anchor"].alias("text")),
+        )
+        env = wat_envelope(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/w/"), i),
+            F.lit("2026-01-01T00:00:00Z"),
+            F.concat(F.lit("<urn:uuid:00000000-0000-0000-0000-"),
+                     F.lpad(i, 12, "0"), F.lit(">")),
+            F.col("title"), metas, F.col("canonical"), links,
+        )
+        rows = out.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/w/"), i)
+            .alias("url"),
+            F.concat(F.lit("<urn:uuid:00000000-0000-0000-0000-"),
+                     F.lpad(i, 12, "0"), F.lit(">")).alias("refers_to"),
+            env.alias("envelope"),
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            entries = [
+                (r.url, "2026-01-01T00:00:00Z", r.refers_to, r.envelope)
+                for r in pdf.itertuples()
+            ]
+            wat = build_wat(entries, info_fields={"extraction-run": "r6wat"},
+                            compress=b % 2 == 0)
+            return pd.DataFrame({"wat": [wat]})
+
+        archives = rows.groupBy("bucket").applyInPandas(pack, "wat binary")
+
+        def unpack(batches):
+            for pdf in batches:
+                out_rows = {"url": [], "refers_to": [], "envelope": []}
+                for z in pdf["wat"]:
+                    for r in parse_wat(bytes(z)):
+                        if r["info"].get("extraction-run") != "r6wat":
+                            raise RuntimeError("warcinfo provenance lost")
+                        out_rows["url"].append(r["url"])
+                        out_rows["refers_to"].append(r["refers_to"])
+                        out_rows["envelope"].append(r["envelope"])
+                yield pd.DataFrame(out_rows)
+
+        recs = archives.mapInPandas(
+            unpack, "url string, refers_to string, envelope string"
+        )
+        md = F.from_json(F.col("envelope"), envelope_schema())["Envelope"][
+            "Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        return recs.select(
+            F.regexp_extract("url", r"/w/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            md["Head"]["Title"].alias("title"),
+            F.try_element_at(
+                F.filter(md["Head"]["Metas"],
+                         lambda x: x["name"] == "description"),
+                F.lit(1),
+            )["content"].alias("description"),
+            F.try_element_at(
+                F.filter(md["Head"]["Metas"],
+                         lambda x: x["property"] == "og:title"),
+                F.lit(1),
+            )["content"].alias("og_title"),
+            F.try_element_at(md["Head"]["Link"], F.lit(1))["url"]
+            .alias("canonical"),
+            F.size(md["Links"]).alias("n_links"),
+            F.array_join(
+                F.transform(md["Links"],
+                            lambda l: F.concat_ws("|", l["url"], l["text"])),
+                "\n",
+            ).alias("links"),
+            F.regexp_extract("refers_to", r"-(\d{12})>$", 1)
+            .alias("refers_pad"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2407,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_roundtrip_documents": tar_roundtrip_documents,
         "wet_roundtrip_documents": wet_roundtrip_documents,
         "cdx_index_documents": cdx_index_documents,
+        "wat_metadata_documents": wat_metadata_documents,
     }
 
 
@@ -3981,6 +4144,39 @@ def oracle_sql() -> dict[str, str]:
              || CASE WHEN b % 2 = 0 THEN '.warc.gz' ELSE '.warc' END
              AS filename,
            TRUE AS range_ok
+      FROM d
+    """,
+        # entry 64: WAT sidecar round-trip — the entry-53 closed-form
+        # extraction expectations, plus the sidecar linkage fields
+        # (n_links = resolved count, refers_pad = zero-padded doc_id)
+        "wat_metadata_documents": """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+                      CAST(doc_id % 19 AS VARCHAR) AS k, doc_id % 4 AS m
+                 FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'Doc ' || i || ' & friends'
+                  WHEN 1 THEN 'spaced ' || i
+                  WHEN 2 THEN NULL
+                  ELSE 'T "' || i || '"' END AS title,
+           CASE m WHEN 0 THEN 'd' || i
+                  WHEN 1 THEN 'D ' || i ELSE NULL END AS description,
+           CASE m WHEN 2 THEN 'OGé' || i ELSE NULL END AS og_title,
+           CASE m WHEN 0 THEN 'https://h' || k || '.example.com/c/' || i
+                  WHEN 3 THEN 'https://h' || k || '.example.com/canon/' || i
+                  ELSE NULL END AS canonical,
+           CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END
+                AS INTEGER) AS n_links,
+           CASE m
+             WHEN 0 THEN 'https://h' || k || '.example.com/r/' || i
+                         || '|first ' || i || chr(10)
+                         || 'https://x' || k || '.org/p?a=1&b=2|x & y'
+                         || chr(10)
+                         || 'https://ads' || k || '.example.net/z|sponsored ' || i
+             WHEN 1 THEN 'https://cdn' || k || '.net/a|c d'
+             WHEN 2 THEN ''
+             ELSE 'https://h' || k || '.example.com/deep/' || i || '|z' || i
+           END AS links,
+           lpad(i, 12, '0') AS refers_pad
       FROM d
     """,
     }
