@@ -2491,6 +2491,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("refers_pad"),
         )
 
+    def revisit_resolution_documents(spark, sf):
+        # WARC revisit resolution under the gate (sources/warc.
+        # build_revisit + ops/dedup.resolve_revisits): crawl A stores
+        # every doc's payload as a response (payloads SHARED within
+        # groups of 4 — duplicate digests are the point), crawl B
+        # re-fetches every url and stores only a revisit record with
+        # the payload digest. Archives mix both record types across
+        # buckets, so resolution is a real cross-archive digest join:
+        # originals collapse to one row per digest (lexicographic min
+        # url), then revisits re-attach their payload. The oracle
+        # replays the group-min join in SQL — a digest, profile,
+        # dedup-pick or join error flips rows. NOTE: entry 65, past
+        # the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        import hashlib
+
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.dedup import resolve_revisits
+        from schema_fantasy_spark.sources.warc import (
+            REVISIT_PROFILE,
+            build_revisit,
+            build_record,
+            build_warc,
+            parse_warc,
+        )
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        g = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(4))).cast("string")
+        rows = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            F.concat(F.lit("https://h"), k, F.lit(".example.com/o/"), i)
+            .alias("url_a"),
+            F.concat(F.lit("https://h"), k, F.lit(".example.com/r/"), i)
+            .alias("url_b"),
+            F.concat(F.lit("payload "), g, F.lit(" café")).alias("payload"),
+        )
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            b = int(pdf["bucket"].iloc[0])
+            pdf = pdf.sort_values("doc_id")
+            records = []
+            for r in pdf.itertuples():
+                body = r.payload.encode("utf-8")
+                records.append(
+                    build_record(r.url_a, "2026-01-01T00:00:00Z", body)
+                )
+                records.append(
+                    build_revisit(
+                        r.url_b,
+                        "2026-02-01T00:00:00Z",
+                        "md5:" + hashlib.md5(body).hexdigest(),
+                    )
+                )
+            return pd.DataFrame(
+                {"warc": [build_warc(records, compress=b % 2 == 0)]}
+            )
+
+        archives = rows.groupBy("bucket").applyInPandas(pack, "warc binary")
+
+        def unpack(batches):
+            for pdf in batches:
+                out = {"kind": [], "url": [], "digest": [], "ok": []}
+                for z in pdf["warc"]:
+                    for rec in parse_warc(bytes(z)):
+                        if rec["type"] == "response":
+                            out["kind"].append("response")
+                            out["url"].append(rec["url"])
+                            out["digest"].append(
+                                "md5:" + hashlib.md5(rec["body"]).hexdigest()
+                            )
+                            out["ok"].append(True)
+                        elif rec["type"] == "revisit":
+                            out["kind"].append("revisit")
+                            out["url"].append(rec["url"])
+                            out["digest"].append(
+                                rec["fields"].get("warc-payload-digest")
+                            )
+                            out["ok"].append(
+                                rec["fields"].get("warc-profile")
+                                == REVISIT_PROFILE
+                            )
+                yield pd.DataFrame(out)
+
+        recs = archives.mapInPandas(
+            unpack, "kind string, url string, digest string, ok boolean"
+        )
+        originals = recs.filter(F.col("kind") == "response").select(
+            "digest", "url"
+        )
+        revisits = recs.filter(F.col("kind") == "revisit").select(
+            "digest", F.col("url").alias("revisit_url"), "ok"
+        )
+        resolved = resolve_revisits(originals, revisits)
+        return resolved.select(
+            F.regexp_extract("revisit_url", r"/r/(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "revisit_url",
+            "original_url",
+            F.substring("digest", 5, 32).alias("payload_md5"),
+            F.col("ok").alias("profile_ok"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2570,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip_documents": wet_roundtrip_documents,
         "cdx_index_documents": cdx_index_documents,
         "wat_metadata_documents": wat_metadata_documents,
+        "revisit_resolution_documents": revisit_resolution_documents,
     }
 
 
@@ -4178,5 +4287,26 @@ def oracle_sql() -> dict[str, str]:
            END AS links,
            lpad(i, 12, '0') AS refers_pad
       FROM d
+    """,
+        # entry 65: revisit resolution — full SQL replay of the
+        # dedup-originals (min url per shared digest group) + digest
+        # join; payload digests recomputed from the modular payloads
+        "revisit_resolution_documents": """
+    WITH d AS (SELECT doc_id AS i, CAST(doc_id % 19 AS VARCHAR) AS k,
+                      doc_id - doc_id % 4 AS g
+                 FROM documents WHERE doc_id IS NOT NULL),
+    u AS (SELECT i, g,
+                 'https://h' || k || '.example.com/o/' || CAST(i AS VARCHAR)
+                   AS url_a,
+                 'https://h' || k || '.example.com/r/' || CAST(i AS VARCHAR)
+                   AS url_b
+            FROM d),
+    o AS (SELECT g, min(url_a) AS original_url FROM u GROUP BY g)
+    SELECT u.i AS doc_id,
+           u.url_b AS revisit_url,
+           o.original_url,
+           md5('payload ' || CAST(u.g AS VARCHAR) || ' café') AS payload_md5,
+           TRUE AS profile_ok
+      FROM u JOIN o USING (g)
     """,
     }

@@ -656,3 +656,35 @@ def keep_cluster_representatives(
     unclustered = df.join(member_ids, id_col, "left_anti")
     kept = df.join(keep_ids, id_col, "left_semi")
     return unclustered.unionAll(kept)
+
+
+def resolve_revisits(
+    originals: DataFrame, revisits: DataFrame, digest_col: str = "digest"
+) -> DataFrame:
+    """Resolve WARC ``revisit`` records back to their stored payloads —
+    the read side of crawl-level dedup (sources/warc.build_revisit): a
+    re-fetch whose payload matched an earlier capture carries only
+    ``WARC-Payload-Digest``, and consumers re-attach the payload by
+    digest.
+
+    ``originals`` is first reduced to ONE row per digest (lexicographic
+    min of the remaining-column struct — deterministic however many
+    captures share a payload), then ``revisits`` left-joins on the
+    digest. Returns the revisit columns plus ``original_<col>`` for
+    every non-digest originals column; an unresolvable digest (its
+    capture fell outside the read window) keeps NULL originals rather
+    than dropping the row.
+
+    100 TB shape: both sides are corpus-sized, so this is a plain
+    digest-keyed shuffle join — no broadcast hint (AQE may still pick
+    one when the deduped originals turn out small); the map-side
+    partial of the min-struct aggregate collapses duplicate payloads
+    before the shuffle."""
+    other = [c for c in originals.columns if c != digest_col]
+    best = originals.groupBy(digest_col).agg(
+        F.min(F.struct(*other)).alias("_o")
+    )
+    carried = [F.col("_o")[c].alias(f"original_{c}") for c in other]
+    return revisits.join(best, digest_col, "left").select(
+        *revisits.columns, *carried
+    )

@@ -39,7 +39,41 @@ _CONTENT_TYPES = {
     # WET extracted-text records (the Common Crawl *.warc.wet.gz
     # convention): conversion of a response's HTML to plain text
     "conversion": "text/plain",
+    # deduplicated re-crawl: the server returned a payload already
+    # archived, so only the pointer (WARC-Payload-Digest) is stored
+    "revisit": "application/http; msgtype=response",
 }
+
+#: the ISO 28500 / IIPC profile URI for digest-based revisit records
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def build_revisit(
+    url: str,
+    date: str,
+    payload_digest: str,
+    refers_to: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    profile: str = REVISIT_PROFILE,
+) -> bytes:
+    """A ``revisit`` record (uncompressed): the crawl-side dedup
+    mechanism — a re-fetch whose payload was byte-identical to an
+    earlier capture stores no body, only ``WARC-Payload-Digest`` (the
+    resolution key), ``WARC-Refers-To`` and the identical-payload
+    profile. Resolution back to the stored payload is
+    ``ops.dedup.resolve_revisits``."""
+    return build_record(
+        url,
+        date,
+        b"",
+        warc_type="revisit",
+        extra_fields={
+            "WARC-Profile": profile,
+            "WARC-Refers-To": refers_to,
+            "WARC-Payload-Digest": payload_digest,
+        },
+    )
 
 
 def build_record(
@@ -240,6 +274,14 @@ def parse_warc(payload: bytes) -> List[Dict[str, Any]]:
             fp = _parse_headers(block + CRLF + CRLF, 0)
             if fp is not None:
                 rec["fields"] = fp[0]
+        elif rec["type"] == "revisit":
+            # surface the dedup pointer headers as the record's fields
+            rec["fields"] = {
+                k: headers[k]
+                for k in ("warc-profile", "warc-refers-to",
+                          "warc-payload-digest")
+                if k in headers
+            }
         out.append(rec)
         i = body_start + length
     return out

@@ -183,3 +183,56 @@ def test_validate_job_warc_charset_end_to_end(spark, tmp_path, capsys, monkeypat
     assert main() == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["processed"] == ["2026-01-02"]
+
+
+def test_revisit_record_roundtrip():
+    rev = W.build_revisit(
+        "https://a.example.com/x", "2026-02-01T00:00:00Z",
+        "md5:abc123", refers_to="<urn:uuid:1>",
+    )
+    for compress in (False, True):
+        out = W.parse_warc(W.build_warc([rev], compress=compress))
+        assert len(out) == 1 and out[0]["type"] == "revisit"
+        assert out[0]["body"] == b""
+        assert out[0]["fields"]["warc-payload-digest"] == "md5:abc123"
+        assert out[0]["fields"]["warc-profile"] == W.REVISIT_PROFILE
+        assert out[0]["fields"]["warc-refers-to"] == "<urn:uuid:1>"
+
+
+def test_read_warc_all_surfaces_revisit(spark, tmp_path):
+    d = tmp_path / "w"
+    d.mkdir()
+    recs = [
+        W.build_record("https://a.example.com/x", "2026-01-01T00:00:00Z",
+                       b"payload"),
+        W.build_revisit("https://a.example.com/x", "2026-02-01T00:00:00Z",
+                        "md5:d52"),
+    ]
+    (d / "a.warc.gz").write_bytes(W.build_warc(recs))
+    rows = sorted(W.read_warc(spark, str(d), records="all").collect(),
+                  key=lambda r: r.warc_ts)
+    assert [r.record_type for r in rows] == ["response", "revisit"]
+    assert "warc-payload-digest=md5:d52" in rows[1].info
+    assert "warc-profile=" + W.REVISIT_PROFILE in rows[1].info
+
+
+def test_resolve_revisits(spark):
+    from schema_fantasy_spark.ops.dedup import resolve_revisits
+
+    originals = spark.createDataFrame(
+        [("d1", "https://b.com/2", "t1"), ("d1", "https://a.com/1", "t1"),
+         ("d2", "https://c.com/3", "t2")],
+        "digest string, url string, text string",
+    )
+    revisits = spark.createDataFrame(
+        [("d1", "https://a.com/r1"), ("d2", "https://c.com/r2"),
+         ("dX", "https://z.com/r3")],
+        "digest string, url string",
+    )
+    rows = {r.url: r for r in resolve_revisits(originals, revisits).collect()}
+    # duplicate-digest originals collapse to the lexicographic min
+    assert rows["https://a.com/r1"].original_url == "https://a.com/1"
+    assert rows["https://a.com/r1"].original_text == "t1"
+    assert rows["https://c.com/r2"].original_url == "https://c.com/3"
+    # unresolvable digests survive with NULL originals
+    assert rows["https://z.com/r3"].original_url is None
