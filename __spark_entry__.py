@@ -2599,6 +2599,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("ok").alias("profile_ok"),
         )
 
+    def boilerplate_documents(spark, sf):
+        # Boilerplate removal under the gate (ops/boilerplate.py):
+        # per-doc pages are synthesized across 4 families mixing a
+        # link-dense nav, real content paragraphs (with entities), a
+        # too-short fragment, a footer exactly at the density
+        # boundary (13*2 > 20), and a long paragraph with one inline
+        # anchor. The integer-exact rule (text_len >= 20 AND
+        # anchor_len*2 <= text_len) decides each block; the oracle
+        # states n_blocks / n_content / the surviving content text
+        # closed-form from the modular construction — a segmentation,
+        # cleaning, density or join error flips rows. NOTE: entry 66,
+        # past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.boilerplate import block_stats
+        from schema_fantasy_spark.ops.dedup import _barrier
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        nav = (
+            '<div><a href="/n1">Home</a> <a href="/n2">About</a>'
+            ' <a href="/n3">Contact</a></div>'
+        )
+        footer = (
+            '<div>© 2026 <a href="/t">Terms</a>'
+            ' <a href="/p">Privacy</a></div>'
+        )
+        c1 = F.concat(
+            F.lit("<p>Real content "), i,
+            F.lit(" paragraph with plenty of characters café &amp;"
+                  " friends.</p>"),
+        )
+        c2 = F.concat(
+            F.lit("<p>Second paragraph "), i,
+            F.lit(" also long enough to be kept as content text café.</p>"),
+        )
+        c3 = F.concat(
+            F.lit("<p>Long paragraph "), i,
+            F.lit(" mentioning <a href='/x'>one link</a> inside sixty"
+                  " characters of text to stay content.</p>"),
+        )
+        short = F.concat(
+            F.lit("<p>Tiny "), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit("</p>"),
+        )
+        page = (
+            F.when(m == 0, F.concat(
+                F.lit("<html><head><title>t</title></head><body>"),
+                F.lit(nav), c1, short, F.lit(footer),
+                F.lit("</body></html>")))
+            .when(m == 1, F.concat(
+                F.lit("<html><body>"), c1, c2, F.lit("</body></html>")))
+            .when(m == 2, F.concat(
+                F.lit("<html><body>"), F.lit(nav), short,
+                F.lit("</body></html>")))
+            .otherwise(F.concat(
+                F.lit("<html><body>"), c3, F.lit(footer),
+                F.lit("</body></html>")))
+        )
+        pages = docs.select("doc_id", page.alias("html"))
+        withstats = _barrier(pages, block_stats(F.col("html")), "stats")
+        return withstats.select(
+            "doc_id",
+            F.size("stats").alias("n_blocks"),
+            F.size(F.filter(F.col("stats"), lambda b: b["content"]))
+            .alias("n_content"),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("stats"), lambda b: b["content"]),
+                    lambda b: b["text"],
+                ),
+                " ",
+            ).alias("content_text"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2679,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index_documents": cdx_index_documents,
         "wat_metadata_documents": wat_metadata_documents,
         "revisit_resolution_documents": revisit_resolution_documents,
+        "boilerplate_documents": boilerplate_documents,
     }
 
 
@@ -4308,5 +4386,35 @@ def oracle_sql() -> dict[str, str]:
            md5('payload ' || CAST(u.g AS VARCHAR) || ' café') AS payload_md5,
            TRUE AS profile_ok
       FROM u JOIN o USING (g)
+    """,
+        # entry 66: boilerplate removal — expected block counts and the
+        # surviving content text stated closed-form per family (nav and
+        # footer are link-dense, the fragment is short, the content
+        # paragraphs clear both thresholds)
+        "boilerplate_documents": """
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i, doc_id % 4 AS m,
+                      CAST(doc_id % 7 AS VARCHAR) AS s
+                 FROM documents WHERE doc_id IS NOT NULL),
+    t AS (SELECT doc_id, m,
+                 'Real content ' || i
+                   || ' paragraph with plenty of characters café & friends.'
+                   AS c1,
+                 'Second paragraph ' || i
+                   || ' also long enough to be kept as content text café.'
+                   AS c2,
+                 'Long paragraph ' || i
+                   || ' mentioning one link inside sixty characters of text'
+                   || ' to stay content.' AS c3
+            FROM d)
+    SELECT doc_id,
+           CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 2 END
+                AS INTEGER) AS n_blocks,
+           CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 1 END
+                AS INTEGER) AS n_content,
+           CASE m WHEN 0 THEN c1
+                  WHEN 1 THEN c1 || ' ' || c2
+                  WHEN 2 THEN ''
+                  ELSE c3 END AS content_text
+      FROM t
     """,
     }
