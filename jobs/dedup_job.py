@@ -11,7 +11,9 @@ engine ships and gates:
 
    -1. HTML EXTRACTION    — (--html-col) derive the text column from
                             raw html via ops.html.extract_text (pure
-                            codegen, scan-bandwidth);
+                            codegen, scan-bandwidth); --boilerplate
+                            swaps in ops.boilerplate.remove_boilerplate
+                            (link-density block filter, same shape);
     0. SAMPLE (optional)  — deterministic content-hash slice, the SAME
                             rows on any engine/partitioning
                             (scale.deterministic_sample,
@@ -75,6 +77,10 @@ def main() -> int:
     ap.add_argument("--html-col", default=None,
                     help="derive the text column from this raw-html column "
                          "first (ops.html.extract_text)")
+    ap.add_argument("--boilerplate", action="store_true",
+                    help="with --html-col: drop link-dense/short blocks "
+                         "(ops.boilerplate.remove_boilerplate) instead of "
+                         "whole-page extract_text")
     ap.add_argument("--url-col", default=None,
                     help="canonicalize this url column and keep one row per "
                          "canonical url before content dedup")
@@ -121,16 +127,22 @@ def main() -> int:
 
         from schema_fantasy_spark.ops.html import extract_text
 
+        extractor = extract_text
+        if args.boilerplate:
+            from schema_fantasy_spark.ops.boilerplate import remove_boilerplate
+
+            extractor = remove_boilerplate
+
         if isinstance(df.schema[args.html_col].dataType, BinaryType):
             from schema_fantasy_spark.ops.charset import transcode
 
             df = transcode(df, binary_col=args.html_col, id_col=args.id_col)
-            df = df.withColumn(args.text_col, extract_text(F.col("text")))
+            df = df.withColumn(args.text_col, extractor(F.col("text")))
             if args.text_col != "text":
                 df = df.drop("text")
         else:
             df = df.withColumn(
-                args.text_col, extract_text(F.col(args.html_col).cast("string"))
+                args.text_col, extractor(F.col(args.html_col).cast("string"))
             )
 
     # 0. deterministic sample — a pure pushed filter, same rows anywhere

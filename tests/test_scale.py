@@ -235,3 +235,40 @@ def test_dedup_job_classifier_stage(spark, tmp_path, monkeypatch):
     out = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
     assert out, "classifier must not empty the corpus"
     assert all(out[i]["label"] for i in out)  # only positive-class survives
+
+
+def test_dedup_job_boilerplate_stage(spark, tmp_path, monkeypatch):
+    """--html-col + --boilerplate: the text column derives from the
+    link-density block filter — nav chrome disappears while plain
+    extract_text would have kept it."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    nav = ('<div><a href="/1">Home</a> <a href="/2">About</a>'
+           ' <a href="/3">Contact</a></div>')
+    rows = [
+        (i, f"<html><body>{nav}<p>Real content paragraph number {i} with "
+            f"plenty of characters to clear every funnel rule.</p>"
+            f"</body></html>")
+        for i in range(4)
+    ]
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id: long, html: string").write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "dedup_job.py", "--input", inp, "--output", outp,
+        "--html-col", "html", "--boilerplate", "--min-words", "5",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_job.main()
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_out"] == 4
+    texts = [r.text for r in spark.read.parquet(outp).collect()]
+    assert all(t.startswith("Real content paragraph") for t in texts)
+    assert all("Home" not in t for t in texts)
