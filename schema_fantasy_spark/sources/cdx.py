@@ -131,6 +131,82 @@ def cdxj_struct(line: Column) -> Column:
     )
 
 
+def build_cluster_idx(
+    cdxj_text: str, shard_name: str, every: int = 1000
+) -> str:
+    """The SECONDARY index over a sorted CDXJ shard (the Common Crawl
+    ``cluster.idx`` layout): every ``every``-th line's (surt, ts14) plus
+    the byte extent of its block in the shard file —
+
+        <surt> <ts14>\\t<shard_name>\\t<offset>\\t<length>\\t<block#>
+
+    A consumer binary-searches THIS tiny file, range-reads one block of
+    the shard, then range-reads one record of the archive: three
+    bounded reads against a petabyte of WARC."""
+    lines = cdxj_text.split("\n") if cdxj_text else []
+    out = []
+    off = 0
+    for bi, start in enumerate(range(0, len(lines), every)):
+        block = lines[start : start + every]
+        # +1 per line for the newline separator/terminator
+        blen = sum(len(ln.encode("utf-8")) + 1 for ln in block)
+        key = " ".join(block[0].split(" ", 2)[:2])
+        out.append(f"{key}\t{shard_name}\t{off}\t{blen}\t{bi}")
+        off += blen
+    return "\n".join(out)
+
+
+def lookup_via_cluster_idx(
+    cluster_idx: str, shard_bytes: bytes, surt: str, ts14: str = ""
+) -> List[str]:
+    """All CDXJ lines for ``surt`` (optionally narrowed by a ts14
+    prefix) using only the secondary index + ONE block range-read —
+    the driver-side binary-search path a Wayback-style service runs.
+    ``shard_bytes`` is the shard file with newline-terminated lines."""
+    import bisect
+
+    want = f"{surt} {ts14}" if ts14 else surt
+    rows = [ln.split("\t") for ln in cluster_idx.split("\n") if ln]
+    keys = [r[0] for r in rows]
+    # the block that could contain `want` starts at the last key <= it;
+    # matches can spill into following blocks (equal keys at a boundary)
+    lo = max(bisect.bisect_right(keys, want) - 1, 0)
+    out: List[str] = []
+    for r in rows[lo:]:
+        if r[0] > want and not r[0].startswith(want):
+            break
+        block = shard_bytes[int(r[2]) : int(r[2]) + int(r[3])]
+        for ln in block.decode("utf-8").split("\n"):
+            if ln.startswith(want):
+                out.append(ln)
+    return out
+
+
+def write_cdx_table(df, path: str, sort_partitions: int = 0) -> None:
+    """Persist a CDXJ DataFrame (the `read_cdxj` schema) as the
+    COLUMNAR index table (the cc-index-table layout): parquet
+    partitioned by ``tld`` (the surt key's first label) and
+    range-sorted by (surt, ts14) within files via a repartitionByRange
+    + sortWithinPartitions, so a surt lookup prunes at THREE levels —
+    partition directory (tld), file (min/max stats over the sorted
+    ranges), row group. ``sort_partitions`` 0 lets AQE size the
+    shuffle."""
+    out = df.withColumn(
+        "tld", F.substring_index(F.col("surt"), ",", 1)
+    )
+    parts = (
+        out.repartitionByRange(sort_partitions, "surt", "ts14")
+        if sort_partitions
+        else out.repartitionByRange("surt", "ts14")
+    )
+    (
+        parts.sortWithinPartitions("surt", "ts14")
+        .write.mode("overwrite")
+        .partitionBy("tld")
+        .parquet(path)
+    )
+
+
 def read_cdxj(spark, path: str):
     """DataFrame over ``path``'s CDXJ index files: (surt, ts14, url,
     mime, status, digest, length, offset, filename). `spark.read.text`

@@ -115,3 +115,70 @@ def test_surt_key_contract(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_cluster_idx_lookup():
+    import json
+
+    # 10 hosts × 3 captures, sorted shard; every=4 -> 8 blocks
+    entries = []
+    for h in range(10):
+        for t in range(3):
+            entries.append(
+                {
+                    "surt": f"com,h{h:02d})/p",
+                    "ts14": f"2026010100000{t}",
+                    "url": f"https://h{h:02d}.com/p",
+                    "date": f"2026-01-01T00:00:0{t}Z",
+                    "body": f"b{h}-{t}".encode(),
+                }
+            )
+    _, cdxj = C.build_cdx(entries, "s.warc.gz")
+    shard = (cdxj + "\n").encode("utf-8")
+    idx = C.build_cluster_idx(cdxj, "shard-00000.gz", every=4)
+    rows = [ln.split("\t") for ln in idx.split("\n")]
+    assert len(rows) == 8 and rows[0][2] == "0"
+    # extents tile the shard exactly
+    assert sum(int(r[3]) for r in rows) == len(shard)
+    assert [r[1] for r in rows] == ["shard-00000.gz"] * 8
+    # every key, incl. ones spanning block boundaries, resolves fully
+    for h in range(10):
+        hits = C.lookup_via_cluster_idx(idx, shard, f"com,h{h:02d})/p")
+        assert len(hits) == 3
+        assert all(json.loads(x.split(" ", 2)[2])["url"] == f"https://h{h:02d}.com/p"
+                   for x in hits)
+    # ts-narrowed lookup
+    hits = C.lookup_via_cluster_idx(idx, shard, "com,h03)/p", "20260101000001")
+    assert len(hits) == 1
+    assert C.lookup_via_cluster_idx(idx, shard, "com,zz)/nope") == []
+
+
+def test_write_cdx_table_prunes(spark, tmp_path):
+    entries = []
+    for tld, host in (("com", "a"), ("com", "b"), ("org", "c"), ("net", "d")):
+        for p in range(3):
+            entries.append(
+                {
+                    "surt": f"{tld},{host})/p/{p}",
+                    "ts14": "20260101000000",
+                    "url": f"https://{host}.{tld}/p/{p}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "body": b"x",
+                }
+            )
+    _, cdxj = C.build_cdx(entries, "s.warc.gz")
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "s.cdxj").write_text(cdxj)
+    df = C.read_cdxj(spark, str(d))
+    out = str(tmp_path / "table")
+    C.write_cdx_table(df, out, sort_partitions=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 12
+    q = back.filter("tld = 'org' AND surt LIKE 'org,c)/p/%'")
+    assert q.count() == 3
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # tld is a partition column: the filter must prune directories,
+    # not scan-and-filter
+    assert "PartitionFilters: [" in plan and "tld" in plan.split(
+        "PartitionFilters", 1)[1][:200]
