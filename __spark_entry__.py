@@ -2676,6 +2676,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("content_text"),
         )
 
+    def frontier_schedule_documents(spark, sf):
+        # Crawl-frontier politeness scheduling under the gate (ops/
+        # frontier.py): 23 hosts with per-host crawl delays (1 + k%5
+        # seconds, the robots Crawl-delay seam) and a 15-url per-cycle
+        # cap. The oracle REPLAYS the window in SQL (ROW_NUMBER over
+        # host ordered by url, minus one, times the delay, capped) —
+        # an ordering, partitioning, arithmetic or cap error flips
+        # rows. shard (xxhash64-based, not SQL-replayable) is asserted
+        # in pytest instead: one shard per host, deterministic. NOTE:
+        # entry 67, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.frontier import schedule_fetches
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        k = F.pmod(F.col("doc_id"), F.lit(23))
+        host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
+        frontier = docs.select(
+            "doc_id",
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, F.lit("/f/"), i).alias("url"),
+            (F.lit(1) + F.pmod(k, F.lit(5))).cast("int").alias("delay"),
+        )
+        sched = schedule_fetches(
+            frontier, delay_col="delay", num_shards=64, per_host_cap=15
+        )
+        return sched.select("doc_id", "host", "seq", "fetch_offset_s")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2757,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_metadata_documents": wat_metadata_documents,
         "revisit_resolution_documents": revisit_resolution_documents,
         "boilerplate_documents": boilerplate_documents,
+        "frontier_schedule_documents": frontier_schedule_documents,
     }
 
 
@@ -4416,5 +4447,25 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 2 THEN ''
                   ELSE c3 END AS content_text
       FROM t
+    """,
+        # entry 67: frontier scheduling — full SQL replay of the
+        # politeness window (row_number per host by url, crawl-delay
+        # arithmetic, per-cycle cap)
+        "frontier_schedule_documents": """
+    WITH d AS (SELECT doc_id AS i, doc_id % 23 AS k
+                 FROM documents WHERE doc_id IS NOT NULL),
+    u AS (SELECT i,
+                 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+                 'https://h' || CAST(k AS VARCHAR) || '.example.com/f/'
+                   || CAST(i AS VARCHAR) AS url,
+                 1 + k % 5 AS delay
+            FROM d),
+    s AS (SELECT i, host, delay,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1
+                   AS seq
+            FROM u)
+    SELECT i AS doc_id, host, CAST(seq AS INTEGER) AS seq,
+           CAST(seq * delay AS BIGINT) AS fetch_offset_s
+      FROM s WHERE seq < 15
     """,
     }
