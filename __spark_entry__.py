@@ -2706,6 +2706,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sched.select("doc_id", "host", "seq", "fetch_offset_s")
 
+    def substring_dedup_documents(spark, sf):
+        # Cross-document exact-substring dedup under the gate (ops/
+        # dedup.substring_dedup, the Lee et al. 2022 family): texts are
+        # unique-prefix(4w) + SHARED 10-word block per group-of-6 +
+        # unique-suffix(2w); with 8-word windows exactly the three
+        # windows fully inside the shared block match across a group
+        # (straddling windows carry unique words), their coverage is
+        # the whole block, and the canonical copy is the group's min
+        # doc_id. Oracle replays the group-min + removal closed-form —
+        # an ownership, coverage-merge or splice error flips rows.
+        # NOTE: entry 68, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.dedup import substring_dedup
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        g = F.pmod(F.col("doc_id"), F.lit(6)).cast("string")
+        text = F.concat(
+            F.lit("u"), i, F.lit(" alpha"), i, F.lit(" bravo"), i,
+            F.lit(" charlie"), i,
+            # the group marker sits mid-block (rel 4) so EVERY 8-word
+            # window inside the 10-word block contains it — otherwise
+            # marker-free interior windows match across ALL groups
+            F.lit(" w1 w2 w3 w4 common"), g, F.lit(" w5 w6 w7 w8 w9"),
+            F.lit(" tail"), i, F.lit(" end"), i,
+        )
+        src = docs.select("doc_id", text.alias("text"))
+        out = substring_dedup(src, gram_words=8)
+        return out.select("doc_id", "clean_text", "n_removed_words")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2788,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_resolution_documents": revisit_resolution_documents,
         "boilerplate_documents": boilerplate_documents,
         "frontier_schedule_documents": frontier_schedule_documents,
+        "substring_dedup_documents": substring_dedup_documents,
     }
 
 
@@ -4467,5 +4500,28 @@ def oracle_sql() -> dict[str, str]:
     SELECT i AS doc_id, host, CAST(seq AS INTEGER) AS seq,
            CAST(seq * delay AS BIGINT) AS fetch_offset_s
       FROM s WHERE seq < 15
+    """,
+        # entry 68: exact-substring dedup — group-min ownership and the
+        # shared-block removal stated closed-form (non-owners lose
+        # exactly the 10 covered words; single-doc groups untouched)
+        "substring_dedup_documents": """
+    WITH d AS (SELECT doc_id AS i, doc_id % 6 AS g
+                 FROM documents WHERE doc_id IS NOT NULL),
+    o AS (SELECT g, min(i) AS owner FROM d GROUP BY g),
+    t AS (SELECT i, owner,
+                 'u' || CAST(i AS VARCHAR) || ' alpha' || CAST(i AS VARCHAR)
+                   || ' bravo' || CAST(i AS VARCHAR) || ' charlie'
+                   || CAST(i AS VARCHAR) AS pre,
+                 'w1 w2 w3 w4 common' || CAST(g AS VARCHAR)
+                   || ' w5 w6 w7 w8 w9' AS mid,
+                 'tail' || CAST(i AS VARCHAR) || ' end' || CAST(i AS VARCHAR)
+                   AS suf
+            FROM d JOIN o USING (g))
+    SELECT i AS doc_id,
+           CASE WHEN i = owner THEN pre || ' ' || mid || ' ' || suf
+                ELSE pre || ' ' || suf END AS clean_text,
+           CAST(CASE WHEN i = owner THEN 0 ELSE 10 END AS INTEGER)
+             AS n_removed_words
+      FROM t
     """,
     }

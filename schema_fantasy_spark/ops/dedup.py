@@ -688,3 +688,107 @@ def resolve_revisits(
     return revisits.join(best, digest_col, "left").select(
         *revisits.columns, *carried
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_words: int = 50,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    re-expressed as shuffle work instead of a single-node suffix
+    array): every ``gram_words``-word window whose hash occurs more
+    than once in the corpus is removed from every position except the
+    canonical first occurrence (lexicographic min (id, offset) — so
+    one copy of the duplicated passage always survives, in the
+    lowest-id document holding it).
+
+    Returns the input plus ``clean_text`` (surviving words joined by
+    single spaces — whitespace is canonicalized, the same convention as
+    C4 unit dedup) and ``n_removed_words``. Windows shorter than
+    ``gram_words`` never match, so documents below the window size pass
+    through verbatim; overlapping duplicate windows merge through index
+    coverage, trimming maximal duplicated RUNS, not just isolated
+    grams.
+
+    ``sample_mod`` > 1 keeps only windows with ``hash % sample_mod ==
+    0`` — CONTENT-defined (winnowing-style) sampling, so identical
+    spans select identical windows in every copy regardless of their
+    offsets (a positional stride would misalign the copies and match
+    nothing). Duplicated spans then lose ~1/sample_mod of their
+    windows' coverage instead of all of it — the standard
+    cost/coverage dial.
+
+    100 TB shape: the explode emits one (id, offset, hash) row per
+    window and the sample filter drops (sample_mod-1)/sample_mod of
+    them BEFORE the exchange — hashing stays O(tokens) compute, but
+    shuffle volume (~24 bytes x tokens / sample_mod) is the dial. Only
+    hashes shuffle: the gram counts aggregate partially map-side, the
+    dup join is hash-keyed with NO broadcast hint (duplicate-gram
+    cardinality is unbounded on a dirty corpus — AQE may still choose
+    one when it measures small), marked offsets re-aggregate on the
+    id, and document text never leaves its partition until the final
+    id-keyed join of bounded offset arrays."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    starts = F.when(
+        n >= gram_words,
+        F.sequence(F.lit(0), n - gram_words),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col), words.alias("_w"), F.explode(starts).alias("j")
+    ).select(
+        id_col,
+        "j",
+        F.xxhash64(
+            F.array_join(F.slice(F.col("_w"), F.col("j") + 1, gram_words), " ")
+        ).alias("h"),
+    )
+    if sample_mod > 1:
+        grams = grams.filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    dup_owner = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(id_col, "j")).alias("_own"),
+        )
+        .filter(F.col("_c") > 1)
+        .select("h", "_own")
+    )
+    marked = (
+        grams.join(dup_owner, "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_own")[id_col])
+                & (F.col("j") == F.col("_own")["j"])
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("j")).alias("_starts"))
+    )
+    removed = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + gram_words - 1),
+            )
+        )
+    )
+    # barrier: `removed` is referenced from inside the kept-words filter
+    # lambda, which evaluates per WORD — without the Generate barrier the
+    # whole flatten/distinct tree re-evaluates per element (trap 9),
+    # turning an O(n) splice into O(n^2) on long documents
+    out = _barrier(df.join(marked, id_col, "left"), removed, "_removed")
+    kept = F.filter(
+        words, lambda w, idx: ~F.array_contains(F.col("_removed"), idx)
+    )
+    return (
+        out.withColumn("clean_text", F.array_join(kept, " "))
+        .withColumn(
+            "n_removed_words", (F.size(words) - F.size(kept)).cast("int")
+        )
+        .drop("_starts", "_removed")
+    )

@@ -1907,3 +1907,62 @@ def test_mp4_co64_and_fixed_stsz():
               + p3[j+4:])
     got = parse_mp4_samples(p3)
     assert [s[:2] for s in got["samples"]] == [s[:2] for s in base["samples"]]
+
+
+def test_substring_dedup(spark):
+    """Cross-doc exact-substring removal: the shared passage survives
+    only in the min-id doc; shorter-than-window docs pass through."""
+    from schema_fantasy_spark.ops.dedup import substring_dedup
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"u1a u1b {shared} t1"),
+        (2, f"u2a u2b u2c {shared} t2 t2b"),   # different offset, same words
+        (3, "completely unrelated short text"),
+        (4, f"u4 {shared} mid4 {shared} t4"),  # repeats the passage twice
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           substring_dedup(df, gram_words=8).collect()}
+    # doc 1 owns every duplicated window (min id): text unchanged
+    assert out[1].clean_text == rows[0][1]
+    assert out[1].n_removed_words == 0
+    # doc 2 loses exactly the shared passage
+    assert out[2].clean_text == "u2a u2b u2c t2 t2b"
+    assert out[2].n_removed_words == 10
+    # short doc untouched
+    assert out[3].clean_text == rows[2][1] and out[3].n_removed_words == 0
+    # doc 4: both of its copies are non-canonical -> both removed
+    assert out[4].clean_text == "u4 mid4 t4"
+    assert out[4].n_removed_words == 20
+
+
+def test_substring_dedup_within_doc_repeat_and_sampling(spark):
+    from schema_fantasy_spark.ops.dedup import substring_dedup
+
+    # a doc repeating its own passage: the FIRST occurrence is the
+    # canonical one, later copies are removed even with no other doc
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(7, f"x {shared} y {shared} z")], "doc_id long, text string"
+    )
+    r = substring_dedup(df, gram_words=8).collect()[0]
+    assert r.clean_text == f"x {shared} y z"
+    assert r.n_removed_words == 8
+    # content-defined sampling: the copies sit at DIFFERENT offsets,
+    # yet sampled windows still align (selection is by hash, not
+    # position) — removal touches only the shared span
+    df2 = spark.createDataFrame(
+        [(1, f"p1 {shared} q1"), (2, f"p2 longer prefix here {shared} q2")],
+        "doc_id long, text string",
+    )
+    full = {r.doc_id: r for r in
+            substring_dedup(df2, gram_words=4).collect()}
+    assert full[1].n_removed_words == 0          # owner keeps everything
+    assert full[2].clean_text == "p2 longer prefix here q2"
+    sampled = {r.doc_id: r for r in
+               substring_dedup(df2, gram_words=4, sample_mod=2).collect()}
+    assert sampled[1].n_removed_words == 0
+    kept = set(sampled[2].clean_text.split())
+    assert {"p2", "longer", "prefix", "here", "q2"} <= kept  # uniques survive
+    assert sampled[2].n_removed_words <= 8       # only shared words go
