@@ -2738,6 +2738,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = substring_dedup(src, gram_words=8)
         return out.select("doc_id", "clean_text", "n_removed_words")
 
+    def domain_balance_documents(spark, sf):
+        # Registered-domain corpus balancing under the gate (ops/urls.
+        # registered_domain + scale.balance_by_domain): hosts span 4
+        # families — www-prefixed and bare-sub variants of the same
+        # registrable .com domains (they must share a budget),
+        # multi-label public suffixes (co.uk), and a suffix where the
+        # SUBDOMAIN is the registrant (github.io). Domains are
+        # extracted natively, then each domain keeps its best 20 rows
+        # (pseudo-quality desc, id asc). The oracle states domains
+        # closed-form and replays the window — a PSL-match, grouping,
+        # ordering or cap error flips rows. NOTE: entry 69, past the
+        # driver's ~50-slot recording window; tools/
+        # check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.urls import registered_domain
+        from schema_fantasy_spark.scale import balance_by_domain
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        k3 = F.pmod(F.pmod(F.col("doc_id"), F.lit(19)), F.lit(3)).cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        host = (
+            F.when(m == 0, F.concat(F.lit("www"), k, F.lit(".example"), k3,
+                                    F.lit(".com")))
+            .when(m == 1, F.concat(F.lit("sub.a"), k, F.lit(".co.uk")))
+            .when(m == 2, F.concat(F.lit("b"), k, F.lit(".github.io")))
+            .otherwise(F.concat(F.lit("c"), k, F.lit(".example"), k3,
+                                F.lit(".com")))
+        )
+        rows = docs.select(
+            "doc_id",
+            registered_domain(host).alias("domain"),
+            F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("int")
+            .alias("score"),
+        )
+        out = balance_by_domain(
+            rows, "domain", score_col="score", cap=20
+        )
+        return out.select("doc_id", "domain", "score")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2821,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_documents": boilerplate_documents,
         "frontier_schedule_documents": frontier_schedule_documents,
         "substring_dedup_documents": substring_dedup_documents,
+        "domain_balance_documents": domain_balance_documents,
     }
 
 
@@ -4523,5 +4565,24 @@ def oracle_sql() -> dict[str, str]:
            CAST(CASE WHEN i = owner THEN 0 ELSE 10 END AS INTEGER)
              AS n_removed_words
       FROM t
+    """,
+        # entry 69: domain balancing — registrable domains stated
+        # closed-form per family, the per-domain cap window replayed
+        "domain_balance_documents": """
+    WITH d AS (SELECT doc_id AS i, doc_id % 4 AS m, doc_id % 19 AS k,
+                      (doc_id * 37) % 100 AS score
+                 FROM documents WHERE doc_id IS NOT NULL),
+    t AS (SELECT i, score, CASE m
+            WHEN 0 THEN 'example' || CAST(k % 3 AS VARCHAR) || '.com'
+            WHEN 1 THEN 'a' || CAST(k AS VARCHAR) || '.co.uk'
+            WHEN 2 THEN 'b' || CAST(k AS VARCHAR) || '.github.io'
+            ELSE 'example' || CAST(k % 3 AS VARCHAR) || '.com' END AS domain
+          FROM d),
+    r AS (SELECT i, domain, score,
+                 ROW_NUMBER() OVER (PARTITION BY domain
+                                    ORDER BY score DESC, i ASC) AS rn
+            FROM t)
+    SELECT i AS doc_id, domain, CAST(score AS INTEGER) AS score
+      FROM r WHERE rn <= 20
     """,
     }

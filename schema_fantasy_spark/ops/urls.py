@@ -175,3 +175,42 @@ def surt_key(url: Column) -> Column:
         ),
     )
     return F.when(is_http & (host != ""), key)
+
+
+#: default public-suffix subset for registered_domain — multi-label
+#: suffixes MUST sort before their parents (regex alternation is
+#: ordered); swap in the full publicsuffix.org list at deployment (it
+#: is data, not mechanism — the column logic is identical)
+_PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "github.io",
+    "blogspot.com", "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "uk", "au", "jp", "br", "cn", "de", "fr", "info", "biz",
+)
+
+
+def registered_domain(host: Column, suffixes=None) -> Column:
+    """The registrable domain (eTLD+1) of a hostname — the key for
+    domain-level dedup, ranking and corpus balancing (host-level keys
+    overcount: ``a.blogspot.com`` and ``b.blogspot.com`` are different
+    REGISTRANTS, while ``www.x.com`` / ``cdn.x.com`` are one).
+
+    One ``regexp_extract`` over an ordered suffix alternation
+    (longest/multi-label alternatives first, so ``x.co.uk`` yields
+    ``x.co.uk``, not ``co.uk``): pure codegen, no Python, no lookup
+    join. A host that IS a public suffix (or matches none) yields
+    NULL. ``suffixes`` swaps in the full publicsuffix.org list."""
+    import re as _re
+
+    alts = "|".join(
+        _re.escape(s)
+        for s in sorted(suffixes or _PUBLIC_SUFFIXES,
+                        key=lambda s: (-s.count("."), s))
+    )
+    h = F.lower(host)
+    got = F.regexp_extract(h, r"([^.]+\.(?:" + alts + r"))$", 1)
+    # a host that IS a listed suffix must not register: the leftmost
+    # regex start would otherwise split it over a SHORTER suffix
+    # ('co.uk' -> label 'co' + suffix 'uk')
+    is_bare = h.rlike(r"^(?:" + alts + r")$")
+    return F.when(is_bare, F.lit(None)).otherwise(F.nullif(got, F.lit("")))

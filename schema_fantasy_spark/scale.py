@@ -147,3 +147,41 @@ def deterministic_sample(
     else:
         nib = F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))
     return df.filter(nib < rate_sixteenths)
+
+
+def balance_by_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    score_col: Optional[str] = None,
+    cap: int = 1000,
+) -> DataFrame:
+    """Cap each domain's share of the corpus (the C4/mC4 convention —
+    without it a handful of mega-domains dominate the training mix):
+    keep at most ``cap`` rows per ``domain_col``, the best first —
+    ordered by (``score_col`` DESC, ``id_col`` ASC), or by id alone —
+    so the selection is deterministic under any partitioning.
+
+    Pair with ``ops.urls.registered_domain`` for the key: host-level
+    capping overcounts (every ``*.blogspot.com`` subdomain is a
+    different registrant) and undercounts (``www.``/``cdn.`` variants
+    of one site each get their own budget).
+
+    100 TB shape: ONE domain-keyed window shuffle. The heaviest domain
+    defines the largest partition; the cap bounds what SURVIVES, not
+    the partition itself — for a pathological domain holding a double-
+    digit share of the corpus, pre-filter with a salted count and
+    sample before windowing."""
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

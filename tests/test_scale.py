@@ -272,3 +272,39 @@ def test_dedup_job_boilerplate_stage(spark, tmp_path, monkeypatch):
     texts = [r.text for r in spark.read.parquet(outp).collect()]
     assert all(t.startswith("Real content paragraph") for t in texts)
     assert all("Home" not in t for t in texts)
+
+
+def test_registered_domain(spark):
+    from pyspark.sql import functions as F
+
+    from schema_fantasy_spark.ops.urls import registered_domain
+
+    cases = [
+        ("www.Example.COM", "example.com"),
+        ("cdn.x.example.com", "example.com"),
+        ("x.co.uk", "x.co.uk"),
+        ("sub.x.co.uk", "x.co.uk"),
+        ("b.github.io", "b.github.io"),
+        ("a.blogspot.com", "a.blogspot.com"),  # multi-label beats .com
+        ("co.uk", None),                       # a bare public suffix
+        ("localhost", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = [r.d for r in
+           df.select(registered_domain(F.col("h")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_balance_by_domain(spark):
+    from schema_fantasy_spark.scale import balance_by_domain
+
+    rows = [(i, "big.com" if i < 10 else "small.org", i % 4)
+            for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, score int")
+    out = balance_by_domain(df, "dom", score_col="score", cap=3)
+    got = sorted((r.dom, r.doc_id) for r in out.collect())
+    # big.com keeps its 3 best (score desc, id asc): ids 3, 7, 2
+    assert [d for d, _ in got].count("big.com") == 3
+    assert {i for d, i in got if d == "big.com"} == {3, 7, 2}
+    # small.org (4 rows) also capped to its best 3
+    assert {i for d, i in got if d == "small.org"} == {11, 10, 13}
