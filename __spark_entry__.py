@@ -2779,6 +2779,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "domain", "score")
 
+    def blocklist_documents(spark, sf):
+        # C4-style blocklist filtering under the gate (ops/text.
+        # blocklist_*): texts across 4 families — clean, one hit,
+        # repeated + phrase hits, and boundary traps (the listed word
+        # embedded inside longer words must NOT match). One codegen
+        # regexp_count; the oracle states hit counts closed-form from
+        # the construction. The term list here is a neutral
+        # placeholder: the list is data (C4 ships LDNOOBW), the
+        # mechanism is what's gated. NOTE: entry 70, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        from schema_fantasy_spark.ops.text import blocklist_filter
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        text = (
+            F.when(m == 0, F.concat(
+                F.lit("clean text "), i, F.lit(" nothing listed here")))
+            .when(m == 1, F.concat(
+                F.lit("prefix "), i, F.lit(" badword1 suffix")))
+            .when(m == 2, F.concat(
+                F.lit("badword2 a"), i,
+                F.lit(" Badword2 b phrase  two end")))
+            .otherwise(F.concat(
+                F.lit("embadword1ed "), i, F.lit(" badword2y")))
+        )
+        src = docs.select("doc_id", text.alias("text"))
+        out = blocklist_filter(
+            src, ["badword1", "badword2", "phrase two"]
+        )
+        return out.select(
+            "doc_id",
+            F.col("blocklist_hits").alias("n_hits"),
+            F.col("blocklisted").alias("blocked"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2863,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule_documents": frontier_schedule_documents,
         "substring_dedup_documents": substring_dedup_documents,
         "domain_balance_documents": domain_balance_documents,
+        "blocklist_documents": blocklist_documents,
     }
 
 
@@ -4584,5 +4624,15 @@ def oracle_sql() -> dict[str, str]:
             FROM t)
     SELECT i AS doc_id, domain, CAST(score AS INTEGER) AS score
       FROM r WHERE rn <= 20
+    """,
+        # entry 70: blocklist filter — hit counts closed-form (family 2
+        # has two badword2 occurrences, one case-folded, plus the
+        # doubled-space phrase; family 3's embedded words never match)
+        "blocklist_documents": """
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END
+                AS INTEGER) AS n_hits,
+           doc_id % 4 IN (1, 2) AS blocked
+      FROM documents WHERE doc_id IS NOT NULL
     """,
     }

@@ -368,3 +368,38 @@ def filter_funnel(df: DataFrame, rules) -> DataFrame:
         (F.coalesce("n_in", F.lit(0)) - F.coalesce("n_out", F.lit(0))).alias("n_dropped"),
         F.coalesce("n_out", F.lit(0)).alias("n_out"),
     )
+
+
+def blocklist_pattern(words) -> str:
+    """One case-insensitive word-boundary alternation for a term list
+    (the C4 "bad words" filter shape — single words AND multi-word
+    phrases; longer terms first so a phrase wins over its own prefix
+    word). The list is data: ship the deployment's own (C4 uses the
+    LDNOOBW list; the tests use neutral placeholders)."""
+    import re as _re
+
+    alts = "|".join(
+        _re.escape(w).replace(r"\ ", r"\s+")
+        for w in sorted(words, key=lambda w: (-len(w), w))
+    )
+    return r"(?i)\b(?:" + alts + r")\b"
+
+
+def blocklist_hits(text: Column, words) -> Column:
+    """How many times any listed term occurs in ``text`` (0 for NULL).
+    One codegen'd ``regexp_count`` — no Python, no join: even a
+    several-hundred-term list compiles to a single scan-bandwidth
+    automaton, which is why C4 can afford to run it on every page."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(blocklist_pattern(words))), F.lit(0)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, words, text_col: str = "text",
+    hits_col: str = "blocklist_hits", flag_col: str = "blocklisted",
+) -> DataFrame:
+    """Append the hit count and the C4-style drop flag (ANY listed term
+    blocks the page). Compose with `filter_funnel` for accounting."""
+    hits = blocklist_hits(F.col(text_col), words)
+    return df.withColumn(hits_col, hits).withColumn(flag_col, hits > 0)
