@@ -2818,6 +2818,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("blocklisted").alias("blocked"),
         )
 
+    def image_phash_neardup(spark, sf):
+        # Perceptual-hash image near-dup under the gate (ops/
+        # multimodal.image_metadata aHash + ops/dedup.
+        # hamming_near_duplicates): per-doc 8x8 images carry a 7-bit
+        # repetition-coded group pattern (g|64 across cells j%7 — any
+        # two groups differ in >= 9 aHash bits, far past the banding
+        # threshold) plus per-doc uniform brightness noise that the
+        # mean-threshold hash must cancel. Images encode as real BMP/
+        # PPM (alternating), decode through the real pixel path, and
+        # pair via 16-bit-chunk Hamming banding. The oracle states the
+        # pair set closed-form: exactly the within-group pairs at
+        # hamming 0 — a decode, resize, hash or banding error flips
+        # rows. NOTE: entry 71, past the driver's ~50-slot recording
+        # window; tools/check_correctness.py verifies it either way.
+        import numpy as np
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.dedup import hamming_near_duplicates
+        from schema_fantasy_spark.ops.multimodal import (
+            encode_bmp24,
+            encode_ppm6,
+        )
+        from schema_fantasy_spark.ops.multimodal import image_metadata
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+
+        def build(batches):
+            for pdf in batches:
+                ids, imgs = [], []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    code = (i % 50) | 64
+                    d = i % 16
+                    cells = np.array(
+                        [
+                            (235 + d) if (code >> (j % 7)) & 1 else (5 + d)
+                            for j in range(64)
+                        ],
+                        dtype=np.uint8,
+                    ).reshape(8, 8)
+                    px = np.stack([cells] * 3, axis=2)
+                    imgs.append(
+                        encode_bmp24(px) if i % 2 == 0 else encode_ppm6(px)
+                    )
+                    ids.append(i)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "img": pd.Series(imgs, dtype="object"),
+                    }
+                )
+
+        imgs = docs.mapInPandas(build, "doc_id long, img binary")
+        meta = image_metadata(imgs, binary_col="img", id_col="doc_id")
+        pairs = hamming_near_duplicates(
+            meta, "phash", id_col="doc_id", max_hamming=3
+        )
+        return pairs.select("id_a", "id_b", "hamming")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2903,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_documents": substring_dedup_documents,
         "domain_balance_documents": domain_balance_documents,
         "blocklist_documents": blocklist_documents,
+        "image_phash_neardup": image_phash_neardup,
     }
 
 
@@ -4634,5 +4696,15 @@ def oracle_sql() -> dict[str, str]:
                 AS INTEGER) AS n_hits,
            doc_id % 4 IN (1, 2) AS blocked
       FROM documents WHERE doc_id IS NOT NULL
+    """,
+        # entry 71: phash near-dup — the pair set is closed-form: all
+        # within-group (doc_id % 50) pairs at hamming 0 (per-doc
+        # brightness noise cancels in the mean-threshold aHash; groups
+        # differ by >= 9 bits so no cross-group pair survives)
+        "image_phash_neardup": """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM documents a JOIN documents b
+        ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+     WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
     """,
     }

@@ -792,3 +792,68 @@ def substring_dedup(
         )
         .drop("_starts", "_removed")
     )
+
+
+def hamming_near_duplicates(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunk_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs over a PRECOMPUTED <=64-bit signature
+    column — the multimodal twin of ``simhash_near_duplicates``: feed
+    it the perceptual image hash from ``ops.multimodal.image_metadata``
+    (``phash``) and it finds visually-identical-modulo-noise images the
+    way simhash finds boilerplate-variant pages. Any Hamming-space
+    signature works (audio fingerprints, video keyframe hashes).
+
+    4-chunk pigeonhole banding: a pair within ``max_hamming`` <=
+    64/chunk_bits - 1 differing bits must agree on at least one chunk,
+    so the band join finds ALL such pairs; the final filter drops
+    band-collision false positives. Returns (id_a, id_b, sig_a, sig_b,
+    hamming), id_a < id_b.
+
+    100 TB shape: only (id, sig, chunk, val) rows shuffle (~32 B x 4
+    per item); candidate blowup is bounded by band-bucket sizes like
+    the text path — a degenerate corpus (one image repeated 10^9
+    times) should exact-dedup on the signature FIRST, as with text."""
+    sh = df.select(F.col(id_col), F.col(sig_col).alias("sim"))
+    mask = (1 << chunk_bits) - 1
+    chunks = sh.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(64 // chunk_bits)
+                ]
+            )
+        ).alias("cv"),
+    ).select(
+        id_col, "sim",
+        F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sim").alias("sig_a"),
+        "chunk", "val",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sim").alias("sig_b"),
+        "chunk", "val",
+    )
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).filter(F.col("hamming") <= max_hamming)

@@ -45,3 +45,19 @@ def test_blocklist_hits_semantics(spark):
     plan = blocklist_filter(df, WORDS)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_hamming_near_duplicates_generic(spark):
+    """Signature-agnostic Hamming banding (the phash near-dup path)."""
+    from schema_fantasy_spark.ops.dedup import hamming_near_duplicates
+
+    rows = [
+        (1, 0b1010_1010),            # base
+        (2, 0b1010_1011),            # hamming 1 from base
+        (3, 0b1010_1010 ^ (1 << 40) ^ (1 << 50)),  # hamming 2
+        (4, (1 << 62) - 1),          # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             hamming_near_duplicates(df, "phash", max_hamming=3).collect()}
+    assert pairs == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
