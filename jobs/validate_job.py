@@ -33,10 +33,12 @@ def main() -> int:
     ap.add_argument("--host-verdicts-out", default=None,
                     help="also write per-host verdicts (salted agg) to this path")
     ap.add_argument("--input-format", default="auto",
-                    choices=["auto", "warc"],
+                    choices=["auto", "warc", "wet"],
                     help="'warc': ingest raw crawl archives (*.warc.gz) - "
                          "parse records, extract text from html, language-ID "
-                         "- then validate; 'auto': parquet/iceberg path")
+                         "- then validate; 'wet': ingest extracted-text "
+                         "sidecars (*.warc.wet.gz) - text arrives ready, "
+                         "language-ID then validate; 'auto': parquet/iceberg")
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="iceberg time travel: validate this snapshot")
     ap.add_argument("--from-snapshot-id", type=int, default=None,
@@ -87,6 +89,21 @@ def main() -> int:
         )
         df = df.withColumn("text", extract_text(F.col("text"))).drop(
             "_ct_charset"
+        )
+        df = lang_id(df).withColumnRenamed("lang_pred", "lang")
+    elif args.input_format == "wet":
+        # extracted-text sidecars: the text column arrives decoded
+        # (WET bodies are UTF-8 by convention — sources/wet.py replaces
+        # undecodable bytes, never raises), so only language-ID runs
+        # before validation; html stays NULL (the columnar path never
+        # reads it anyway — plan-audited)
+        from schema_fantasy_spark.ops.text import lang_id
+        from schema_fantasy_spark.sources.wet import read_wet
+
+        df = (
+            read_wet(spark, args.input)
+            .withColumn("html", F.lit(None).cast("binary"))
+            .drop("refers_to", "wet_file")
         )
         df = lang_id(df).withColumnRenamed("lang_pred", "lang")
     else:

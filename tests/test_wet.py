@@ -62,3 +62,33 @@ def test_read_wet_spark_edge(spark, tmp_path):
     assert rows[0].refers_to == _entries(1)[0][2]
     assert rows[0].warc_ts.isoformat() == "2026-01-01T00:00:00"
     assert rows[2].wet_file.endswith("b.warc.wet.gz")
+
+
+def test_validate_job_wet_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    """WET sidecar ingestion: extracted text arrives decoded, so the
+    chain is read_wet -> lang-ID -> validation via the CLI."""
+    import json as _json
+    import sys as _sys
+
+    from jobs.validate_job import main
+
+    d = tmp_path / "wetarc"
+    d.mkdir()
+    entries = [
+        (
+            f"https://h{i}.example.com/p/{i}",
+            "2026-01-02T03:04:05Z",
+            f"<urn:uuid:00000000-0000-0000-0000-{i:012d}>",
+            f"the café page number {i} with plenty of real words here",
+        )
+        for i in range(5)
+    ]
+    (d / "cc.warc.wet.gz").write_bytes(WT.build_wet(entries))
+    argv = ["validate_job", "--input", str(d), "--input-format", "wet",
+            "--manifest-dir", str(tmp_path / "m"),
+            "--violations-dir", str(tmp_path / "v"),
+            "--derive-day-from", "warc_ts"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    assert main() == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["processed"] == ["2026-01-02"]
