@@ -2879,6 +2879,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select("id_a", "id_b", "hamming")
 
+    def crawl_diff_documents(spark, sf):
+        # Crawl-over-crawl freshness diff under the gate (ops/urls.
+        # canonicalize_url + snapshots.snapshot_diff): the two crawls
+        # spell every url DIFFERENTLY (case vs default-port vs query
+        # order) so the diff only lines up on the canonical key; per
+        # family the content is unchanged / changed / removed (crawl A
+        # only) / added (crawl B only). Oracle states key + verdict
+        # closed-form — a canonicalization or full-outer/hash-compare
+        # error flips rows. NOTE: entry 72, past the driver's ~50-slot
+        # recording window; tools/check_correctness.py verifies it
+        # either way.
+        from schema_fantasy_spark.ops.urls import canonicalize_url
+        from schema_fantasy_spark.snapshots import snapshot_diff
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(5))
+        url_a = F.concat(F.lit("https://h"), k, F.lit(".EXAMPLE.com/p/"), i,
+                         F.lit("?b=2&a=1"))
+        url_b = F.concat(F.lit("https://h"), k, F.lit(".example.com:443/p/"),
+                         i, F.lit("?a=1&b=2"))
+        crawl_a = docs.filter(m != 4).select(
+            canonicalize_url(url_a).alias("url_key"),
+            F.concat(F.lit("v1 "), i).alias("text"),
+        )
+        crawl_b = docs.filter(m != 3).select(
+            canonicalize_url(url_b).alias("url_key"),
+            F.when(m == 0, F.concat(F.lit("v1 "), i))
+            .otherwise(F.concat(F.lit("v2 "), i)).alias("text"),
+        )
+        d = snapshot_diff(crawl_a, crawl_b, ["url_key"], ["text"])
+        return d.select("url_key", "change")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -2965,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_balance_documents": domain_balance_documents,
         "blocklist_documents": blocklist_documents,
         "image_phash_neardup": image_phash_neardup,
+        "crawl_diff_documents": crawl_diff_documents,
     }
 
 
@@ -4706,5 +4743,19 @@ def oracle_sql() -> dict[str, str]:
       FROM documents a JOIN documents b
         ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
      WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+    """,
+        # entry 72: crawl diff — canonical keys and verdicts stated
+        # closed-form per family (m=3 exists only in crawl A, m=4 only
+        # in crawl B, m in {1,2} change content, m=0 is identical)
+        "crawl_diff_documents": """
+    SELECT 'https://h' || CAST(doc_id % 19 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&b=2' AS url_key,
+           CASE doc_id % 5 WHEN 0 THEN 'unchanged'
+                           WHEN 1 THEN 'changed'
+                           WHEN 2 THEN 'changed'
+                           WHEN 3 THEN 'removed'
+                           ELSE 'added' END AS change
+      FROM documents WHERE doc_id IS NOT NULL
     """,
     }
