@@ -372,3 +372,39 @@ def test_classifier_scoring_python_free_no_shuffle(spark):
     plan = plan_of(with_classifier_score(df, model))
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_frontier_and_balance_single_window_exchange(spark):
+    """The two window ops (frontier scheduling, domain balancing) cost
+    exactly ONE key-partitioned Exchange each — the shard/domain hash
+    is an expression, not a second shuffle — and stay Python-free."""
+    from schema_fantasy_spark.ops.frontier import schedule_fetches
+    from schema_fantasy_spark.scale import balance_by_domain
+
+    df = spark.createDataFrame(
+        [(1, "a.com", "https://a.com/1", 5)],
+        "doc_id long, host string, url string, score int",
+    )
+    for out in (
+        schedule_fetches(df, num_shards=8, per_host_cap=3),
+        balance_by_domain(df, "host", score_col="score", cap=3),
+    ):
+        plan = plan_of(out, mode="simple")
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark):
+    """Exact-substring dedup: the gram-side exchanges carry (id, offset,
+    hash) — the text column appears in NO Exchange's output, and there
+    is no unconditional broadcast of the unbounded dup-hash set."""
+    from schema_fantasy_spark.ops.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = plan_of(substring_dedup(df, gram_words=4), mode="simple")
+    assert "EvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
