@@ -26,6 +26,8 @@ engine ships and gates:
                             accounting in ONE aggregation pass
                             (ops.text.filter_funnel); the surviving
                             predicate then gates the data path;
+                            --blocklist-file appends the C4 term-list
+                            rule (ops.text.blocklist_hits);
     2. EXACT dedup        — keep one row per byte-identical text
                             (ops.dedup.distinct_by_content);
     3. NEAR-DUP pairs     — MinHash+LSH candidates, exact-Jaccard verify
@@ -44,6 +46,13 @@ engine ships and gates:
                             fastText-style classifier on the labeled
                             slice, drop survivors scoring <= --min-score
                             (ops.classifier);
+    5e. SUBSTRING DEDUP   — (--substring-dedup) trim cross-doc duplicate
+                            word windows to their canonical occurrence
+                            (ops.dedup.substring_dedup);
+    5f. DOMAIN CAP        — (--domain-cap, with --url-col) at most N
+                            docs per registered domain
+                            (ops.urls.registered_domain +
+                            scale.balance_by_domain);
     6. write the cleaned table + ONE JSON stats line on stdout
        (including the per-rule funnel rows).
 
@@ -97,6 +106,21 @@ def main() -> int:
     ap.add_argument("--classifier-vocab", type=int, default=64)
     ap.add_argument("--min-score", type=int, default=0,
                     help="classifier score threshold (millionths)")
+    ap.add_argument("--blocklist-file", default=None,
+                    help="term list (one per line, '#' comments): pages "
+                         "containing ANY listed term drop in the funnel "
+                         "(ops.text.blocklist_hits, the C4 stage)")
+    ap.add_argument("--substring-dedup", action="store_true",
+                    help="after keep-best: remove cross-doc duplicate "
+                         "word windows (ops.dedup.substring_dedup)")
+    ap.add_argument("--substring-gram", type=int, default=50)
+    ap.add_argument("--substring-sample-mod", type=int, default=1,
+                    help="content-defined window sampling dial (shuffle "
+                         "volume ~1/mod)")
+    ap.add_argument("--domain-cap", type=int, default=0,
+                    help="with --url-col: keep at most N docs per "
+                         "registered domain (quality-ordered; "
+                         "scale.balance_by_domain)")
     ap.add_argument("--min-words", type=int, default=5,
                     help="funnel rule: minimum whitespace-token count")
     ap.add_argument("--max-chars", type=int, default=1_000_000,
@@ -173,6 +197,14 @@ def main() -> int:
         ("min_words", tx.token_count(t) >= args.min_words),
         ("max_chars", F.length(t) <= args.max_chars),
     ]
+    if args.blocklist_file:
+        with open(args.blocklist_file) as fh:
+            terms = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            ]
+        if terms:
+            rules.append(("blocklist", tx.blocklist_hits(t, terms) == 0))
     funnel_rows = [r.asDict() for r in tx.filter_funnel(df, rules).collect()]
     keep = F.lit(True)
     for _, cond in rules:
@@ -264,8 +296,48 @@ def main() -> int:
         )
         n_model_filtered = before - cleaned.count()
 
+    # 5e. cross-document exact-substring dedup: text is TRIMMED, not
+    # dropped — the duplicated passages survive only in their canonical
+    # (min id, offset) positions
+    n_substring_words = 0
+    if args.substring_dedup:
+        trimmed = dedup.substring_dedup(
+            cleaned,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            gram_words=args.substring_gram,
+            sample_mod=args.substring_sample_mod,
+        ).persist()
+        n_substring_words = (
+            trimmed.agg(F.sum("n_removed_words")).collect()[0][0] or 0
+        )
+        cleaned = (
+            trimmed.withColumn(args.text_col, F.col("clean_text"))
+            .drop("clean_text", "n_removed_words")
+        )
+
+    # 5f. registered-domain cap (corpus balancing — the C4/mC4 stage)
+    n_domain_capped = 0
+    if args.domain_cap and args.url_col:
+        from schema_fantasy_spark.ops.urls import registered_domain
+
+        keyed = cleaned.withColumn(
+            "__dom",
+            F.coalesce(
+                registered_domain(scale.host_of(F.col(args.url_col))),
+                F.lit("__unregistered"),
+            ),
+        )
+        before = cleaned.count()
+        cleaned = scale.balance_by_domain(
+            keyed, "__dom", id_col=args.id_col, cap=args.domain_cap
+        ).drop("__dom")
+        n_domain_capped = before - cleaned.count()
+
     cleaned.write.mode("overwrite").parquet(args.output)
     distinct.unpersist()
+    if args.substring_dedup:
+        trimmed.unpersist()
     n_out = spark.read.parquet(args.output).count()
 
     print(json.dumps({
@@ -274,6 +346,8 @@ def main() -> int:
         "removed_url_collapse": n_url_collapsed,
         "removed_contaminated": n_contaminated,
         "removed_model_filter": n_model_filtered,
+        "removed_substring_words": int(n_substring_words),
+        "removed_domain_cap": n_domain_capped,
         "funnel": funnel_rows,
         "n_after_funnel": n_funnel,
         "n_after_exact": n_distinct,

@@ -61,3 +61,52 @@ def test_hamming_near_duplicates_generic(spark):
     pairs = {(r.id_a, r.id_b): r.hamming for r in
              hamming_near_duplicates(df, "phash", max_hamming=3).collect()}
     assert pairs == {(1, 2): 1, (1, 3): 2, (2, 3): 3}
+
+
+def test_dedup_job_blocklist_substring_domaincap(spark, tmp_path, monkeypatch):
+    """The three new dedup_job stages end to end: funnel blocklist rule,
+    cross-doc substring trim, registered-domain cap."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "jobs")
+    import dedup_job
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = []
+    for i in range(6):  # big.com: 6 docs sharing a passage
+        rows.append((i, f"https://www.big.com/p/{i}",
+                     f"u{i}a u{i}b u{i}c {shared} t{i}x t{i}y"))
+    rows.append((10, "https://small.org/1",
+                 "a perfectly clean unrelated document with many words"))
+    rows.append((11, "https://small.org/2",
+                 "this page mentions badword99 so the funnel drops it"))
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    ).write.parquet(inp)
+    bl = tmp_path / "terms.txt"
+    bl.write_text("# comment\nbadword99\n")
+    monkeypatch.setattr(sys, "argv", [
+        "dedup_job.py", "--input", inp, "--output", outp,
+        "--url-col", "url", "--blocklist-file", str(bl),
+        "--substring-dedup", "--substring-gram", "8",
+        "--domain-cap", "4", "--min-words", "5",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dedup_job.main()
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    fun = {f["rule"]: f["n_dropped"] for f in stats["funnel"]}
+    assert fun["blocklist"] == 1
+    # 5 non-canonical copies x 10 shared words trimmed
+    assert stats["removed_substring_words"] == 50
+    assert stats["removed_domain_cap"] == 2  # big.com 6 -> 4
+    out = {r.doc_id: r.text for r in spark.read.parquet(outp).collect()}
+    assert 11 not in out and 10 in out
+    assert sum(1 for i in out if i < 6) == 4
+    assert out[0].count("one two three") == 1          # canonical keeps it
+    assert all(shared not in out[i] for i in out if 0 < i < 6)
