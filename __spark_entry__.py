@@ -2821,17 +2821,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def image_phash_neardup(spark, sf):
         # Perceptual-hash image near-dup under the gate (ops/
         # multimodal.image_metadata aHash + ops/dedup.
-        # hamming_near_duplicates): per-doc 8x8 images carry a 7-bit
-        # repetition-coded group pattern (g|64 across cells j%7 — any
-        # two groups differ in >= 9 aHash bits, far past the banding
-        # threshold) plus per-doc uniform brightness noise that the
-        # mean-threshold hash must cancel. Images encode as real BMP/
-        # PPM (alternating), decode through the real pixel path, and
-        # pair via 16-bit-chunk Hamming banding. The oracle states the
-        # pair set closed-form: exactly the within-group pairs at
-        # hamming 0 — a decode, resize, hash or banding error flips
-        # rows. NOTE: entry 71, past the driver's ~50-slot recording
-        # window; tools/check_correctness.py verifies it either way.
+        # hamming_near_duplicates): per-doc 8x8 images carry a
+        # repetition-coded group pattern — bit b of (g | 0x1000)
+        # drives cells j % 13, so any two groups differ in >= 4 aHash
+        # bits, past the hamming<=3 threshold — plus per-doc uniform
+        # brightness noise that the mean-threshold hash must cancel.
+        # The group modulus SCALES with the corpus (max(50, n/10),
+        # capped at 4095 so codes never saturate): group sizes stay
+        # ~10 and the pair count stays LINEAR at any sf (a fixed
+        # modulus would make this quadratic at sf0.1). Images encode
+        # as real BMP/PPM (alternating), decode through the real
+        # pixel path, and pair via 16-bit-chunk Hamming banding. The
+        # oracle states the pair set closed-form with the same
+        # count-derived modulus: exactly the within-group pairs at
+        # hamming 0. NOTE: entry 71, past the driver's ~50-slot
+        # recording window; tools/check_correctness.py verifies it
+        # either way.
         import numpy as np
         import pandas as pd
 
@@ -2845,17 +2850,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
         )
+        gmod = min(4095, max(50, docs.count() // 10))
 
         def build(batches):
             for pdf in batches:
                 ids, imgs = [], []
                 for i in pdf["doc_id"]:
                     i = int(i)
-                    code = (i % 50) | 64
+                    code = (i % gmod) | 0x1000
                     d = i % 16
                     cells = np.array(
                         [
-                            (235 + d) if (code >> (j % 7)) & 1 else (5 + d)
+                            (235 + d) if (code >> (j % 13)) & 1 else (5 + d)
                             for j in range(64)
                         ],
                         dtype=np.uint8,
@@ -4735,14 +4741,18 @@ def oracle_sql() -> dict[str, str]:
       FROM documents WHERE doc_id IS NOT NULL
     """,
         # entry 71: phash near-dup — the pair set is closed-form: all
-        # within-group (doc_id % 50) pairs at hamming 0 (per-doc
-        # brightness noise cancels in the mean-threshold aHash; groups
-        # differ by >= 9 bits so no cross-group pair survives)
+        # within-group pairs at hamming 0, with the SAME count-derived
+        # group modulus as the Spark side (per-doc brightness noise
+        # cancels in the mean-threshold aHash; groups differ by >= 4
+        # bits so no cross-group pair survives the hamming<=3 filter)
         "image_phash_neardup": """
+    WITH m AS (SELECT LEAST(4095, GREATEST(50, COUNT(*) // 10)) AS gmod
+                 FROM documents WHERE doc_id IS NOT NULL)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
-      FROM documents a JOIN documents b
-        ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      CROSS JOIN m
      WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+       AND a.doc_id % m.gmod = b.doc_id % m.gmod
     """,
         # entry 72: crawl diff — canonical keys and verdicts stated
         # closed-form per family (m=3 exists only in crawl A, m=4 only
