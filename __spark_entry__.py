@@ -2921,6 +2921,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = snapshot_diff(crawl_a, crawl_b, ["url_key"], ["text"])
         return d.select("url_key", "change")
 
+    def sequence_packing_documents(spark, sf):
+        # Training-sequence packing under the gate (ops/packing.py):
+        # synthetic token counts (1 + i%7) pack per shard (i%8 — the
+        # explicit shard column so the oracle can replay placement)
+        # into 16-token sequences. The oracle replays the EXCLUSIVE
+        # per-shard prefix sum and the chunk arithmetic with SUM()
+        # OVER ... ROWS UNBOUNDED PRECEDING — an ordering, window-
+        # frame, or integer-division error flips rows. NOTE: entry
+        # 73, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.packing import pack_sequences
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        src = docs.select(
+            "doc_id",
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(7))).cast("int")
+            .alias("n_tok"),
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("pshard"),
+        )
+        out = pack_sequences(
+            src, "n_tok", seq_len=16, shard_col="pshard"
+        )
+        return out.select(
+            "doc_id", "shard", "n_tok", "stream_offset", "seq_idx",
+            "seq_offset",
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3008,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_documents": blocklist_documents,
         "image_phash_neardup": image_phash_neardup,
         "crawl_diff_documents": crawl_diff_documents,
+        "sequence_packing_documents": sequence_packing_documents,
     }
 
 
@@ -4767,5 +4797,22 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 3 THEN 'removed'
                            ELSE 'added' END AS change
       FROM documents WHERE doc_id IS NOT NULL
+    """,
+        # entry 73: sequence packing — per-shard exclusive prefix sum
+        # + chunk arithmetic, replayed with a running-sum window
+        "sequence_packing_documents": """
+    WITH d AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INTEGER) AS n_tok,
+                      CAST(doc_id % 8 AS INTEGER) AS shard
+                 FROM documents WHERE doc_id IS NOT NULL),
+    s AS (SELECT doc_id, shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS stream_offset
+            FROM d)
+    SELECT doc_id, shard, n_tok,
+           CAST(stream_offset AS BIGINT) AS stream_offset,
+           CAST(stream_offset // 16 AS BIGINT) AS seq_idx,
+           CAST(stream_offset % 16 AS INTEGER) AS seq_offset
+      FROM s
     """,
     }
