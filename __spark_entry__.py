@@ -2950,6 +2950,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "seq_offset",
         )
 
+    def jsonl_roundtrip_documents(spark, sf):
+        # JSONL interchange round-trip under the gate: the dominant
+        # LLM-corpus shipping format is gzipped JSON-lines, written
+        # and read by Spark's NATIVE json source (record-per-line,
+        # codec splits per file). Texts embed the JSONL hazards —
+        # a real newline (must escape, or the line framing breaks),
+        # a backslash, quotes, non-ASCII — and the read uses an
+        # explicit schema (inference is not a contract). The oracle
+        # recomputes url/char/byte/md5 from the construction — an
+        # escaping, framing or decode error flips rows. NOTE: entry
+        # 74, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        import tempfile
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        k = F.pmod(F.col("doc_id"), F.lit(19)).cast("string")
+        text = F.concat(
+            F.lit("line1 "), i, F.lit('\n"café" \\ tail'),
+        )
+        rows = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://h"), k, F.lit(".example.com/j/"), i)
+            .alias("url"),
+            text.alias("text"),
+        )
+        out_dir = tempfile.mkdtemp(prefix="sfs_jsonl_")
+        (
+            rows.repartition(4, "doc_id")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(out_dir)
+        )
+        back = spark.read.schema("doc_id long, url string, text string").json(
+            out_dir
+        )
+        return back.select(
+            "doc_id",
+            "url",
+            F.length("text").alias("char_len"),
+            F.octet_length("text").alias("byte_len"),
+            F.md5("text").alias("text_md5"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3038,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": image_phash_neardup,
         "crawl_diff_documents": crawl_diff_documents,
         "sequence_packing_documents": sequence_packing_documents,
+        "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
     }
 
 
@@ -4814,5 +4861,23 @@ def oracle_sql() -> dict[str, str]:
            CAST(stream_offset // 16 AS BIGINT) AS seq_idx,
            CAST(stream_offset % 16 AS INTEGER) AS seq_offset
       FROM s
+    """,
+        # entry 74: JSONL round-trip — url/char/byte/md5 recomputed
+        # from the construction (the text embeds a real newline,
+        # backslash, quotes and non-ASCII)
+        "jsonl_roundtrip_documents": """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+             CAST(doc_id % 19 AS VARCHAR) AS k,
+             'line1 ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || '"café" \\ tail' AS text
+        FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           'https://h' || k || '.example.com/j/' || i AS url,
+           CAST(length(text) AS INTEGER) AS char_len,
+           CAST(strlen(text) AS INTEGER) AS byte_len,
+           md5(text) AS text_md5
+      FROM d
     """,
     }
