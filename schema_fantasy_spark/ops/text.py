@@ -403,3 +403,42 @@ def blocklist_filter(
     blocks the page). Compose with `filter_funnel` for accounting."""
     hits = blocklist_hits(F.col(text_col), words)
     return df.withColumn(hits_col, hits).withColumn(flag_col, hits > 0)
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio6",
+) -> DataFrame:
+    """Append the zlib compression ratio — the CCNet/Gopher-family
+    quality signal (machine-generated and template text compresses far
+    below natural prose; near-random spam barely compresses).
+
+    ``ratio = compressed_bytes * 10^6 // utf8_bytes`` as an INTEGER in
+    millionths (the repo's quantization discipline); NULL/empty text ->
+    NULL. zlib level 6, raw deflate container — the value is defined by
+    the DEFLATE spec + fixed level, so it is stable across platforms.
+
+    This is the ONE quality feature that cannot be a Column expression
+    (no codec in Catalyst), so it rides the Arrow lane: a vectorized
+    pandas_udf, partition-preserving, no shuffle — batch it with other
+    features rather than running it alone. Not oracle-gated (DuckDB has
+    no zlib); pytest pins exact values against Python zlib."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit PandasUDFType: this module's `from __future__ import
+    # annotations` stringifies type hints, which breaks pandas_udf
+    # signature inference (CLAUDE.md trap 5)
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _ratio(s):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+
+        return s.map(one, na_action="ignore").astype("object")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

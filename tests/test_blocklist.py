@@ -110,3 +110,28 @@ def test_dedup_job_blocklist_substring_domaincap(spark, tmp_path, monkeypatch):
     assert sum(1 for i in out if i < 6) == 4
     assert out[0].count("one two three") == 1          # canonical keeps it
     assert all(shared not in out[i] for i in out if 0 < i < 6)
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from schema_fantasy_spark.ops.text import with_compression_ratio
+
+    rows = [
+        (0, "a" * 1000),                                   # ultra-compressible
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, None),
+        (3, ""),
+        (4, "café " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.zlib_ratio6 for r in with_compression_ratio(df).collect()}
+
+    def expect(t):
+        b = t.encode()
+        return len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+
+    assert got[0] == expect("a" * 1000) and got[0] < 20_000
+    assert got[1] == expect(rows[1][1])
+    assert got[2] is None and got[3] is None
+    assert got[4] == expect("café " * 50)
