@@ -2163,7 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "text")
             .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
             .withColumn("text", F.concat(F.col("text"), F.lit(" café 中\U0001f600")))
-            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int"))
+            .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(64)).cast("int"))
         )
 
         def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -2266,7 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         st = F.pmod(F.col("doc_id"), F.lit(3))
         rows = docs.select(
             "doc_id",
-            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("bucket"),
             url.alias("url"),
             surt_key(url).alias("surt"),
             F.concat(F.lit("2026-01-01T00:00:"), sec, F.lit("Z")).alias("date"),
@@ -2427,7 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         rows = out.select(
             "doc_id",
-            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("bucket"),
             F.concat(F.lit("https://"), F.col("host"), F.lit("/w/"), i)
             .alias("url"),
             F.concat(F.lit("<urn:uuid:00000000-0000-0000-0000-"),
@@ -2526,7 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(4))).cast("string")
         rows = docs.select(
             "doc_id",
-            F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("bucket"),
+            F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("bucket"),
             F.concat(F.lit("https://h"), k, F.lit(".example.com/o/"), i)
             .alias("url_a"),
             F.concat(F.lit("https://h"), k, F.lit(".example.com/r/"), i)
@@ -4632,7 +4632,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index_documents": """
     WITH d AS (
       SELECT doc_id AS i, doc_id % 19 AS k, doc_id % 5 AS m,
-             doc_id % 8 AS b, doc_id % 60 AS s, doc_id % 3 AS st
+             doc_id % 64 AS b, doc_id % 60 AS s, doc_id % 3 AS st
         FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT CASE m
