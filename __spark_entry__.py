@@ -2996,6 +2996,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("text").alias("text_md5"),
         )
 
+    def soft404_documents(spark, sf):
+        # Soft-404 detection under the gate (ops/text.soft404_flag):
+        # pages that self-report not-found while the transport said
+        # 200 — title markers always flag, body markers only on SHORT
+        # pages (family 3 has the marker in a long body and must NOT
+        # flag). Oracle states verdicts closed-form per family. NOTE:
+        # entry 75, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.text import soft404_flag
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        i = F.col("doc_id").cast("string")
+        m = F.pmod(F.col("doc_id"), F.lit(5))
+        title = (
+            F.when(m == 0, F.concat(F.lit("Welcome "), i))
+            .when(m == 1, F.lit("404 Not Found"))
+            .when(m == 2, F.lit("My Blog"))
+            .when(m == 3, F.lit(None).cast("string"))
+            .otherwise(F.lit("This page has been removed"))
+        )
+        text = (
+            F.when(m == 2, F.concat(
+                F.lit("Error 404 - the page does not exist "), i))
+            .when(m == 3, F.concat(
+                F.repeat(F.lit("long filler body text "), 30),
+                F.lit("page not found "), i))
+            .otherwise(F.concat(F.lit("ordinary body content "), i))
+        )
+        rows = docs.select("doc_id", title.alias("title"),
+                           text.alias("text"))
+        return rows.select(
+            "doc_id",
+            soft404_flag(F.col("title"), F.col("text")).alias("soft404"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3085,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_documents": crawl_diff_documents,
         "sequence_packing_documents": sequence_packing_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+        "soft404_documents": soft404_documents,
     }
 
 
@@ -4879,5 +4917,12 @@ def oracle_sql() -> dict[str, str]:
            CAST(strlen(text) AS INTEGER) AS byte_len,
            md5(text) AS text_md5
       FROM d
+    """,
+        # entry 75: soft-404 — verdicts closed-form: title markers
+        # (families 1, 4) and short-body markers (family 2) flag; the
+        # long-body marker (family 3) and clean pages do not
+        "soft404_documents": """
+    SELECT doc_id, doc_id % 5 IN (1, 2, 4) AS soft404
+      FROM documents WHERE doc_id IS NOT NULL
     """,
     }

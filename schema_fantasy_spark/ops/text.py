@@ -442,3 +442,25 @@ def with_compression_ratio(
         return s.map(one, na_action="ignore").astype("object")
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+#: soft-404 marker families (title/body), case-insensitive: pages that
+#: SAY not-found while the transport said 200 — a crawl keeps millions
+#: of these unless filtered. Patterns are data; extend per deployment.
+_SOFT404 = (
+    r"(?i)\b(?:404|page|file|document)\s+(?:not\s+found|does\s*n[o']t"
+    r"\s+exist)|(?i)\berror\s+404\b|(?i)\bno\s+longer\s+available\b"
+    r"|(?i)\bpage\s+(?:has\s+)?(?:been\s+)?(?:removed|moved|deleted)\b"
+)
+
+
+def soft404_flag(title: Column, text: Column) -> Column:
+    """TRUE when the page self-reports not-found (soft 404): marker in
+    the title (high precision), or in the body of a SHORT page (< 500
+    chars — long pages legitimately discuss 404s). Pure codegen."""
+    t_hit = F.coalesce(title, F.lit("")).rlike(_SOFT404)
+    b_hit = (
+        F.coalesce(text, F.lit("")).rlike(_SOFT404)
+        & (F.coalesce(F.length(text), F.lit(0)) < 500)
+    )
+    return t_hit | b_hit

@@ -135,3 +135,27 @@ def test_compression_ratio(spark):
     assert got[1] == expect(rows[1][1])
     assert got[2] is None and got[3] is None
     assert got[4] == expect("café " * 50)
+
+
+def test_soft404_flag(spark):
+    from schema_fantasy_spark.ops.text import soft404_flag
+
+    rows = [
+        (0, "Welcome", "ordinary content", False),
+        (1, "404 Not Found", "x", True),
+        (2, None, "Error 404 - this page does not exist", True),
+        (3, None, "long " * 150 + "page not found", False),   # long body
+        (4, "The file doesn't exist", "y", True),
+        (5, "Page has been moved", "z", True),
+        (6, None, None, False),
+        # a DISCUSSION of 404s is not a soft 404 — no marker phrase
+        (7, "Discussion of HTTP 404 semantics", "w", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, x) for i, t, x, _ in rows],
+        "doc_id long, title string, text string",
+    )
+    got = [r.f for r in df.select(
+        soft404_flag(F.col("title"), F.col("text")).alias("f")
+    ).orderBy("doc_id").collect()]
+    assert got == [want for *_, want in rows]
