@@ -223,6 +223,20 @@ def main() -> None:
         "filter, oracle replays training + scoring), feed_entries (59, "
         "RSS/Atom), zip_roundtrip (60) and tar_roundtrip (61, container "
         "seams, lossless)",
+        "r6 session 4 adds fourteen more gated entries (62-75), ~35s of "
+        "NEW per-query work at sf0.1, all linear-shaped: wet_roundtrip "
+        "(62, Common Crawl WET sidecar, ~8s - the cost is Python record "
+        "framing both directions, partition-preserving), cdx_index (63, "
+        "CDXJ + native surt keys, every published extent range-fetched, "
+        "~5s), wat_metadata (64, native to_json/from_json envelopes, "
+        "~4.5s), revisit_resolution (65, digest-join dedup records), "
+        "boilerplate (66, link-density block filter), frontier_schedule "
+        "(67, politeness window), substring_dedup (68, ExactSubstr as "
+        "hash shuffles), domain_balance (69, eTLD+1 cap window), "
+        "blocklist (70), image_phash_neardup (71, aHash + Hamming "
+        "banding, group modulus scales with corpus so pairs stay "
+        "linear), crawl_diff (72), sequence_packing (73), "
+        "jsonl_roundtrip (74), soft404 (75)",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
