@@ -3033,6 +3033,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             soft404_flag(F.col("title"), F.col("text")).alias("soft404"),
         )
 
+    def audio_fp_neardup(spark, sf):
+        # Audio-fingerprint near-dup under the gate (ops/multimodal.
+        # audio_fingerprints + ops/dedup.hamming_near_duplicates) —
+        # the audio twin of entry 71: per-doc PCM-WAV clips carry a
+        # repetition-coded frame-energy pattern (bit f%13 of
+        # (g|0x1000) selects loud vs quiet frames; groups differ in
+        # >= 4 fingerprint bits) plus per-doc uniform amplitude
+        # offsets the mean-threshold hash must cancel. Real WAV
+        # encode -> stdlib wave decode -> fingerprint -> Hamming
+        # banding; group modulus scales with the corpus so the pair
+        # set stays linear. Oracle: within-group pairs at hamming 0.
+        # NOTE: entry 76, past the driver's ~50-slot recording
+        # window; tools/check_correctness.py verifies it either way.
+        import numpy as np
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.dedup import hamming_near_duplicates
+        from schema_fantasy_spark.ops.multimodal import (
+            audio_fingerprints,
+            encode_wav_pcm16,
+        )
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        gmod = min(4095, max(50, docs.count() // 10))
+
+        def build(batches):
+            for pdf in batches:
+                ids, wavs = [], []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    code = (i % gmod) | 0x1000
+                    d = (i % 16) * 10
+                    samples = []
+                    for f in range(64):
+                        amp = (20000 if (code >> (f % 13)) & 1 else 500) + d
+                        samples += [amp, -amp, amp, -amp, amp, -amp, amp,
+                                    -amp]
+                    wavs.append(
+                        encode_wav_pcm16(
+                            np.array(samples, dtype=np.int16), rate=8000
+                        )
+                    )
+                    ids.append(i)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "wav": pd.Series(wavs, dtype="object"),
+                    }
+                )
+
+        wavs = docs.mapInPandas(build, "doc_id long, wav binary")
+        fps = audio_fingerprints(wavs, binary_col="wav", id_col="doc_id")
+        pairs = hamming_near_duplicates(
+            fps, "afp", id_col="doc_id", max_hamming=3
+        )
+        return pairs.select("id_a", "id_b", "hamming")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3123,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing_documents": sequence_packing_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "soft404_documents": soft404_documents,
+        "audio_fp_neardup": audio_fp_neardup,
     }
 
 
@@ -4924,5 +4984,16 @@ def oracle_sql() -> dict[str, str]:
         "soft404_documents": """
     SELECT doc_id, doc_id % 5 IN (1, 2, 4) AS soft404
       FROM documents WHERE doc_id IS NOT NULL
+    """,
+        # entry 76: audio near-dup — identical pair-set contract as
+        # entry 71 (count-derived modulus, hamming 0 within groups)
+        "audio_fp_neardup": """
+    WITH m AS (SELECT LEAST(4095, GREATEST(50, COUNT(*) // 10)) AS gmod
+                 FROM documents WHERE doc_id IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      CROSS JOIN m
+     WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+       AND a.doc_id % m.gmod = b.doc_id % m.gmod
     """,
     }

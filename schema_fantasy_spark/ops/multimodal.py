@@ -1184,3 +1184,63 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+def audio_fingerprint64(samples: "np.ndarray", frames: int = 64) -> int:
+    """REAL audio fingerprint, the aHash convention applied to sound:
+    mean-|amplitude| energy per frame over ``frames`` equal slices,
+    bit j = frame j's energy > the overall mean energy; 63-bit
+    non-negative (top bit dropped, same as ahash64/simhash). Invariant
+    under uniform amplitude offsets — re-encodes and level shifts of
+    the same recording fingerprint identically, the same property the
+    image hash gets from its mean threshold."""
+    n = (len(samples) // frames) * frames
+    if n == 0:
+        return 0
+    e = np.abs(samples[:n].astype(np.int64)).reshape(frames, -1).sum(axis=1)
+    bits = e > e.mean()
+    v = 0
+    for j, b in enumerate(bits[:63]):
+        if b:
+            v |= 1 << j
+    return v
+
+
+def audio_fingerprints(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    frames: int = 64,
+) -> DataFrame:
+    """(doc_id, afp) per PCM-WAV payload — feed ``afp`` to
+    ``ops.dedup.hamming_near_duplicates`` for audio near-dup, the same
+    banding the image hash uses. mapInPandas, partition-preserving;
+    non-PCM/undecodable rows are skipped (row-level quarantine, like
+    every decode seam in this module)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                try:
+                    with wave.open(io.BytesIO(bytes(payload))) as wf:
+                        if wf.getsampwidth() != 2:
+                            continue
+                        raw = wf.readframes(wf.getnframes())
+                    samples = np.frombuffer(raw, dtype="<i2")
+                except (wave.Error, EOFError, ValueError):
+                    continue
+                ids.append(i)
+                fps.append(audio_fingerprint64(samples, frames))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "afp": pd.Series(fps, dtype="int64"),
+            })
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ])
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
