@@ -3092,6 +3092,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select("id_a", "id_b", "hamming")
 
+    def stratified_sample_documents(spark, sf):
+        # Training-mix stratified sampling under the gate (scale.
+        # stratified_sample): per-stratum md5-nibble rates (en 16/16,
+        # de 8/16, fr 4/16, everything else 0) — the engine-invariant
+        # mix primitive. The oracle replays the nibble predicate and
+        # the per-stratum CASE in SQL — a hash, rate-routing or
+        # default-rate error flips rows. NOTE: entry 77, past the
+        # driver's ~50-slot recording window; tools/
+        # check_correctness.py verifies it either way.
+        from schema_fantasy_spark.scale import stratified_sample
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        m = F.pmod(F.col("doc_id"), F.lit(4))
+        lang = (
+            F.when(m == 0, "en").when(m == 1, "de").when(m == 2, "fr")
+            .otherwise("xx")
+        )
+        rows = docs.select("doc_id", lang.alias("lang"))
+        out = stratified_sample(
+            rows, "doc_id", "lang", {"en": 16, "de": 8, "fr": 4}
+        )
+        return out.select("doc_id", "lang")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3183,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "soft404_documents": soft404_documents,
         "audio_fp_neardup": audio_fp_neardup,
+        "stratified_sample_documents": stratified_sample_documents,
     }
 
 
@@ -4995,5 +5021,19 @@ def oracle_sql() -> dict[str, str]:
       CROSS JOIN m
      WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
        AND a.doc_id % m.gmod = b.doc_id % m.gmod
+    """,
+        # entry 77: stratified sampling — nibble predicate + per-stratum
+        # rates replayed (en 16 keeps all, de 8, fr 4, xx default 0)
+        "stratified_sample_documents": """
+    WITH d AS (SELECT doc_id,
+                      CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                      WHEN 2 THEN 'fr' ELSE 'xx' END AS lang,
+                      strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                        AS nib
+                 FROM documents WHERE doc_id IS NOT NULL)
+    SELECT doc_id, lang FROM d
+     WHERE nib < CASE lang WHEN 'en' THEN 16 WHEN 'de' THEN 8
+                           WHEN 'fr' THEN 4 ELSE 0 END
     """,
     }

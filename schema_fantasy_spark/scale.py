@@ -185,3 +185,35 @@ def balance_by_domain(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_sixteenths: dict[str, int],
+    default_sixteenths: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-MIX primitive
+    (`deterministic_sample` with a rate per language/source/quality
+    bucket): keep a row iff the first md5 nibble of its id is below its
+    STRATUM's rate (n/16). Same reproducibility contract as the global
+    sampler (identical rows on any engine/partitioning/run), so two
+    teams materializing "50% en, 25% de, everything else out" get the
+    byte-same corpus. Unlisted strata (and NULL) use
+    ``default_sixteenths``.
+
+    Scale shape: a pure filter over a small literal CASE — pushes into
+    the scan, no shuffle, no join against a rates table."""
+    for k, v in rates_sixteenths.items():
+        if not 0 <= v <= 16:
+            raise ValueError(f"rate for {k!r} must be in [0, 16]")
+    if not 0 <= default_sixteenths <= 16:
+        raise ValueError("default_sixteenths must be in [0, 16]")
+    nib = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    rate = F.lit(default_sixteenths)
+    for k, v in sorted(rates_sixteenths.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(nib < rate)

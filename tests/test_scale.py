@@ -308,3 +308,26 @@ def test_balance_by_domain(spark):
     assert {i for d, i in got if d == "big.com"} == {3, 7, 2}
     # small.org (4 rows) also capped to its best 3
     assert {i for d, i in got if d == "small.org"} == {11, 10, 13}
+
+
+def test_stratified_sample(spark):
+    import hashlib
+
+    from schema_fantasy_spark.scale import stratified_sample
+
+    rows = [(i, ["en", "de", None][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", "lang", {"en": 16, "de": 8},
+                            default_sixteenths=2)
+    kept = {r.doc_id for r in out.collect()}
+
+    def nib(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[0], 16)
+
+    for i, lang in rows:
+        rate = {"en": 16, "de": 8}.get(lang, 2)
+        assert (i in kept) == (nib(i) < rate)
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 17})
