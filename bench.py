@@ -236,7 +236,10 @@ def main() -> None:
         "blocklist (70), image_phash_neardup (71, aHash + Hamming "
         "banding, group modulus scales with corpus so pairs stay "
         "linear), crawl_diff (72), sequence_packing (73), "
-        "jsonl_roundtrip (74), soft404 (75)",
+        "jsonl_roundtrip (74), soft404 (75), audio_fp_neardup (76, "
+        "aHash-for-audio through real WAV encode/decode, same banding "
+        "as 71) and stratified_sample (77, per-stratum md5-nibble "
+        "training-mix rates)",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
