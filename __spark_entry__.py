@@ -3117,6 +3117,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("doc_id", "lang")
 
+    def video_fp_neardup(spark, sf):
+        # Video keyframe perceptual dedup under the gate — closing the
+        # modality triangle (text 68/near-dup family, image 71, audio
+        # 76): per-doc MJPEG-AVI clips whose FIRST frame is a 64x64
+        # image of 8x8 FLAT blocks carrying the group pattern (bit
+        # b%13 of g|0x1000; flat blocks survive JPEG's lossy AC path,
+        # and per-doc brightness offsets cancel in the mean-threshold
+        # aHash), plus a second, group-uniform frame. The pipeline is
+        # entirely composed of gated operators: encode_jpeg_baseline +
+        # encode_avi_mjpeg -> sample_frames (real RIFF parse) -> frame
+        # 0 -> image_metadata (real JPEG decode + aHash) ->
+        # hamming_near_duplicates. Oracle: within-group pairs at
+        # hamming 0, count-scaled modulus. NOTE: entry 78, past the
+        # driver's ~50-slot recording window; tools/
+        # check_correctness.py verifies it either way.
+        import numpy as np
+        import pandas as pd
+
+        from schema_fantasy_spark.ops.dedup import hamming_near_duplicates
+        from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+        from schema_fantasy_spark.ops.multimodal import (
+            image_metadata,
+            sample_frames,
+        )
+        from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        gmod = min(4095, max(50, docs.count() // 10))
+
+        def build(batches):
+            frame2 = encode_jpeg_baseline(
+                np.full((64, 64), 128, dtype=np.uint8)
+            )
+            for pdf in batches:
+                ids, vids = [], []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    code = (i % gmod) | 0x1000
+                    d = i % 16
+                    px = np.empty((64, 64), dtype=np.uint8)
+                    for b in range(64):
+                        v = (200 + d) if (code >> (b % 13)) & 1 else (20 + d)
+                        r, c = divmod(b, 8)
+                        px[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = v
+                    key = encode_jpeg_baseline(px)
+                    vids.append(encode_avi_mjpeg([key, frame2], 64, 64))
+                    ids.append(i)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "video": pd.Series(vids, dtype="object"),
+                    }
+                )
+
+        vids = docs.mapInPandas(build, "doc_id long, video binary")
+        frames = sample_frames(
+            vids, binary_col="video", id_col="doc_id", every_n=1,
+            max_frames=1,
+        )
+        meta = image_metadata(
+            frames.filter(F.col("frame_idx") == 0),
+            binary_col="frame_bytes", id_col="doc_id",
+        )
+        pairs = hamming_near_duplicates(
+            meta, "phash", id_col="doc_id", max_hamming=3
+        )
+        return pairs.select("id_a", "id_b", "hamming")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3209,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_documents": soft404_documents,
         "audio_fp_neardup": audio_fp_neardup,
         "stratified_sample_documents": stratified_sample_documents,
+        "video_fp_neardup": video_fp_neardup,
     }
 
 
@@ -5035,5 +5106,16 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, lang FROM d
      WHERE nib < CASE lang WHEN 'en' THEN 16 WHEN 'de' THEN 8
                            WHEN 'fr' THEN 4 ELSE 0 END
+    """,
+        # entry 78: video keyframe near-dup — same pair-set contract
+        # as entries 71/76 (count-derived modulus, hamming 0)
+        "video_fp_neardup": """
+    WITH m AS (SELECT LEAST(4095, GREATEST(50, COUNT(*) // 10)) AS gmod
+                 FROM documents WHERE doc_id IS NOT NULL)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      CROSS JOIN m
+     WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+       AND a.doc_id % m.gmod = b.doc_id % m.gmod
     """,
     }
