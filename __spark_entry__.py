@@ -3143,8 +3143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from schema_fantasy_spark.ops.video import encode_avi_mjpeg
 
+        # 1-in-4 deterministic slice: the pure-numpy JPEG decode costs
+        # ~20ms/frame, and the full corpus would spend ~34s at sf0.1
+        # re-proving a decoder that image_decode_synthetic already
+        # loads; the slice keeps the COMPOSITION under the gate at a
+        # quarter of the price (oracle applies the same filter)
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
+            & (F.pmod(F.col("doc_id"), F.lit(4)) == 0)
         )
         gmod = min(4095, max(50, docs.count() // 10))
 
@@ -5110,12 +5116,12 @@ def oracle_sql() -> dict[str, str]:
         # entry 78: video keyframe near-dup — same pair-set contract
         # as entries 71/76 (count-derived modulus, hamming 0)
         "video_fp_neardup": """
-    WITH m AS (SELECT LEAST(4095, GREATEST(50, COUNT(*) // 10)) AS gmod
-                 FROM documents WHERE doc_id IS NOT NULL)
+    WITH s AS (SELECT doc_id FROM documents
+                WHERE doc_id IS NOT NULL AND doc_id % 4 = 0),
+    m AS (SELECT LEAST(4095, GREATEST(50, COUNT(*) // 10)) AS gmod FROM s)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
-      FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
       CROSS JOIN m
-     WHERE a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
-       AND a.doc_id % m.gmod = b.doc_id % m.gmod
+     WHERE a.doc_id % m.gmod = b.doc_id % m.gmod
     """,
     }
