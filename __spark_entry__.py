@@ -3193,6 +3193,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select("id_a", "id_b", "hamming")
 
+    def quality_deciles_documents(spark, sf):
+        # Exact global quantile buckets under the gate (scale.
+        # exact_quantile_buckets): NO global sort — per-score counts
+        # aggregate (bounded domain: scores quantized), the cumulative
+        # table builds driver-side, and (score -> decile) broadcast-
+        # joins back (a join, not a giant literal map — the ops/lm.py
+        # lesson). Bucket rule: min(9, rows_before * 10 // total),
+        # tie-stable. The oracle replays it with a running-sum window
+        # — a cumulative, integer-division or tie-handling error flips
+        # rows. NOTE: entry 79, past the driver's ~50-slot recording
+        # window; tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.scale import exact_quantile_buckets
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        rows = docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id") * 37, F.lit(100)).cast("int")
+            .alias("score"),
+        )
+        out = exact_quantile_buckets(rows, "score", n_buckets=10,
+                                     out_col="decile")
+        return out.select("doc_id", "score", "decile")
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3286,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_neardup": audio_fp_neardup,
         "stratified_sample_documents": stratified_sample_documents,
         "video_fp_neardup": video_fp_neardup,
+        "quality_deciles_documents": quality_deciles_documents,
     }
 
 
@@ -5123,5 +5149,21 @@ def oracle_sql() -> dict[str, str]:
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       CROSS JOIN m
      WHERE a.doc_id % m.gmod = b.doc_id % m.gmod
+    """,
+        # entry 79: exact quantile buckets — the two-pass cumulative
+        # replayed with a running-sum window over per-score counts
+        "quality_deciles_documents": """
+    WITH t AS (SELECT doc_id, CAST((doc_id * 37) % 100 AS INTEGER) AS score
+                 FROM documents WHERE doc_id IS NOT NULL),
+    c AS (SELECT score, COUNT(*) AS n FROM t GROUP BY score),
+    cum AS (SELECT score,
+                   COALESCE(SUM(n) OVER (ORDER BY score
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS before,
+                   (SELECT SUM(n) FROM c) AS total
+              FROM c)
+    SELECT t.doc_id, t.score,
+           CAST(LEAST(9, cum.before * 10 // cum.total) AS INTEGER) AS decile
+      FROM t JOIN cum USING (score)
     """,
     }

@@ -217,3 +217,46 @@ def stratified_sample(
     for k, v in sorted(rates_sixteenths.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(nib < rate)
+
+
+def exact_quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """EXACT global quantile buckets (deciles by default) without a
+    global sort: the corpus-analytics primitive behind "train on the
+    top quality decile".
+
+    Two passes, both scale-clean: (1) aggregate per-score counts — the
+    contract is a BOUNDED score domain (this repo quantizes scores to
+    millionths), asserted against ``max_distinct`` — and build the
+    cumulative table driver-side; (2) broadcast-join the (score ->
+    bucket) table back. Deliberately a broadcast JOIN, not a literal
+    map: a 10^5-entry ``create_map`` would inline a multi-MB
+    expression tree into the plan (the ops/lm.py lesson).
+
+    Bucket rule, deterministic and tie-stable (equal scores share a
+    bucket): ``min(n_buckets-1, rows_before(score) * n_buckets //
+    total)`` — integer arithmetic, replayable as a SQL running-sum
+    window. NULL scores keep a NULL bucket."""
+    counts = df.groupBy(score_col).count().collect()
+    rows = sorted((r[0], r[1]) for r in counts if r[0] is not None)
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"{len(rows)} distinct scores > max_distinct={max_distinct}: "
+            "quantize the score first (the bounded-domain contract)"
+        )
+    total = sum(n for _, n in rows) or 1
+    mapping, before = [], 0
+    for s, n in rows:
+        mapping.append((s, min(n_buckets - 1, before * n_buckets // total)))
+        before += n
+    spark = df.sparkSession
+    stype = df.schema[score_col].dataType.simpleString()
+    mdf = spark.createDataFrame(
+        mapping, f"{score_col} {stype}, {out_col} int"
+    )
+    return df.join(F.broadcast(mdf), score_col, "left")

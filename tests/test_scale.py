@@ -331,3 +331,22 @@ def test_stratified_sample(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "lang", {"en": 17})
+
+
+def test_exact_quantile_buckets(spark):
+    import pytest
+
+    from schema_fantasy_spark.scale import exact_quantile_buckets
+
+    rows = [(i, [5, 5, 5, 1, 9, 9, None, 3][i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, score int")
+    out = {r.doc_id: r.bucket for r in
+           exact_quantile_buckets(df, "score", n_buckets=4).collect()}
+    # 7 non-null rows sorted: 1,3,5,5,5,9,9 -> before counts 0,1,2,2,2,5,5
+    assert out[3] == 0                      # score 1: before 0
+    assert out[7] == 0                      # score 3: 1*4//7 = 0
+    assert out[0] == out[1] == out[2] == 1  # score 5: 2*4//7 = 1 (ties share)
+    assert out[4] == out[5] == 2            # score 9: 5*4//7 = 2
+    assert out[6] is None                   # NULL score stays NULL
+    with pytest.raises(ValueError):
+        exact_quantile_buckets(df, "score", max_distinct=2)
