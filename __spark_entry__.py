@@ -3218,6 +3218,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      out_col="decile")
         return out.select("doc_id", "score", "decile")
 
+    def crawl_coverage_documents(spark, sf):
+        # Crawl completeness vs the host's published inventory (ops/
+        # sitemap.parse_sitemaps + a url-keyed join): each host's
+        # urlset (3 + k%3 pages, XML synthesized in Columns and parsed
+        # by the REAL sitemap parser) left-joins the distinct crawled
+        # urls (page r = doc_id%5, so pages past the listed range
+        # exist but never match); coverage is an integer-ppm division.
+        # The oracle replays listing, intersection and the ppm
+        # arithmetic in SQL — a parse, join-key or rounding error
+        # flips rows. NOTE: entry 80, past the driver's ~50-slot
+        # recording window; tools/check_correctness.py verifies it
+        # either way.
+        from schema_fantasy_spark.ops.sitemap import parse_sitemaps
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        k = F.pmod(F.col("doc_id"), F.lit(19))
+        hosts = docs.select(k.alias("k")).distinct()
+        ks = F.col("k").cast("string")
+        base = F.concat(F.lit("https://h"), ks, F.lit(".example.com"))
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(2) + F.pmod(F.col("k"),
+                                                           F.lit(3))),
+                    lambda j: F.concat(
+                        F.lit("<url><loc>"), base, F.lit("/p/"),
+                        j.cast("string"), F.lit("</loc></url>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        )
+        sitemaps = hosts.select(
+            F.concat(F.lit("h"), ks, F.lit(".example.com")).alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        listed = (
+            parse_sitemaps(sitemaps, "sitemap_xml", key_cols=("host",))
+            .select("host", F.explode("urls").alias("u"))
+            .select("host", F.col("u")["loc"].alias("loc"))
+        )
+        crawled = docs.select(
+            F.concat(
+                F.lit("https://h"), k.cast("string"), F.lit(".example.com/p/"),
+                F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            ).alias("url")
+        ).distinct()
+        cov = (
+            listed.join(crawled, listed["loc"] == crawled["url"], "left")
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_listed"),
+                F.count("url").cast("int").alias("n_crawled"),
+            )
+        )
+        return cov.select(
+            "host", "n_listed", "n_crawled",
+            F.expr("CAST(n_crawled AS BIGINT) * 1000000 div n_listed")
+            .alias("coverage_ppm"),
+        )
+
     def near_dup_embeddings(spark, sf):
         from schema_fantasy_spark.ops import similarity as sim
 
@@ -3312,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": stratified_sample_documents,
         "video_fp_neardup": video_fp_neardup,
         "quality_deciles_documents": quality_deciles_documents,
+        "crawl_coverage_documents": crawl_coverage_documents,
     }
 
 
@@ -5165,5 +5231,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT t.doc_id, t.score,
            CAST(LEAST(9, cum.before * 10 // cum.total) AS INTEGER) AS decile
       FROM t JOIN cum USING (score)
+    """,
+        # entry 80: crawl coverage — listing, intersection and ppm
+        # arithmetic replayed (crawled pages r past a host's listed
+        # range 0..2+k%3 exist and must not count)
+        "crawl_coverage_documents": """
+    WITH d AS (SELECT doc_id % 19 AS k, doc_id % 5 AS r
+                 FROM documents WHERE doc_id IS NOT NULL),
+    h AS (SELECT DISTINCT k FROM d),
+    listed AS (SELECT k, unnest(range(0, 3 + k % 3)) AS j FROM h),
+    crawled AS (SELECT DISTINCT k, r FROM d),
+    agg AS (SELECT l.k, COUNT(*) AS n_listed, COUNT(c.r) AS n_crawled
+              FROM listed l
+              LEFT JOIN crawled c ON c.k = l.k AND c.r = l.j
+             GROUP BY l.k)
+    SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+           CAST(n_listed AS INTEGER) AS n_listed,
+           CAST(n_crawled AS INTEGER) AS n_crawled,
+           CAST(n_crawled * 1000000 // n_listed AS BIGINT) AS coverage_ppm
+      FROM agg
     """,
     }
