@@ -1224,6 +1224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = docs.withColumn(
             "text", F.concat(F.col("text"), F.lit(" café 中\U0001f600"))
         )
+        # family %3==2 spells its non-ASCII é as the WHATWG NAMED
+        # reference and every space as &nbsp; — the full named-entity
+        # table (ops/html_entities.py) is under this gate: an undecoded
+        # &eacute; (or an &nbsp; that fails to collapse to plain space)
+        # changes every third row's hash
         enc = (
             F.when(
                 F.col("doc_id") % 3 == 0,
@@ -1233,7 +1238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_id") % 3 == 1,
                 F.regexp_replace(F.col("text"), "e", "&#x65;"),
             )
-            .otherwise(F.col("text"))
+            .otherwise(
+                F.replace(
+                    F.replace(F.col("text"), F.lit("é"), F.lit("&eacute;")),
+                    F.lit(" "),
+                    F.lit("&nbsp;"),
+                )
+            )
         )
         for ch, ref in (
             ("é", "&#233;"), ("中", "&#x4E2D;"),

@@ -19,29 +19,47 @@ a browser-grade HTML5 parser — scope documented per step):
 2. comments ``<!-- ... -->`` removed;
 3. tags stripped, honoring quoted attribute values (``<div
    data-x="a>b">`` is one tag);
-4. entities decoded: the five standard named ones (``&amp; &lt; &gt;
-   &quot; &apos;``), ``&nbsp;`` (to a PLAIN SPACE — the crawl-pipeline
-   convention, so it participates in whitespace collapse), and numeric
-   character references, decimal and hex, for EVERY valid Unicode
-   scalar value 1..0x10FFFF — BMP code points via a two-byte UTF-16BE
-   decode built in-expression, supplementary-plane ones via an
-   in-expression surrogate pair (``&#128512;`` -> 😀). Invalid
-   references (``&#0;``, surrogates, > 0x10FFFF, malformed) pass
-   through unchanged. ``&amp;`` decodes LAST so ``&amp;lt;`` yields
-   the literal ``&lt;``;
+4. entities decoded in ONE left-to-right pass (split on ``&``; a
+   decode's output is never rescanned, matching the single-pass
+   semantics of the WHATWG algorithm and Python's ``html.unescape``):
+
+   * the FULL WHATWG named-character-reference table (2,231 names,
+     generated from the public spec table by tools/gen_html_entities.py
+     into ops/html_entities.py) — both the ``&eacute;`` spellings and
+     the ~106 legacy bare spellings (``&eacute``, ``&amp``) with the
+     spec's longest-prefix matching (``&notit;`` -> ``¬it;``,
+     ``&copy=2`` -> ``©=2``, exactly as ``html.unescape``). Lookups
+     are single ``instr`` probes into a packed literal string — no
+     2k-entry map literal, no Python;
+   * numeric character references, decimal and hex, for EVERY valid
+     Unicode scalar value 1..0x10FFFF — BMP code points via a two-byte
+     UTF-16BE decode built in-expression, supplementary-plane ones via
+     an in-expression surrogate pair (``&#128512;`` -> 😀).
+
+   ``&amp;lt;`` therefore yields the literal ``&lt;``. Documented
+   divergences from ``html.unescape`` (asserted in tests): numeric
+   references REQUIRE the terminating ``;`` and invalid ones (``&#0;``,
+   surrogates, > 0x10FFFF, malformed) pass through unchanged rather
+   than becoming U+FFFD / windows-1252 remaps, and entity-produced
+   U+00A0 (``&nbsp;`` and friends) becomes a PLAIN SPACE — the
+   crawl-pipeline convention, so it participates in whitespace
+   collapse;
 5. whitespace runs collapse to a single space, trimmed.
 
-CDATA sections, conditional comments, and the extended named-entity
-table (``&eacute;`` etc. — numeric refs cover the decode machinery;
-the name table is data, not mechanism) are out of scope (each passes
+CDATA sections and conditional comments are out of scope (each passes
 through recognizably rather than being silently mangled)."""
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from schema_fantasy_spark.ops import html_entities as _ENT
+
 #: tag token: honors double- and single-quoted attribute values
 _TAG = r"(?s)<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+def _BIG() -> Column:  # F.lit needs a live SparkContext — keep it lazy
+    return F.lit(1 << 30)
 
 
 def _codepoint_char(dv: Column) -> Column:
@@ -58,55 +76,108 @@ def _codepoint_char(dv: Column) -> Column:
     return F.decode(F.unhex(units), "UTF-16BE")
 
 
-def _decode_numeric_entities(s: Column) -> Column:
-    """Decode ``&#NNN;`` / ``&#xHH;`` for every valid Unicode scalar
-    value (1..0x10FFFF excluding the surrogate block — invalid refs,
-    including ``&#0;``, pass through recognizably), with the same
-    split/transform shape as the url percent decoder: split on '&#',
-    each later token starts at a reference."""
-    parts = F.split(s, "&#", -1)
-
-    def _tok(t: Column) -> Column:
-        dec = F.regexp_extract(t, r"^([0-9]{1,7});", 1)
-        hexd = F.regexp_extract(t, r"^[xX]([0-9A-Fa-f]{1,6});", 1)
-        dv = F.when(dec != "", dec.cast("int")).otherwise(
-            F.when(hexd != "", F.conv(hexd, 16, 10).cast("int"))
-        )
-        ref_len = (
-            F.when(dec != "", F.length(dec) + 1)
-            .when(hexd != "", F.length(hexd) + 2)
-            .otherwise(F.lit(0))
-        )
-        tail = F.substring(t, ref_len + 1, F.lit(1 << 30))
-        bad = (
-            dv.isNull()
-            | (dv < 1)
-            | (dv > 0x10FFFF)
-            | ((dv >= 0xD800) & (dv <= 0xDFFF))
-        )
-        return (
-            F.when(bad, F.concat(F.lit("&#"), t))
-            .otherwise(F.concat(_codepoint_char(dv), tail))
-        )
-
-    return F.array_join(
-        F.transform(parts, lambda t, i: F.when(i == F.lit(0), t).otherwise(_tok(t))),
-        "",
+def _tbl_lookup(table: str, key: Column) -> Column:
+    """Exact-match lookup of ``key`` in a packed ``\\x01key\\x02value``
+    literal table (ops/html_entities.py): ONE intrinsified ``instr``
+    scan, NULL on miss. The ``\\x01`` anchor makes false positives
+    impossible (every record holds exactly one ``\\x02`` between
+    anchors) and the common-first packing means frequent entities
+    (&amp; &nbsp; &lt; ...) resolve within the first few hundred
+    bytes. A Catalyst map literal would be a linear scan of 2k boxed
+    entries per probe AND a giant expression tree; this is one
+    SIMD-vectorized indexOf."""
+    pos = F.nullif(
+        F.instr(F.lit(table), F.concat(F.lit("\x01"), key, F.lit("\x02"))),
+        F.lit(0),
+    )
+    return F.substring_index(
+        F.substr(F.lit(table), pos + F.length(key) + 2, _BIG()), "\x01", 1
     )
 
 
+def _decode_token(x: Column) -> Column:
+    """Decode one post-``&`` token (a struct of precomputed fields —
+    HOF lambdas get no common-subexpression elimination, so the regex
+    extractions and the full-table probe are materialized ONCE per
+    token in :func:`decode_entities` and referenced here as struct
+    field accesses)."""
+    t, span, dec, hexd, vf = (
+        x["t"], x["span"], x["dec"], x["hexd"], x["vf"]
+    )
+    # --- numeric reference: &#NNN; / &#xHH; (semicolon required;
+    # invalid scalars pass through recognizably — module contract)
+    dv = F.when(dec != "", dec.cast("int")).otherwise(
+        F.when(hexd != "", F.conv(hexd, 16, 10).cast("int"))
+    )
+    bad = (
+        dv.isNull()
+        | (dv < 1)
+        | (dv > 0x10FFFF)
+        | ((dv >= 0xD800) & (dv <= 0xDFFF))
+    )
+    num_next = F.when(dec != "", F.length(dec) + 3).otherwise(F.length(hexd) + 4)
+    numeric = F.when(bad, F.concat(F.lit("&"), t)).otherwise(
+        F.concat(_codepoint_char(dv), F.substr(t, num_next, _BIG()))
+    )
+    # --- named reference: exact span first ('&eacute;', and bare
+    # legacy '&eacute' when the span IS the whole name), then the
+    # spec's longest-prefix fallback over the legacy table ('&notit;'
+    # -> '¬it;'), longest first, strict prefixes only — mirrors
+    # html.unescape. The legacy probes run only on a full-table miss.
+    named = F.when(
+        vf.isNotNull(), F.concat(vf, F.substr(t, F.length(span) + 1, _BIG()))
+    )
+    for L in range(_ENT.MAX_LEGACY, _ENT.MIN_LEGACY - 1, -1):
+        vL = _tbl_lookup(_ENT.LEGACY, F.substring(span, 1, L))
+        named = named.when(
+            (F.length(span) > F.lit(L)) & vL.isNotNull(),
+            F.concat(vL, F.substr(t, F.lit(L + 1), _BIG())),
+        )
+    named = named.otherwise(F.concat(F.lit("&"), t))
+    return F.when(F.startswith(t, F.lit("#")), numeric).otherwise(named)
+
+
 def decode_entities(s: Column) -> Column:
-    """Entity decoding shared by text extraction and metadata extraction:
-    numeric references first (full Unicode range), then the five standard
-    named entities plus ``&nbsp;`` (to a plain space), ``&amp;`` LAST so
-    ``&amp;lt;`` yields the literal ``&lt;``."""
-    s = _decode_numeric_entities(s)
-    for ent, rep in (
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-        ("&apos;", "'"), ("&nbsp;", " "), ("&amp;", "&"),  # &amp; LAST
-    ):
-        s = F.replace(s, F.lit(ent), F.lit(rep))
-    return s
+    """Entity decoding shared by text extraction and metadata
+    extraction: ONE left-to-right pass over the string — split on
+    ``&``, decode each token's head (numeric reference, full WHATWG
+    named table, or legacy longest-prefix), restore ``&`` on misses.
+    Because tokens are decoded independently and joined, a decode's
+    output is never rescanned: ``&amp;lt;`` -> ``&lt;`` and
+    ``&#38;#97;`` -> ``&#97;``, exactly like ``html.unescape``'s
+    single pass. See the module contract for the three documented
+    divergences from ``html.unescape``."""
+    parts = F.split(s, "&", -1)
+    # stage 1: per-token field extraction, evaluated once per token
+    toks = F.transform(
+        parts,
+        lambda t: F.struct(
+            t.alias("t"),
+            F.regexp_extract(t, r"^([a-zA-Z][a-zA-Z0-9]{0,31};?)", 1).alias("span"),
+            F.regexp_extract(t, r"^#([0-9]{1,7});", 1).alias("dec"),
+            F.regexp_extract(t, r"^#[xX]([0-9A-Fa-f]{1,6});", 1).alias("hexd"),
+        ),
+    )
+    # stage 2: the one full-table probe per token (skipped for spans
+    # shorter than the shortest name — covers '&', '& ', '&b=2' fast)
+    toks = F.transform(
+        toks,
+        lambda x: F.struct(
+            x["t"].alias("t"),
+            x["span"].alias("span"),
+            x["dec"].alias("dec"),
+            x["hexd"].alias("hexd"),
+            F.when(
+                F.length(x["span"]) >= _ENT.MIN_LEGACY,
+                _tbl_lookup(_ENT.TABLE, x["span"]),
+            ).alias("vf"),
+        ),
+    )
+    out = F.transform(
+        toks,
+        lambda x, i: F.when(i == F.lit(0), x["t"]).otherwise(_decode_token(x)),
+    )
+    return F.array_join(out, "")
 
 
 def extract_text(html: Column) -> Column:

@@ -55,24 +55,33 @@ def null_rates(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Long-format min/max/exact-distinct/non-null counts per column.
 
+    ONE scan of ``df`` for every column (a wide agg unstacked to long
+    format with ``stack``, the same shape :func:`percentiles` uses).
+    The k ``count_distinct`` aggregates on different columns plan
+    through Spark's Expand — a k-way row expansion but a SINGLE pass
+    over the table, strictly better than the k full scans a
+    per-column ``df.agg`` union costs at 100 TB (the previous shape;
+    tests/test_plan_audit.py now asserts the one-scan plan).
+
     Exact ``count(distinct)`` here because the oracle compares values; the
-    scale path is :func:`cardinality_approx` (HLL).
+    scale path is :func:`cardinality_approx` (HLL — no Expand either).
     """
-    parts = []
-    for c in cols:
-        parts.append(
-            df.agg(
-                F.lit(c).alias("col_name"),
-                F.min(c).cast("double").alias("min_val"),
-                F.max(c).cast("double").alias("max_val"),
-                F.count_distinct(F.col(c)).alias("n_distinct"),
-                F.count(c).alias("n_nonnull"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("col_name")
+    aggs: List[Column] = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).cast("double").alias(f"__mn_{i}"),
+            F.max(c).cast("double").alias(f"__mx_{i}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{i}"),
+            F.count(c).alias(f"__nn_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', __mn_{i}, __mx_{i}, __nd_{i}, __nn_{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) "
+        "as (col_name, min_val, max_val, n_distinct, n_nonnull)"
+    ).orderBy("col_name")
 
 
 def percentiles(
@@ -92,17 +101,19 @@ def percentiles(
         F.expr(f"percentile({c}, {arr})").alias(f"__p_{i}")
         for i, c in enumerate(cols)
     ])
-    parts = []
-    for i, c in enumerate(cols):
-        parts.append(wide.select(
-            F.lit(c).alias("col_name"),
-            *[F.round(F.element_at(F.col(f"__p_{i}"), k + 1), 4)
-              .alias(f"p{int(p * 100)}") for k, p in enumerate(probs)],
-        ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("col_name")
+    # unstack with ONE stack generator — a per-column select unioned
+    # back together re-plans the agg subtree per column (k scans of the
+    # table; the same N-scan shape column_stats had)
+    stack_expr = ", ".join(
+        f"'{c}', " + ", ".join(
+            f"round(element_at(__p_{i}, {k + 1}), 4)" for k in range(len(probs))
+        )
+        for i, c in enumerate(cols)
+    )
+    names = ", ".join(f"p{int(p * 100)}" for p in probs)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (col_name, {names})"
+    ).orderBy("col_name")
 
 
 def cardinality_approx(df: DataFrame, cols: Sequence[str], rsd: float = 0.01) -> DataFrame:

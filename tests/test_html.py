@@ -84,3 +84,44 @@ def test_with_extracted_text_binary(spark):
     )
     got = with_extracted_text(df).collect()[0]
     assert got["text"] == "from binary"
+
+def test_named_entities_full_whatwg_table(spark):
+    """decode_entities matches Python's html.unescape (the stdlib copy
+    of the WHATWG named-character-reference algorithm) byte-for-byte
+    across ALL 2,231 names — embedded mid-text (exercising tail
+    handling + legacy longest-prefix matching) and at end-of-string —
+    plus adversarial compositions. Divergences are only the three the
+    module contract documents: semicolon-required numerics, pass-through
+    invalid numerics, and entity-produced U+00A0 -> plain space."""
+    from html import unescape
+
+    from schema_fantasy_spark.ops import html_entities as HE
+    from schema_fantasy_spark.ops.html import decode_entities
+
+    cases = [
+        "x&amp;lt;y", "&#38;#97;", "&amp;#97;", "a&&amp;b",
+        "&notit;", "&copy=2", "&eacute", "&ampy", "&ampamp;",
+        "x&b=2&c=3", "&unknown;", "&lt&gt", "&LT;&GT", "&",
+        "&;", "&#", "&Ifr;&ifr;", "&NotEqualTilde;!",
+    ]
+    cases += [f"pre&{name}tail;post" for name in HE.ENTITIES]
+    cases += [f"q&{name}" for name in HE.ENTITIES]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [
+        r[0] for r in df.select(decode_entities(F.col("s")).alias("d")).collect()
+    ]
+    for c, g in zip(cases, got):
+        assert g == unescape(c).replace("\xa0", " "), (c, g)
+
+
+def test_named_entities_hand_cases(spark):
+    _run(spark, [
+        ("caf&eacute; &mdash; r&eacute;sum&eacute;", "café — résumé"),
+        ("&hellip;&euro;&trade;&copy;", "…€™©"),
+        ("A&nbsp;B &NonBreakingSpace; C", "A B C"),       # -> plain space
+        ("&eacute no semicolon (legacy)", "é no semicolon (legacy)"),
+        ("&notit; prefix-match", "¬it; prefix-match"),
+        ("&fjlig; &NotEqualTilde;", "fj ≂̸"),             # multi-codepoint
+        ("&amp;eacute; stays literal", "&eacute; stays literal"),
+        ("&xyzzy; unknown passes through", "&xyzzy; unknown passes through"),
+    ])

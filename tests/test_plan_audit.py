@@ -408,3 +408,24 @@ def test_substring_dedup_shuffles_hashes_not_text(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "text" not in ln, ln
+
+
+def test_column_stats_single_scan(spark, sf_dir="/root/testdata/sf0.001"):
+    """column_stats must profile k columns in ONE pass over the table
+    (wide agg + stack unstack; multi-column count_distinct plans through
+    Expand — a k-way row expansion but a single scan). The previous
+    per-column agg-union shape cost k full scans: at 100 TB, profiling
+    4 columns read 400 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stats = tc.column_stats(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    )
+    plan = plan_of(stats)
+    # formatted mode prints each node twice (tree + detail) — count the
+    # numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan  # the one-scan multi-distinct strategy
+    # and the full profile (stats + percentiles) is exactly two scans
+    pct = tc.percentiles(li, ["l_extendedprice", "l_quantity"])
+    profile = stats.join(F.broadcast(pct), "col_name", "left")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan_of(profile))) == 2
