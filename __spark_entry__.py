@@ -3302,6 +3302,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised on real rows, not a vacuous empty-vs-empty match
         return sim.near_duplicates_by_embedding(emb, threshold=0.4)
 
+    def iceberg_partitioned_documents(spark, sf):
+        # PARTITIONED iceberg_lite under the oracle gate — the north
+        # rule's "explicit partition pruning" clause end to end: docs
+        # gain a deterministic warc_ts (day 20500 + doc_id%7, i.e. the
+        # iceberg day transform value is an exact function of doc_id),
+        # commit partitioned by days(warc_ts) + identity(lang), then
+        # read back ONLY days 20501..20503 via partition_filter. The
+        # pruning is LOAD-BEARING, not cosmetic: after the commit the
+        # out-of-range partitions' parquet files are DELETED FROM DISK,
+        # so a planner that fails to prune (or prunes from paths rather
+        # than manifest metadata) crashes the scan instead of silently
+        # reading everything. The oracle recomputes the slice
+        # arithmetically from the raw table (doc_id%7 in 1..3). NOTE:
+        # entry 81, past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        import shutil
+        import tempfile
+
+        from schema_fantasy_spark.sources import iceberg_lite as il
+
+        docs = tables.load(spark, sf, "documents").filter(
+            F.col("doc_id").isNotNull()
+        )
+        day = F.lit(20500) + F.pmod(F.col("doc_id"), F.lit(7))
+        staged = docs.select(
+            "doc_id", "lang", "n_chars",
+            F.timestamp_seconds(day.cast("long") * 86400 + 7200).alias("warc_ts"),
+        )
+        tp = os.path.join(
+            tempfile.gettempdir(),
+            f"sfspark_icepart_{os.path.basename(os.path.abspath(sf))}",
+        )
+        shutil.rmtree(tp, ignore_errors=True)
+        il.append(spark, staged, tp, partition_by=["days(warc_ts)", "lang"])
+        keep = il.snapshot_files(
+            tp, partition_filter={"warc_ts_day": (20501, 20503)}
+        )
+        for p in set(il.snapshot_files(tp)) - set(keep):
+            os.remove(p)  # a non-pruning scan now CANNOT succeed
+        sliced = il.read_snapshot(
+            spark, tp, partition_filter={"warc_ts_day": (20501, 20503)}
+        )
+        return (
+            sliced.groupBy(
+                F.datediff(
+                    F.col("warc_ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+                ).cast("long").alias("warc_day"),
+                "lang",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(doc_id)").alias("id_xor"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
     # ORDER MATTERS: the driver's correctness pass records at most ~50
     # entries in dict order, so the sole gates for the streaming / HTTP /
     # set-op categories come FIRST (round 3 had them last and they fell
@@ -3389,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fp_neardup": video_fp_neardup,
         "quality_deciles_documents": quality_deciles_documents,
         "crawl_coverage_documents": crawl_coverage_documents,
+        "iceberg_partitioned_documents": iceberg_partitioned_documents,
     }
 
 
@@ -5261,5 +5318,20 @@ def oracle_sql() -> dict[str, str]:
            CAST(n_crawled AS INTEGER) AS n_crawled,
            CAST(n_crawled * 1000000 // n_listed AS BIGINT) AS coverage_ppm
       FROM agg
+    """,
+        # entry 81: partitioned iceberg_lite with metadata pruning —
+        # the engine read a days(warc_ts)-partitioned table through a
+        # partition_filter AFTER the out-of-range files were deleted
+        # from disk; the oracle recomputes the day-20501..20503 slice
+        # (doc_id%7 in 1..3) arithmetically from the raw table
+        "iceberg_partitioned_documents": """
+    SELECT CAST(20500 + (doc_id % 7) AS BIGINT) AS warc_day,
+           lang,
+           COUNT(*) AS n,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+     WHERE doc_id IS NOT NULL AND (doc_id % 7) BETWEEN 1 AND 3
+     GROUP BY 1, 2
     """,
     }

@@ -39,11 +39,36 @@ delete files, and skipping them would silently resurrect rows):
   which preserves the old all-deletes-apply-to-nothing behavior
   (v1 tables cannot carry delete files).
 
+Partitioning (the north rule's "explicit partition pruning"): the
+writer takes ``partition_by=["days(warc_ts)", "lang", ...]`` —
+Iceberg's ``day`` transform (days since 1970-01-01, result type
+``int``) plus ``identity`` over int/long/string columns. Per the spec:
+
+* each manifest ENTRY records the file's partition tuple (the
+  ``data_file.partition`` record, field names from the spec);
+* each manifest-LIST row records per-field summaries
+  (``partitions``: contains_null + lower/upper bounds, bounds in the
+  spec's Appendix-D single-value binary serialization — ``<i``/``<q``
+  little-endian ints, UTF-8 strings);
+* the planner prunes BOTH levels: manifests whose summary range
+  cannot match the filter are never opened, then surviving entries
+  are filtered on their partition values — so at 10^12 docs a
+  one-day scan touches one day's manifests and hands
+  ``spark.read.parquet`` only that day's files. Pruned data files
+  are NEVER opened (tests delete them from disk to prove it).
+
+``partition_filter`` is ``{field_name: value}`` for equality or
+``{field_name: (lo, hi)}`` for an inclusive range, ANDed across
+fields. Data files land in Hive-style ``<name>=<value>`` directories
+(readable layout; the manifests, not the paths, are authoritative —
+the reader never parses paths).
+
 Supported: snapshot listing, current/by-id/as-of-timestamp resolution,
 live-file listing (ADDED + EXISTING, DELETED dropped), positional +
-equality delete application, incremental file diffs between snapshots,
+equality delete application, partition pruning at manifest-list and
+manifest-entry level, incremental file diffs between snapshots,
 and a writer producing spec-layout v2 append / overwrite /
-row-level-delete snapshots (unpartitioned, local filesystem).
+row-level-delete snapshots (local filesystem).
 Malformed mixes (a delete file listed in a data manifest or vice
 versa, unknown manifest content) raise rather than misread.
 """
@@ -54,6 +79,8 @@ import glob
 import json
 import os
 import re
+import struct
+import urllib.parse
 import uuid
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -125,6 +152,147 @@ def _local(path: str) -> str:
     return re.sub(r"^file:/*", "/", path) if path.startswith("file:") else path
 
 
+# ----------------------------------------------------- partition specs
+
+#: spark simpleString -> iceberg primitive for identity partitioning
+_ICE_PRIM = {"int": "int", "bigint": "long", "long": "long", "string": "string"}
+
+
+def _ice_prim(spark_type: str) -> str:
+    t = _ICE_PRIM.get(spark_type)
+    if t is None:
+        raise IcebergLiteError(
+            f"identity partitioning over {spark_type!r} not supported "
+            "(int/long/string only)"
+        )
+    return t
+
+
+def _parse_partition_by(
+    partition_by: List[str], ice_schema: Dict[str, Any]
+) -> List[Dict[str, Any]]:
+    """``["days(warc_ts)", "lang"]`` -> spec field dicts. Iceberg's
+    ``day`` transform yields days since 1970-01-01 (type ``int``);
+    bare names are ``identity``. Field ids follow the spec's
+    1000-based partition-field numbering."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    out = []
+    for i, spec in enumerate(partition_by):
+        m = re.fullmatch(r"days?\((\w+)\)", spec)
+        if m:
+            src = m.group(1)
+            if src not in by_name:
+                raise IcebergLiteError(f"partition source column {src!r} not in schema")
+            out.append({
+                "name": f"{src}_day", "transform": "day",
+                "source-id": by_name[src]["id"], "field-id": 1000 + i,
+                "source": src, "ice_type": "int",
+            })
+        elif re.fullmatch(r"\w+", spec):
+            if spec not in by_name:
+                raise IcebergLiteError(f"partition source column {spec!r} not in schema")
+            out.append({
+                "name": spec, "transform": "identity",
+                "source-id": by_name[spec]["id"], "field-id": 1000 + i,
+                "source": spec, "ice_type": _ice_prim(by_name[spec]["type"]),
+            })
+        else:
+            raise IcebergLiteError(f"unsupported partition transform: {spec!r}")
+    return out
+
+
+def _spec_fields_of_md(md: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """The table's default partition-spec fields with their iceberg
+    value types resolved (day -> int; identity -> source field type)."""
+    specs = md.get("partition-specs") or []
+    default_id = md.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == default_id), None)
+    fields = (spec or {}).get("fields") or []
+    if not fields:
+        return []
+    schema = md.get("schema") or {}
+    schemas = md.get("schemas")
+    if schemas:
+        cur = md.get("current-schema-id")
+        schema = next((s for s in schemas if s.get("schema-id") == cur), schemas[-1])
+    types = {int(f["id"]): f["type"] for f in schema.get("fields", [])}
+    out = []
+    for f in fields:
+        t = f["transform"]
+        if t in ("day", "days"):
+            ice = "int"
+        elif t == "identity":
+            ice = _ice_prim(types[int(f["source-id"])])
+        else:
+            raise IcebergLiteError(f"unsupported partition transform {t!r}")
+        out.append({**f, "ice_type": ice})
+    return out
+
+
+def _ser_bound(ice_type: str, v: Any) -> Optional[bytes]:
+    """Iceberg Appendix-D single-value serialization for bounds."""
+    if v is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    return str(v).encode("utf-8")
+
+
+def _deser_bound(ice_type: str, b: Optional[bytes]) -> Any:
+    if b is None:
+        return None
+    if ice_type == "int":
+        return struct.unpack("<i", bytes(b))[0]
+    if ice_type == "long":
+        return struct.unpack("<q", bytes(b))[0]
+    return bytes(b).decode("utf-8")
+
+
+def _filter_overlaps(filt_v: Any, lo: Any, hi: Any) -> bool:
+    """Can any value in [lo, hi] satisfy the filter? (None bound =
+    unknown -> cannot prune on that side.)"""
+    if isinstance(filt_v, tuple):
+        flo, fhi = filt_v
+        if lo is not None and fhi < lo:
+            return False
+        if hi is not None and flo > hi:
+            return False
+        return True
+    if lo is not None and filt_v < lo:
+        return False
+    if hi is not None and filt_v > hi:
+        return False
+    return True
+
+
+def _entry_matches(partition_filter: Dict[str, Any], pvals: Dict[str, Any]) -> bool:
+    for name, filt_v in partition_filter.items():
+        v = pvals.get(name)
+        if isinstance(filt_v, tuple):
+            lo, hi = filt_v
+            if v is None or not (lo <= v <= hi):
+                return False
+        elif v != filt_v:
+            return False
+    return True
+
+
+def _check_filter_names(
+    partition_filter: Optional[Dict[str, Any]], spec: List[Dict[str, Any]]
+) -> None:
+    if not partition_filter:
+        return
+    known = {f["name"] for f in spec}
+    unknown = set(partition_filter) - known
+    if unknown:
+        raise IcebergLiteError(
+            f"partition_filter names {sorted(unknown)} not in the table's "
+            f"partition spec {sorted(known)}"
+        )
+
+
 def _entry_seq(entry: Dict[str, Any], mrow: Dict[str, Any]) -> int:
     """v2 sequence-number inheritance: explicit entry value, else the
     manifest-list row's; v1 metadata (neither present) -> 0."""
@@ -137,11 +305,21 @@ def _entry_seq(entry: Dict[str, Any], mrow: Dict[str, Any]) -> int:
 def _scan_plan(
     md: Dict[str, Any],
     snap: Dict[str, Any],
+    partition_filter: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """The snapshot's full file closure: live data files, positional
     delete files, and equality delete files, each with its data
     sequence number. O(metadata) — nothing here touches the data
-    plane."""
+    plane.
+
+    With ``partition_filter``, pruning happens at BOTH metadata
+    levels: a data manifest whose ``partitions`` summary range cannot
+    overlap the filter is never even opened, and surviving entries
+    drop when their partition tuple fails it. Delete manifests are
+    never pruned (a positional/equality delete for a pruned file is a
+    no-op in the anti join — correct, merely unpruned)."""
+    spec = _spec_fields_of_md(md)
+    _check_filter_names(partition_filter, spec)
     mlist_path = _local(snap["manifest-list"])
     _, manifest_rows = read_container(open(mlist_path, "rb").read())
     data: List[Tuple[str, int]] = []
@@ -151,6 +329,20 @@ def _scan_plan(
         mcontent = int(mrow.get("content") or 0)
         if mcontent not in (0, 1):
             raise IcebergLiteError(f"unknown manifest content {mcontent}")
+        if partition_filter and mcontent == 0:
+            summ = mrow.get("partitions")
+            if summ and len(summ) == len(spec):
+                skip = False
+                for i, f in enumerate(spec):
+                    if f["name"] not in partition_filter:
+                        continue
+                    lo = _deser_bound(f["ice_type"], summ[i].get("lower_bound"))
+                    hi = _deser_bound(f["ice_type"], summ[i].get("upper_bound"))
+                    if not _filter_overlaps(partition_filter[f["name"]], lo, hi):
+                        skip = True
+                        break
+                if skip:
+                    continue  # manifest pruned: its entries are never read
         _, entries = read_container(open(_local(mrow["manifest_path"]), "rb").read())
         for e in entries:
             if e.get("status") == 2:  # DELETED manifest entry
@@ -164,6 +356,10 @@ def _scan_plan(
                     raise IcebergLiteError(
                         f"delete file (content={fcontent}) listed in a DATA manifest"
                     )
+                if partition_filter and not _entry_matches(
+                    partition_filter, dfile.get("partition") or {}
+                ):
+                    continue  # file pruned on its manifest partition tuple
                 data.append((path, seq))
             elif fcontent == 1:
                 pos_del.append((path, seq))
@@ -204,14 +400,16 @@ def snapshot_files(
     table_path: str,
     snapshot_id: Optional[int] = None,
     as_of_timestamp_ms: Optional[int] = None,
+    partition_filter: Optional[Dict[str, Any]] = None,
 ) -> List[str]:
     """Live DATA-file paths of a snapshot (ADDED + EXISTING entries
-    across its data manifests; DELETED entries dropped). Delete files
-    are part of the scan plan, not of this list — use
-    ``read_snapshot`` for delete-applied rows."""
+    across its data manifests; DELETED entries dropped), optionally
+    partition-pruned (see ``_scan_plan``). Delete files are part of
+    the scan plan, not of this list — use ``read_snapshot`` for
+    delete-applied rows."""
     md = table_metadata(table_path)
     snap = _resolve_snapshot(md, snapshot_id, as_of_timestamp_ms)
-    return [p for p, _ in _scan_plan(md, snap)["data"]]
+    return [p for p, _ in _scan_plan(md, snap, partition_filter)["data"]]
 
 
 def read_snapshot(
@@ -219,18 +417,22 @@ def read_snapshot(
     table_path: str,
     snapshot_id: Optional[int] = None,
     as_of_timestamp_ms: Optional[int] = None,
+    partition_filter: Optional[Dict[str, Any]] = None,
 ):
     """DataFrame over a snapshot's live rows — time travel is a pure
     metadata operation; the scan is a plain pruned parquet scan, and
     v2 row-level deletes are applied as distributed anti joins (see
-    module docstring for the join shapes)."""
+    module docstring for the join shapes). ``partition_filter``
+    ({name: value} or {name: (lo, hi)}) prunes manifests and files
+    from the METADATA — pruned data files are never opened."""
     from pyspark.sql import functions as F
 
     md = table_metadata(table_path)
     snap = _resolve_snapshot(md, snapshot_id, as_of_timestamp_ms)
-    plan = _scan_plan(md, snap)
+    plan = _scan_plan(md, snap, partition_filter)
     if not plan["data"]:
-        raise IcebergLiteError("snapshot has no data files")
+        raise IcebergLiteError("snapshot has no data files (after pruning)"
+                               if partition_filter else "snapshot has no data files")
     df = spark.read.parquet(*[p for p, _ in plan["data"]])
     if not plan["pos"] and not plan["eq"]:
         return df  # fast path: no metadata columns materialized
@@ -352,8 +554,58 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "sequence_number", "type": "long"},
         {"name": "min_sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        # spec field_summary per partition field (bounds in Appendix-D
+        # single-value binary serialization) — the manifest-level
+        # pruning input
+        {"name": "partitions", "type": ["null", {"type": "array", "items": {
+            "type": "record", "name": "r508", "fields": [
+                {"name": "contains_null", "type": "boolean"},
+                {"name": "lower_bound", "type": ["null", "bytes"]},
+                {"name": "upper_bound", "type": ["null", "bytes"]},
+            ]}}]},
     ],
 }
+
+
+def _manifest_schema(spec_fields: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """The manifest-entry schema with the partition record's fields
+    generated from the table's partition spec (empty record when
+    unpartitioned — byte-compatible with the pre-partitioning writer)."""
+    import copy
+
+    avro_t = {"int": "int", "long": "long", "string": "string"}
+    s = copy.deepcopy(_MANIFEST_SCHEMA)
+    dfile = next(fd for fd in s["fields"] if fd["name"] == "data_file")
+    part = next(fd for fd in dfile["type"]["fields"] if fd["name"] == "partition")
+    part["type"]["fields"] = [
+        {"name": f["name"], "type": ["null", avro_t[f["ice_type"]]]}
+        for f in spec_fields
+    ]
+    return s
+
+
+def _partition_of_path(
+    fpath: str, spec_fields: List[Dict[str, Any]]
+) -> Dict[str, Any]:
+    """Partition values of a just-written file, parsed from its
+    Hive-style ``__pt_<name>=<value>`` directory segments (write-side
+    only: the READER never parses paths — the manifests are
+    authoritative)."""
+    raw: Dict[str, str] = {}
+    for seg in fpath.split(os.sep):
+        k, eq, v = seg.partition("=")
+        if eq and k.startswith("__pt_"):
+            raw[k[len("__pt_"):]] = v
+    out: Dict[str, Any] = {}
+    for f in spec_fields:
+        v = raw.get(f["name"])
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            out[f["name"]] = None
+        elif f["ice_type"] in ("int", "long"):
+            out[f["name"]] = int(v)
+        else:
+            out[f["name"]] = urllib.parse.unquote(v)
+    return out
 
 
 def _spark_schema_to_iceberg(schema) -> Dict[str, Any]:
@@ -381,6 +633,7 @@ def _norm_mrow(r: Dict[str, Any]) -> Dict[str, Any]:
         "sequence_number": int(seq),
         "min_sequence_number": int(r.get("min_sequence_number") or seq),
         "added_snapshot_id": r.get("added_snapshot_id"),
+        "partitions": r.get("partitions"),
     }
 
 
@@ -401,7 +654,7 @@ def _load_state(table_path: str):
 def _count_written(spark, data_dir: str) -> Dict[str, int]:
     from pyspark.sql import functions as F
 
-    if not glob.glob(os.path.join(data_dir, "*.parquet")):
+    if not glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True):
         return {}  # empty write (e.g. a delete predicate matching 0 rows)
     return {
         _local(r["f"]): r["n"]
@@ -415,16 +668,22 @@ def _count_written(spark, data_dir: str) -> Dict[str, int]:
 def _write_manifest(
     spark, table_path: str, snap_id: int, data_dir: str,
     content: int, equality_ids: Optional[List[int]] = None,
+    spec_fields: Optional[List[Dict[str, Any]]] = None,
 ) -> Dict[str, Any]:
     """Write one manifest over the parquet files just produced under
-    ``data_dir``; returns its manifest-list row."""
+    ``data_dir``; returns its manifest-list row (with per-field
+    partition summaries when the table is partitioned)."""
+    spec_fields = spec_fields or []
     entries = []
+    pvals_all: List[Dict[str, Any]] = []
     for fpath, n in sorted(_count_written(spark, data_dir).items()):
+        pvals = _partition_of_path(fpath, spec_fields) if spec_fields else {}
+        pvals_all.append(pvals)
         entries.append({
             "status": 1, "snapshot_id": snap_id, "sequence_number": snap_id,
             "data_file": {
                 "content": content, "file_path": fpath,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET", "partition": pvals,
                 "record_count": n, "file_size_in_bytes": os.path.getsize(fpath),
                 "equality_ids": equality_ids,
             },
@@ -434,7 +693,18 @@ def _write_manifest(
         table_path, "metadata", f"{tag}-{snap_id}.avro"
     )
     with open(manifest_path, "wb") as fh:
-        fh.write(write_container(_MANIFEST_SCHEMA, entries))
+        fh.write(write_container(_manifest_schema(spec_fields), entries))
+    partitions = None
+    if spec_fields and pvals_all:
+        partitions = []
+        for f in spec_fields:
+            vs = [p[f["name"]] for p in pvals_all]
+            nn = [v for v in vs if v is not None]
+            partitions.append({
+                "contains_null": any(v is None for v in vs),
+                "lower_bound": _ser_bound(f["ice_type"], min(nn) if nn else None),
+                "upper_bound": _ser_bound(f["ice_type"], max(nn) if nn else None),
+            })
     return {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
@@ -443,6 +713,7 @@ def _write_manifest(
         "sequence_number": snap_id,
         "min_sequence_number": snap_id,
         "added_snapshot_id": snap_id,
+        "partitions": partitions,
     }
 
 
@@ -450,7 +721,16 @@ def _finish_commit(
     table_path: str, md, version: int, prior: List[Dict[str, Any]],
     snap_id: int, mrows: List[Dict[str, Any]], operation: str,
     schema: Dict[str, Any], n_fields: int,
+    spec_fields: Optional[List[Dict[str, Any]]] = None,
 ) -> int:
+    spec_json = {
+        "spec-id": 0,
+        "fields": [
+            {"name": f["name"], "transform": f["transform"],
+             "source-id": f["source-id"], "field-id": f["field-id"]}
+            for f in (spec_fields or [])
+        ],
+    }
     mlist_path = os.path.join(table_path, "metadata", f"snap-{snap_id}.avro")
     with open(mlist_path, "wb") as fh:
         fh.write(write_container(_MANIFEST_LIST_SCHEMA, mrows))
@@ -467,8 +747,8 @@ def _finish_commit(
         "schema": schema,
         "schemas": [schema],
         "current-schema-id": schema.get("schema-id", 0),
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_json["fields"],
+        "partition-specs": [spec_json],
         "default-spec-id": 0,
         "snapshots": prior + [{
             "snapshot-id": snap_id,
@@ -493,31 +773,72 @@ def _prior_mrows(md) -> List[Dict[str, Any]]:
     return [_norm_mrow(r) for r in rows]
 
 
-def _commit(spark, df, table_path: str, operation: str) -> int:
+def _transform_col(f: Dict[str, Any]):
+    from pyspark.sql import functions as F
+
+    src = F.col(f["source"])
+    if f["transform"] == "day":
+        # iceberg day transform: days since 1970-01-01 as int
+        return F.datediff(src.cast("date"), F.to_date(F.lit("1970-01-01"))).cast("int")
+    return src
+
+
+def _commit(
+    spark, df, table_path: str, operation: str,
+    partition_by: Optional[List[str]] = None,
+) -> int:
     os.makedirs(os.path.join(table_path, "metadata"), exist_ok=True)
     md, version, prior, snap_id = _load_state(table_path)
+    schema = _spark_schema_to_iceberg(df.schema)
+    spec_fields = (
+        _parse_partition_by(list(partition_by), schema) if partition_by else []
+    )
+    if md is not None:
+        existing = [(f["name"], f["transform"]) for f in _spec_fields_of_md(md)]
+        if existing != [(f["name"], f["transform"]) for f in spec_fields]:
+            raise IcebergLiteError(
+                f"partition_by {[f'{n}:{t}' for n, t in existing] or 'none'} is the "
+                "table's existing spec; a commit must use the same one"
+            )
     data_dir = os.path.join(table_path, "data", f"snap-{snap_id}")
-    df.write.mode("overwrite").parquet(data_dir)
-    mrows = [_write_manifest(spark, table_path, snap_id, data_dir, content=0)]
+    if spec_fields:
+        # derived __pt_ columns drive the Hive directory layout and are
+        # consumed by partitionBy — the SOURCE columns stay in the data
+        # files, so explicit-file-list reads see the full schema
+        df2 = df
+        ptcols = []
+        for f in spec_fields:
+            c = "__pt_" + f["name"]
+            df2 = df2.withColumn(c, _transform_col(f))
+            ptcols.append(c)
+        df2.write.mode("overwrite").partitionBy(*ptcols).parquet(data_dir)
+    else:
+        df.write.mode("overwrite").parquet(data_dir)
+    mrows = [_write_manifest(spark, table_path, snap_id, data_dir, content=0,
+                             spec_fields=spec_fields)]
     if operation == "append" and prior:
         mrows = _prior_mrows(md) + mrows
-    schema = _spark_schema_to_iceberg(df.schema)
     return _finish_commit(table_path, md, version, prior, snap_id, mrows,
-                          operation, schema, len(df.schema.fields))
+                          operation, schema, len(df.schema.fields),
+                          spec_fields=spec_fields)
 
 
-def append(spark, df, table_path: str) -> int:
+def append(spark, df, table_path: str,
+           partition_by: Optional[List[str]] = None) -> int:
     """Commit a new snapshot whose file set = prior live set + df's
     files (prior DELETE manifests carry forward; their sequence
     numbers are below the new data's, so they do not apply to it).
+    ``partition_by`` (e.g. ``["days(warc_ts)", "lang"]``) must match
+    the table's existing spec on every subsequent commit.
     Returns the new snapshot id."""
-    return _commit(spark, df, table_path, "append")
+    return _commit(spark, df, table_path, "append", partition_by)
 
 
-def overwrite(spark, df, table_path: str) -> int:
+def overwrite(spark, df, table_path: str,
+              partition_by: Optional[List[str]] = None) -> int:
     """Commit a new snapshot whose file set REPLACES the prior one
     (prior delete files drop with the data they applied to)."""
-    return _commit(spark, df, table_path, "overwrite")
+    return _commit(spark, df, table_path, "overwrite", partition_by)
 
 
 def delete_where(spark, table_path: str, condition) -> int:
@@ -557,7 +878,8 @@ def delete_where(spark, table_path: str, condition) -> int:
         spark.read.parquet(plan["data"][0][0]).schema
     )
     return _finish_commit(table_path, md, version, prior, snap_id, mrows,
-                          "delete", schema, len(schema.get("fields", [])))
+                          "delete", schema, len(schema.get("fields", [])),
+                          spec_fields=_spec_fields_of_md(md))
 
 
 def delete_equality(spark, table_path: str, values_df, eq_cols: List[str]) -> int:
@@ -582,4 +904,5 @@ def delete_equality(spark, table_path: str, values_df, eq_cols: List[str]) -> in
     ]
     schema = md.get("schema")
     return _finish_commit(table_path, md, version, prior, snap_id, mrows,
-                          "delete", schema, len(schema.get("fields", [])))
+                          "delete", schema, len(schema.get("fields", [])),
+                          spec_fields=_spec_fields_of_md(md))

@@ -192,3 +192,112 @@ def test_iceberg_lite_malformed_content_mixes(spark, tmp_path):
     open(dpath, "wb").write(al.write_container(il._MANIFEST_SCHEMA, dentries))
     with pytest.raises(il.IcebergLiteError):
         il.snapshot_files(tp, s2)
+
+
+def _days(d: str) -> int:
+    import datetime
+    return (datetime.date.fromisoformat(d) - datetime.date(1970, 1, 1)).days
+
+
+def test_iceberg_lite_partitioned_write_and_prune(spark, tmp_path):
+    """days(warc_ts) + identity(lang) partitioning end to end: the spec
+    lands in metadata, manifests carry per-file partition tuples and
+    per-field summaries, and a partition_filter read PRUNES FROM THE
+    METADATA — proven by deleting the pruned parquet files from disk
+    before the filtered read (an opened file would explode)."""
+    t = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i,
+          f"2026-02-{(i % 3) + 1:02d} 0{i % 10}:00:00",
+          ["en", "de", "fr"][i % 3],
+          float(i))
+         for i in range(60)],
+        "doc_id long, warc_ts string, lang string, score double",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp_ntz"))
+    il.append(spark, df, t, partition_by=["days(warc_ts)", "lang"])
+
+    md = il.table_metadata(t)
+    spec = md["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("warc_ts_day", "day"), ("lang", "identity")]
+
+    # full read returns everything, with source columns intact
+    assert il.read_snapshot(spark, t).count() == 60
+    all_files = il.snapshot_files(t)
+    d1 = _days("2026-02-01")
+
+    # metadata-level pruning: day equality, day range, identity, combined
+    f_day = il.snapshot_files(t, partition_filter={"warc_ts_day": d1})
+    assert f_day and set(f_day) < set(all_files)
+    got = il.read_snapshot(spark, t, partition_filter={"warc_ts_day": d1})
+    assert got.count() == 20 and set(
+        r["lang"] for r in got.collect()) == {"en"}
+    rng = il.read_snapshot(
+        spark, t, partition_filter={"warc_ts_day": (d1, d1 + 1)})
+    assert rng.count() == 40
+    both = il.read_snapshot(
+        spark, t, partition_filter={"warc_ts_day": (d1, d1 + 1), "lang": "de"})
+    assert both.count() == 20
+
+    # pruned files are NEVER OPENED: delete everything outside day 1
+    for p in set(all_files) - set(f_day):
+        os.remove(p)
+    again = il.read_snapshot(spark, t, partition_filter={"warc_ts_day": d1})
+    assert again.count() == 20
+
+    # unknown partition-filter names raise (typo safety)
+    with pytest.raises(il.IcebergLiteError):
+        il.snapshot_files(t, partition_filter={"nope": 1})
+
+
+def test_iceberg_lite_partitioned_append_delete_and_spec_guard(spark, tmp_path):
+    """Appends must re-state the table's spec; positional deletes work
+    over a partitioned table and the spec survives the delete commit;
+    manifest-LEVEL pruning skips whole manifests (the appended
+    manifest's summary range excludes the filtered day, so its
+    manifest file itself is never read)."""
+    t = str(tmp_path / "pt2")
+    mk = lambda day, base: spark.createDataFrame(  # noqa: E731
+        [(base + i, f"2026-03-{day:02d} 00:00:00") for i in range(10)],
+        "doc_id long, warc_ts string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp_ntz"))
+    il.append(spark, mk(1, 0), t, partition_by=["days(warc_ts)"])
+    with pytest.raises(il.IcebergLiteError):
+        il.append(spark, mk(2, 100), t)  # spec not re-stated
+    with pytest.raises(il.IcebergLiteError):
+        il.append(spark, mk(2, 100), t, partition_by=["doc_id"])  # wrong spec
+    il.append(spark, mk(2, 100), t, partition_by=["days(warc_ts)"])
+
+    d1, d2 = _days("2026-03-01"), _days("2026-03-02")
+    assert il.read_snapshot(spark, t).count() == 20
+    assert il.read_snapshot(
+        spark, t, partition_filter={"warc_ts_day": d2}).count() == 10
+
+    # corrupt the day-1 MANIFEST file on disk: a day-2 filtered scan
+    # must still plan (its summary excludes day 1 -> manifest pruned)
+    md = il.table_metadata(t)
+    snap = il._resolve_snapshot(md)
+    _, mrows = al.read_container(open(il._local(snap["manifest-list"]), "rb").read())
+    day1_manifests = []
+    for mr in mrows:
+        summ = mr.get("partitions")
+        lo = il._deser_bound("int", summ[0]["lower_bound"])
+        if lo == d1:
+            day1_manifests.append(il._local(mr["manifest_path"]))
+    assert day1_manifests
+    for p in day1_manifests:
+        open(p, "wb").write(b"not avro at all")
+    assert il.read_snapshot(
+        spark, t, partition_filter={"warc_ts_day": d2}).count() == 10
+    # positional delete on the partitioned table (day-2 rows only),
+    # spec survives the delete commit
+    t2 = str(tmp_path / "pt3")
+    il.append(spark, mk(1, 0), t2, partition_by=["days(warc_ts)"])
+    il.append(spark, mk(2, 100), t2, partition_by=["days(warc_ts)"])
+    il.delete_where(spark, t2, F.col("doc_id") % 2 == 0)
+    assert il.read_snapshot(spark, t2).count() == 10
+    assert il.read_snapshot(
+        spark, t2, partition_filter={"warc_ts_day": _days("2026-03-02")}
+    ).count() == 5
+    md2 = il.table_metadata(t2)
+    assert md2["partition-specs"][0]["fields"], "spec must survive deletes"
