@@ -1559,13 +1559,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # densest non-HTML text source): a deterministic multi-page
         # corpus (ops/mm_corpus.pdf_params) splits by nibble across
         # uncompressed/Flate/LZW content streams, literal vs hex
-        # strings, and classic xref-table vs PDF 1.5 ObjStm +
-        # xref-stream layouts (12 container families); header stumps
-        # quarantine. The oracle rebuilds the exact extracted text per
-        # doc in SQL and compares page count + char count + md5 — any
-        # tokenizer/escape/filter/ObjStm/page-walk error flips the
-        # hash. NOTE: entry 52, past the driver's ~50-query recording
-        # window; tools/check_correctness.py verifies it either way.
+        # strings, classic xref-table vs PDF 1.5 ObjStm + xref-stream
+        # layouts, AND simple-Type1 vs COMPOSITE Type0/Identity-H CID
+        # fonts with generated ToUnicode CMaps (n9 odd; ASCII decodes
+        # through the bfrange path, the per-line ' é→' suffix through
+        # bfchar); header stumps quarantine. The oracle rebuilds the
+        # exact extracted text per doc in SQL and compares page count +
+        # char count + md5 — any tokenizer/escape/filter/ObjStm/
+        # page-walk/CMap error flips the hash. NOTE: entry 52, past the
+        # driver's ~50-query recording window; tools/check_correctness.py
+        # verifies it either way.
         from schema_fantasy_spark.ops import mm_corpus
         from schema_fantasy_spark.ops.pdf import pdf_text
 
@@ -4751,11 +4754,12 @@ def oracle_sql() -> dict[str, str]:
       FROM documents WHERE doc_id IS NOT NULL
     """,
         "pdf_extract_documents": _mm_cte + """
-    , pp AS (SELECT doc_id, 1 + n1 % 3 AS np, n2, 1 + n3 % 8 AS pad
+    , pp AS (SELECT doc_id, 1 + n1 % 3 AS np, n2, 1 + n3 % 8 AS pad, n9
                FROM n WHERE n6 <> 0),
     ln AS (SELECT doc_id, np, p, l,
                   'doc ' || doc_id || ' pg ' || p || ' ln ' || l || ' '
-                    || repeat('w', pad) AS line
+                    || repeat('w', pad)
+                    || CASE WHEN n9 % 2 = 1 THEN ' é→' ELSE '' END AS line
              FROM pp, unnest(range(0, np)) AS t(p),
                   unnest(range(0, 2 + (n2 + p) % 3)) AS t2(l)),
     tx AS (SELECT doc_id, any_value(np) AS n_pages,

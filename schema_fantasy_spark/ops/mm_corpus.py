@@ -543,32 +543,36 @@ def synthetic_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def pdf_params(doc_id: int, nib: list | None = None):
     """(n_pages, lines_per_page list, pad_width, compress, hex_strings,
-    corrupt, objstm, lzw) — every TEXT-affecting value a nibble
+    corrupt, objstm, lzw, cid) — every TEXT-affecting value a nibble
     function the SQL oracle replays; objstm/lzw vary only the
     container (PDF 1.5 ObjStm+xref-stream layout, LZWDecode instead of
-    FlateDecode), so the oracle is packaging-blind by construction.
-    Page p carries 2 + (n2 + p) % 3 lines; line (p, l) reads
-    ``doc {id} pg {p} ln {l} `` + 'w' * (1 + n3 % 8)."""
+    FlateDecode), and ``cid`` (n9 odd) switches the FONT to
+    Type0/Identity-H with a generated ToUnicode CMap — 2-byte CID hex
+    strings, ASCII through the bfrange path, plus a per-line non-ASCII
+    suffix '' é→'' through the bfchar path (text-affecting, replayed by
+    the oracle). Page p carries 2 + (n2 + p) % 3 lines; line (p, l)
+    reads ``doc {id} pg {p} ln {l} `` + 'w' * (1 + n3 % 8)."""
     nib = _nibbles(doc_id) if nib is None else nib
     n_pages = 1 + nib[0] % 3
     lines = [2 + (nib[1] + p) % 3 for p in range(n_pages)]
     return (n_pages, lines, 1 + nib[2] % 8,
             nib[3] % 2 == 1, nib[4] % 2 == 1, nib[5] == 0,
-            nib[6] % 2 == 1, nib[7] % 2 == 1)
+            nib[6] % 2 == 1, nib[7] % 2 == 1, nib[8] % 2 == 1)
 
 
 def _pdf_payload(doc_id: int) -> bytes:
     from schema_fantasy_spark.ops.pdf import encode_pdf
 
-    n_pages, lines, pad, compress, hexs, corrupt, objstm, lzw = \
+    n_pages, lines, pad, compress, hexs, corrupt, objstm, lzw, cid = \
         pdf_params(doc_id)
+    suffix = " é→" if cid else ""  # bfchar coverage (BMP only)
     pages = [
-        [f"doc {doc_id} pg {p} ln {l} " + "w" * pad
+        [f"doc {doc_id} pg {p} ln {l} " + "w" * pad + suffix
          for l in range(lines[p])]
         for p in range(n_pages)
     ]
     payload = encode_pdf(pages, compress=compress, hex_strings=hexs,
-                         objstm=objstm, lzw=lzw)
+                         objstm=objstm, lzw=lzw, cid=cid)
     # header-only stump: no object survives -> quarantine (the salvage
     # path for mid-file cuts is exercised in tests/test_pdf.py)
     return payload[:15] if corrupt else payload

