@@ -3140,8 +3140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and per-doc brightness offsets cancel in the mean-threshold
         # aHash), plus a second, group-uniform frame. The pipeline is
         # entirely composed of gated operators: encode_jpeg_baseline +
-        # encode_avi_mjpeg -> sample_frames (real RIFF parse) -> frame
-        # 0 -> image_metadata (real JPEG decode + aHash) ->
+        # encode_avi_mjpeg -> video_keyframe_hashes (the FUSED RIFF
+        # parse + JPEG decode + aHash pass — sample_frames +
+        # image_metadata chained would serialize every frame's bytes
+        # through an extra Arrow stage boundary; ops/multimodal.py) ->
         # hamming_near_duplicates. Oracle: within-group pairs at
         # hamming 0, count-scaled modulus. NOTE: entry 78, past the
         # driver's ~50-slot recording window; tools/
@@ -3151,10 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from schema_fantasy_spark.ops.dedup import hamming_near_duplicates
         from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
-        from schema_fantasy_spark.ops.multimodal import (
-            image_metadata,
-            sample_frames,
-        )
+        from schema_fantasy_spark.ops.multimodal import video_keyframe_hashes
         from schema_fantasy_spark.ops.video import encode_avi_mjpeg
 
         # 1-in-4 deterministic slice: the pure-numpy JPEG decode costs
@@ -3194,14 +3193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
 
         vids = docs.mapInPandas(build, "doc_id long, video binary")
-        frames = sample_frames(
+        meta = video_keyframe_hashes(
             vids, binary_col="video", id_col="doc_id", every_n=1,
             max_frames=1,
-        )
-        meta = image_metadata(
-            frames.filter(F.col("frame_idx") == 0),
-            binary_col="frame_bytes", id_col="doc_id",
-        )
+        ).filter(F.col("frame_idx") == 0)
         pairs = hamming_near_duplicates(
             meta, "phash", id_col="doc_id", max_hamming=3
         )

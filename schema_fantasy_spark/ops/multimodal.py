@@ -580,6 +580,74 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+KEYFRAME_HASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def video_keyframe_hashes(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "id",
+    every_n: int = 2,
+    max_frames: int = 3,
+) -> DataFrame:
+    """FUSED keyframe perceptual hashing: RIFF parse -> sampled MJPEG
+    frame -> JPEG decode -> aHash, all inside ONE mapInPandas pass.
+
+    ``sample_frames`` + ``image_metadata`` compute the same thing, but
+    chained they materialize every sampled frame's JPEG bytes through
+    an Arrow batch boundary between two Python stages; at 10^12 docs
+    that is the corpus's video bytes serialized twice. Fusing keeps the
+    frame bytes as locals inside the decode loop — the only per-row
+    work left is the unavoidable codec call (the exact seam a
+    deployment's libjpeg-turbo drops into). Partition-preserving, no
+    shuffle; undecodable frames and non-AVI containers quarantine at
+    the row level (this fused path is MJPEG-AVI only by design — other
+    containers go through sample_frames' stub seam)."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    from schema_fantasy_spark.ops.video import parse_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, phashes = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                avi = parse_avi(payload) if payload[:4] == b"RIFF" else None
+                if avi is None:
+                    continue
+                for k, frame in list(enumerate(avi["frames"]))[::every_n][
+                    :max_frames
+                ]:
+                    try:
+                        px = decode_image_pixels(frame)
+                    except (ValueError, IndexError, OverflowError):
+                        continue
+                    if px is None:
+                        continue
+                    ids.append(i)
+                    idxs.append(k)
+                    hs.append(px.shape[0])
+                    ws.append(px.shape[1])
+                    phashes.append(ahash64(px))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "phash": pd.Series(phashes, dtype="int64"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, KEYFRAME_HASH_SCHEMA)
+
+
 VIDEO_META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("container", T.StringType()),

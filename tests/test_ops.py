@@ -1966,3 +1966,47 @@ def test_substring_dedup_within_doc_repeat_and_sampling(spark):
     kept = set(sampled[2].clean_text.split())
     assert {"p2", "longer", "prefix", "here", "q2"} <= kept  # uniques survive
     assert sampled[2].n_removed_words <= 8       # only shared words go
+
+
+def test_video_keyframe_hashes_fused_equals_chained(spark):
+    """The fused RIFF-parse + JPEG-decode + aHash pass must return
+    exactly what sample_frames -> image_metadata chained returns for
+    MJPEG AVIs (same sampling, same hashes), while quarantining
+    non-AVI payloads at the row level."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops import multimodal
+    from schema_fantasy_spark.ops.jpeg import encode_jpeg_baseline
+    from schema_fantasy_spark.ops.video import encode_avi_mjpeg
+
+    def clip(seed, n_frames):
+        frames = [
+            encode_jpeg_baseline(
+                np.full((16, 16), (40 * (seed + k)) % 256, dtype=np.uint8))
+            for k in range(n_frames)
+        ]
+        return encode_avi_mjpeg(frames, 16, 16)
+
+    rows = [(1, bytearray(clip(1, 5))), (2, bytearray(clip(2, 3))),
+            (3, bytearray(b"not a video"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fused = {
+        (r["doc_id"], r["frame_idx"]): (r["width"], r["height"], r["phash"])
+        for r in multimodal.video_keyframe_hashes(
+            df, binary_col="payload", id_col="doc_id", every_n=2,
+            max_frames=2).collect()
+    }
+    frames = multimodal.sample_frames(
+        df.filter(F.col("doc_id") < 3), binary_col="payload",
+        id_col="doc_id", every_n=2, max_frames=2)
+    chained = {}
+    for fr in frames.collect():
+        m = multimodal.image_metadata(
+            spark.createDataFrame(
+                [(fr["doc_id"], bytearray(fr["frame_bytes"]))],
+                "doc_id long, b binary"), binary_col="b",
+            id_col="doc_id").collect()[0]
+        chained[(fr["doc_id"], fr["frame_idx"])] = (
+            m["width"], m["height"], m["phash"])
+    assert fused == chained and len(fused) == 4
+    assert not any(k[0] == 3 for k in fused)  # non-AVI quarantined
