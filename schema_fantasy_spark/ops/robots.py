@@ -113,6 +113,34 @@ def robots_sitemaps(
     )
 
 
+def robots_crawl_delays(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, crawl_delay) from ``Crawl-delay:`` directives —
+    integer seconds, the politeness input to
+    ops/frontier.schedule_fetches. Crawl-delay is NOT part of RFC 9309
+    (it's the de-facto extension most crawlers honor); group
+    attribution varies by crawler, so this takes the CONSERVATIVE
+    reading: the MAX delay named anywhere in the host's file
+    (politeness can only err slow). Fractional values round up; hosts
+    without the directive are absent (callers coalesce a default).
+    Flat line scan, same shape as robots_sitemaps."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\r?\n")).alias("line"),
+    )
+    body = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    directive = F.lower(F.regexp_extract(body, r"^([A-Za-z-]+)\s*:", 1))
+    value = F.regexp_extract(body, r"^[A-Za-z-]+\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1)
+    return (
+        lines.select("host", directive.alias("d"), value.alias("v"))
+        .filter((F.col("d") == "crawl-delay") & (F.col("v") != ""))
+        .groupBy("host")
+        .agg(F.ceil(F.max(F.col("v").cast("double"))).cast("int")
+             .alias("crawl_delay"))
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,
