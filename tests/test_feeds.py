@@ -77,4 +77,6 @@ def test_parse_feeds_frame_and_plan(spark):
     assert rows["h0"]["kind"] == "rss" and len(rows["h0"]["entries"]) == 2
     assert rows["h1"]["kind"] == "atom" and len(rows["h1"]["entries"]) == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Arrow" not in plan
+    # node names, not bare substrings (entity-table literal contains
+    # names like DoubleDownArrow)
+    assert "EvalPython" not in plan

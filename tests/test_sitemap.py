@@ -65,4 +65,6 @@ def test_parse_sitemaps_frame_and_plan(spark):
     assert rows["h1"]["kind"] == "index" and rows["h1"]["urls"] == []
     assert len(rows["h1"]["children"]) == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan and "Arrow" not in plan
+    # node names, not bare substrings (entity-table literal contains
+    # names like DoubleDownArrow)
+    assert "EvalPython" not in plan
