@@ -240,6 +240,17 @@ def main() -> None:
         "aHash-for-audio through real WAV encode/decode, same banding "
         "as 71) and stratified_sample (77, per-stratum md5-nibble "
         "training-mix rates)",
+        "r7: iceberg_partitioned (81) is NEW - partitioned iceberg_lite "
+        "commit + metadata-pruned day-slice read (out-of-range files "
+        "deleted from disk, so a non-pruning planner cannot pass); "
+        "pdf_extract gained the Type0/Identity-H CID font families "
+        "(ToUnicode CMap decode, n9 odd, + ' \u00e9\u2192' bfchar "
+        "suffix); text_consistency family %3==2 now spells entities "
+        "from the FULL WHATWG named table (&eacute;/&nbsp;); "
+        "column_profile is single-scan (wide agg + stack, was k scans "
+        "for k columns); video_fp_neardup decodes through the FUSED "
+        "video_keyframe_hashes pass (one mapInPandas, no Arrow "
+        "boundary between sampling and hashing)",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
