@@ -44,7 +44,31 @@ def main() -> int:
     ap.add_argument("--from-snapshot-id", type=int, default=None,
                     help="iceberg incremental: validate only the file delta "
                          "from this snapshot to --snapshot-id/current")
+    ap.add_argument("--partition-filter", action="append", default=[],
+                    metavar="NAME=V | NAME=LO..HI",
+                    help="iceberg_lite partition pruning, repeatable "
+                         "(ANDed): e.g. --partition-filter "
+                         "warc_ts_day=20500..20503 --partition-filter "
+                         "lang=en — pruned data files are never opened "
+                         "(manifest-level planning, the north rule's "
+                         "explicit-partition-pruning clause)")
     args = ap.parse_args()
+
+    def _pf_value(v: str):
+        if ".." in v:
+            lo, hi = v.split("..", 1)
+            return (int(lo) if lo.lstrip("-").isdigit() else lo,
+                    int(hi) if hi.lstrip("-").isdigit() else hi)
+        return int(v) if v.lstrip("-").isdigit() else v
+
+    partition_filter = None
+    if args.partition_filter:
+        partition_filter = {}
+        for spec in args.partition_filter:
+            name, _, val = spec.partition("=")
+            if not _ or not name:
+                raise SystemExit(f"bad --partition-filter {spec!r}")
+            partition_filter[name] = _pf_value(val)
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -108,7 +132,8 @@ def main() -> int:
         df = lang_id(df).withColumnRenamed("lang_pred", "lang")
     else:
         df = read_pages(spark, args.input, snapshot_id=args.snapshot_id,
-                        from_snapshot_id=args.from_snapshot_id)
+                        from_snapshot_id=args.from_snapshot_id,
+                        partition_filter=partition_filter)
     if args.derive_day_from:
         df = df.withColumn(args.partition_col, F.to_date(F.col(args.derive_day_from)))
 

@@ -83,15 +83,27 @@ def read_pages(
     location: str,
     snapshot_id: Optional[int] = None,
     from_snapshot_id: Optional[int] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Unified entry: an Iceberg identifier (catalog.db.table) when the
     runtime jar is present; a jar-free iceberg_lite TABLE DIRECTORY
     (contains metadata/*.metadata.json) with optional time travel
-    (``snapshot_id``) or incremental delta (``from_snapshot_id`` ->
-    snapshot_id/current); else a plain parquet path. All engine call
-    sites go through here so the swap is one config change."""
+    (``snapshot_id``), incremental delta (``from_snapshot_id`` ->
+    snapshot_id/current) and PARTITION PRUNING (``partition_filter``,
+    {name: value} / {name: (lo, hi)} — iceberg_lite prunes from the
+    manifests, never opening pruned files); else a plain parquet path.
+    On the catalog path a partition filter is a normal ``.where`` on
+    the partition column — Spark+Iceberg prune automatically — so this
+    argument is the LITE path's equivalent and raises if passed where
+    it would silently not prune. All engine call sites go through here
+    so the swap is one config change."""
     looks_like_table = "/" not in location and "." in location
     if looks_like_table and iceberg_available(spark):
+        if partition_filter:
+            raise IcebergUnavailableError(
+                "partition_filter is the jar-free iceberg_lite mechanism; "
+                "catalog tables prune via a .where on the partition column"
+            )
         return read_table(spark, location, snapshot_id=snapshot_id)
     import glob as _glob
     import os as _os
@@ -104,6 +116,12 @@ def read_pages(
             if to is None:
                 md = il.table_metadata(location)
                 to = il._resolve_snapshot(md)["snapshot-id"]
-            return il.read_incremental(spark, location, from_snapshot_id, to)
-        return il.read_snapshot(spark, location, snapshot_id=snapshot_id)
+            return il.read_incremental(spark, location, from_snapshot_id, to,
+                                       partition_filter=partition_filter)
+        return il.read_snapshot(spark, location, snapshot_id=snapshot_id,
+                                partition_filter=partition_filter)
+    if partition_filter:
+        raise IcebergUnavailableError(
+            "partition_filter requires an iceberg_lite table directory"
+        )
     return spark.read.parquet(location)

@@ -506,19 +506,25 @@ def read_snapshot(
 
 
 def incremental_files(
-    table_path: str, from_snapshot_id: int, to_snapshot_id: int
+    table_path: str, from_snapshot_id: int, to_snapshot_id: int,
+    partition_filter: Optional[Dict[str, Any]] = None,
 ) -> List[str]:
     """DATA files present in ``to`` but not in ``from`` — the append
-    delta an incremental validation run scans (resume-from-snapshot).
+    delta an incremental validation run scans (resume-from-snapshot),
+    optionally partition-pruned. The FROM side lists unfiltered (a
+    file pruned from 'from' must not masquerade as newly appended).
     A delete-only commit appends no data files, so its delta is empty."""
     a = set(snapshot_files(table_path, from_snapshot_id))
-    b = set(snapshot_files(table_path, to_snapshot_id))
+    b = set(snapshot_files(table_path, to_snapshot_id,
+                           partition_filter=partition_filter))
     return sorted(b - a)
 
 
 def read_incremental(spark, table_path: str, from_snapshot_id: int,
-                     to_snapshot_id: int):
-    files = incremental_files(table_path, from_snapshot_id, to_snapshot_id)
+                     to_snapshot_id: int,
+                     partition_filter: Optional[Dict[str, Any]] = None):
+    files = incremental_files(table_path, from_snapshot_id, to_snapshot_id,
+                              partition_filter=partition_filter)
     if not files:
         raise IcebergLiteError("no appended files between the snapshots")
     return spark.read.parquet(*files)

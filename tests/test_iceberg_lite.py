@@ -301,3 +301,47 @@ def test_iceberg_lite_partitioned_append_delete_and_spec_guard(spark, tmp_path):
     ).count() == 5
     md2 = il.table_metadata(t2)
     assert md2["partition-specs"][0]["fields"], "spec must survive deletes"
+
+
+def test_validate_job_partition_filter_end_to_end(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The north-rule job path: validate ONE day of a
+    days(warc_ts)-partitioned iceberg_lite table via
+    `validate_job --partition-filter warc_ts_day=D` — pruning is
+    metadata-level (the other days' parquet files are DELETED from
+    disk before the run, so a non-pruning read cannot pass), and the
+    summary shows exactly the filtered day processed."""
+    import sys as _sys
+
+    from jobs.validate_job import main
+    from schema_fantasy_spark.sources.pages import pages
+
+    t = str(tmp_path / "pt")
+    df = pages(spark, 400, n_days=3)  # warc_ts spread over 3 days
+    il.append(spark, df, t, partition_by=["days(warc_ts)"])
+    days = sorted(
+        int(os.path.basename(os.path.dirname(p)).split("=")[1])
+        for p in il.snapshot_files(t)
+    )
+    pick = days[len(days) // 2]
+    keep = il.snapshot_files(t, partition_filter={"warc_ts_day": pick})
+    for p in set(il.snapshot_files(t)) - set(keep):
+        os.remove(p)
+
+    argv = ["validate_job", "--input", t,
+            "--partition-filter", f"warc_ts_day={pick}",
+            "--manifest-dir", str(tmp_path / "m"),
+            "--violations-dir", str(tmp_path / "v"),
+            "--derive-day-from", "warc_ts"]
+    monkeypatch.setattr(_sys, "argv", argv)
+    assert main() == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import datetime
+    exp_day = (datetime.date(1970, 1, 1)
+               + datetime.timedelta(days=pick)).isoformat()
+    assert summary["processed"] == [exp_day]
+
+    # range + filter error forms
+    with pytest.raises(il.IcebergLiteError):
+        il.snapshot_files(t, partition_filter={"typo": 1})
