@@ -78,6 +78,51 @@ def _violations(spark: SparkSession, sf_dir: str, schema: dict) -> DataFrame:
     )
 
 
+def _entity_panel():
+    """(raw_inputs, expected_decoded) for the 64-case named-entity gate
+    panel (entry 83) — shared by the Spark construction and the oracle.
+    Expected strings come from Python's html.unescape (the stdlib copy
+    of the WHATWG named-reference algorithm) with the engine's
+    documented entity-produced U+00A0 -> plain-space convention, so the
+    oracle states ground truth independently of ops/html.py."""
+    from html import unescape
+
+    from schema_fantasy_spark.ops import html_entities as HE
+
+    comps = ["&amp;lt;x", "&ampy", "&notit;", "&copy=2", "a&&amp;b",
+             "&#38;#97;"]
+    picks = ["amp;", "lt;", "nbsp;", "eacute;", "NotEqualTilde;", "fjlig;",
+             "ThickSpace;", "hellip;", "mdash;",
+             "CounterClockwiseContourIntegral;"]
+    legacy = ["eacute", "AMP", "Ccedil", "frac34", "yuml", "THORN"]
+    raws = list(comps) + [f"pre &{n} post" for n in picks + legacy]
+    names = sorted(k for k in HE.ENTITIES if k.endswith(";"))
+    stride = names[:: max(1, len(names) // (64 - len(raws)))]
+    for n in stride:
+        if len(raws) >= 64:
+            break
+        raws.append(f"x&{n}y")
+    expected = [unescape(r).replace("\xa0", " ") for r in raws]
+    return raws, expected
+
+
+def _entity_decode_sql() -> str:
+    """DuckDB oracle for entry 83: one CASE branch per panel slot, the
+    expected string a literal."""
+    raws, expected = _entity_panel()
+    lit = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    cases = "\n           ".join(
+        f"WHEN {i} THEN {lit(e)}" for i, e in enumerate(expected)
+    )
+    return f"""
+    SELECT doc_id,
+           CASE doc_id % {len(raws)}
+           {cases}
+           END AS decoded
+      FROM documents WHERE doc_id IS NOT NULL
+    """
+
+
 # ------------------------------------------------------------------ entry
 
 
@@ -3300,6 +3345,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised on real rows, not a vacuous empty-vs-empty match
         return sim.near_duplicates_by_embedding(emb, threshold=0.4)
 
+    def crawl_plan_documents(spark, sf):
+        # The CRAWL-PLANNING COMPOSITION (jobs/crawl_plan_job.py's
+        # pipeline) under one oracle: per-host sitemap inventory (4+k%4
+        # urls, page 0 listed TWICE in crawl-variant spellings — upper
+        # host + default port + unsorted params — so canonical-key
+        # dedup is load-bearing and the kept url is the min spelling),
+        # novelty (pages j < k%3 are already crawled, keyed on the
+        # CANONICAL url), robots governance (even hosts Disallow /q/3
+        # for our agent; every host sets Crawl-delay: 1+k%4), then the
+        # politeness window with a per-host cap of 4. The oracle
+        # replays listing, spelling choice, both filters, the ordered
+        # window and the delay arithmetic in SQL — a canonicalization,
+        # RFC 9309, delay-parse or cap error flips rows. shard is
+        # xxhash64-based (not SQL-replayable) and is pytest-asserted in
+        # the job test instead. NOTE: entry 82, past the driver's
+        # ~50-slot recording window; tools/check_correctness.py
+        # verifies it either way.
+        from schema_fantasy_spark.ops.frontier import schedule_fetches
+        from schema_fantasy_spark.ops.robots import (
+            parse_robots,
+            robots_allowed,
+            robots_crawl_delays,
+        )
+        from schema_fantasy_spark.ops.sitemap import parse_sitemaps
+        from schema_fantasy_spark.ops.urls import canonicalize_url
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        hosts = docs.select(F.pmod(F.col("doc_id"), F.lit(19)).alias("k")).distinct()
+        ks = F.col("k").cast("string")
+        low = F.concat(F.lit("h"), ks, F.lit(".example.com"))
+        entry0_dup = F.concat(
+            F.lit("<url><loc>HTTPS://H"), ks,
+            F.lit(".EXAMPLE.COM:443/q/0?b=2&amp;a=1</loc></url>"),
+        )
+        entries = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3) + F.pmod(F.col("k"), F.lit(4))),
+                lambda j: F.concat(
+                    F.lit("<url><loc>https://h"), ks, F.lit(".example.com/q/"),
+                    j.cast("string"), F.lit("?b=2&amp;a=1</loc></url>"),
+                ),
+            ),
+            "",
+        )
+        sitemaps = hosts.select(
+            low.alias("host"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                entries, entry0_dup, F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+        listed = (
+            parse_sitemaps(sitemaps, "sitemap_xml", key_cols=("host",))
+            .select("host", F.explode("urls").alias("u"))
+            .select("host", F.col("u")["loc"].alias("url"))
+        )
+        cand = (
+            listed.withColumn("url_key", canonicalize_url(F.col("url")))
+            .groupBy("url_key")
+            .agg(F.min("url").alias("url"), F.min("host").alias("host"))
+        )
+        # trap 10: F.sequence(1, 0) DESCENDS — guard the empty case
+        crawled = hosts.select(
+            F.explode(
+                F.when(
+                    F.pmod(F.col("k"), F.lit(3)) >= 1,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.pmod(F.col("k"), F.lit(3)) - 1
+                        ),
+                        lambda j: F.concat(
+                            F.lit("https://h"), ks, F.lit(".example.com/q/"),
+                            j.cast("string"), F.lit("?a=1&b=2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("url_key")
+        )
+        cand = cand.join(crawled, "url_key", "left_anti")
+        robots = hosts.select(
+            low.alias("host"),
+            F.concat(
+                F.lit("User-agent: sfs-bot\n"),
+                F.when(F.pmod(F.col("k"), F.lit(2)) == 0,
+                       F.lit("Disallow: /q/3\n")).otherwise(F.lit("")),
+                F.lit("Crawl-delay: "),
+                (F.lit(1) + F.pmod(F.col("k"), F.lit(4))).cast("string"),
+                F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+        path = F.regexp_extract(
+            F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1
+        )
+        cand = cand.withColumn(
+            "path", F.when(path == "", F.lit("/")).otherwise(path)
+        )
+        cand = robots_allowed(cand, parse_robots(robots), "sfs-bot",
+                              host_col="host", path_col="path")
+        cand = cand.join(F.broadcast(robots_crawl_delays(robots)), "host", "left")
+        plan = schedule_fetches(
+            cand.filter(F.col("allowed")),
+            host_col="host", url_col="url", delay_col="crawl_delay",
+            num_shards=64, per_host_cap=4,
+        )
+        return plan.select("host", "url", "seq", "fetch_offset_s")
+
+    def entity_decode_documents(spark, sf):
+        # The WHATWG named-reference table DIRECTLY under the oracle
+        # (text_consistency gates it through two names; this row gates
+        # a 64-case panel): each doc embeds the panel entry doc_id%64 —
+        # adversarial compositions (&amp;lt;, bare-legacy longest-prefix
+        # &notit;/&copy=2), legacy no-semicolon spellings, multi-
+        # codepoint values, and a deterministic stride across the full
+        # sorted table — and decode_entities must reproduce the
+        # EXPECTED literal the oracle states per case (computed at
+        # build time from Python's html.unescape, the stdlib copy of
+        # the WHATWG algorithm, with the documented entity-produced
+        # U+00A0 -> space convention). One wrong mapping, prefix rule
+        # or tail splice flips that case's every row. NOTE: entry 83,
+        # past the driver's ~50-slot recording window;
+        # tools/check_correctness.py verifies it either way.
+        from schema_fantasy_spark.ops.html import decode_entities
+
+        raws = _entity_panel()[0]
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        raw = F.element_at(
+            F.array(*[F.lit(r) for r in raws]),
+            F.pmod(F.col("doc_id"), F.lit(len(raws))).cast("int") + 1,
+        )
+        return docs.select(
+            "doc_id", decode_entities(raw).alias("decoded")
+        )
+
     def iceberg_partitioned_documents(spark, sf):
         # PARTITIONED iceberg_lite under the oracle gate — the north
         # rule's "explicit partition pruning" clause end to end: docs
@@ -3444,6 +3626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles_documents": quality_deciles_documents,
         "crawl_coverage_documents": crawl_coverage_documents,
         "iceberg_partitioned_documents": iceberg_partitioned_documents,
+        "crawl_plan_documents": crawl_plan_documents,
+        "entity_decode_documents": entity_decode_documents,
     }
 
 
@@ -5333,4 +5517,35 @@ def oracle_sql() -> dict[str, str]:
      WHERE doc_id IS NOT NULL AND (doc_id % 7) BETWEEN 1 AND 3
      GROUP BY 1, 2
     """,
+        # entry 82: the crawl-planning composition replayed — listing,
+        # the min-spelling pick after canonical-key dedup (page 0's
+        # upper-host variant sorts first), novelty (j < k%3 crawled),
+        # robots (even hosts disallow /q/3), the per-host ordered
+        # window, the Crawl-delay arithmetic and the cap of 4
+        "crawl_plan_documents": """
+    WITH h AS (SELECT DISTINCT doc_id % 19 AS k
+                 FROM documents WHERE doc_id IS NOT NULL),
+    u AS (SELECT k, j,
+                 CASE WHEN j = 0
+                      THEN 'HTTPS://H' || CAST(k AS VARCHAR)
+                           || '.EXAMPLE.COM:443/q/0?b=2&a=1'
+                      ELSE 'https://h' || CAST(k AS VARCHAR)
+                           || '.example.com/q/' || CAST(j AS VARCHAR)
+                           || '?b=2&a=1' END AS url
+            FROM h, unnest(range(0, 4 + k % 4)) AS t(j)),
+    f AS (SELECT k, url FROM u
+           WHERE j >= k % 3
+             AND NOT (k % 2 = 0 AND j = 3)),
+    w AS (SELECT k, url,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY url) - 1 AS seq
+            FROM f)
+    SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host, url,
+           CAST(seq AS INTEGER) AS seq,
+           CAST(seq * (1 + k % 4) AS BIGINT) AS fetch_offset_s
+      FROM w WHERE seq < 4
+    """,
+        # entry 83: the 64-case named-entity panel — the oracle states
+        # every expected decoded string as a LITERAL (ground truth from
+        # the stdlib WHATWG algorithm at build time, see _entity_panel)
+        "entity_decode_documents": _entity_decode_sql(),
     }

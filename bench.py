@@ -251,6 +251,11 @@ def main() -> None:
         "for k columns); video_fp_neardup decodes through the FUSED "
         "video_keyframe_hashes pass (one mapInPandas, no Arrow "
         "boundary between sampling and hashing)",
+        "r7 late: crawl_plan (82) gates the full crawl-planning "
+        "composition (sitemap listing -> canonical dedup -> novelty -> "
+        "robots -> politeness window, SQL-replayed) and entity_decode "
+        "(83) gates a 64-case WHATWG named-entity panel with "
+        "literal-stated expectations",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
