@@ -45,15 +45,20 @@ def feed_title(xml: Column) -> Column:
     return _tag_text(head, "title")
 
 
-def _atom_link(block: Column) -> Column:
-    """href of the first <link> in an Atom entry, either quote style."""
+def _atom_link_raw(block: Column) -> Column:
+    """RAW href of the first <link> in an Atom entry, either quote
+    style (decoding happens at the array level in parse_feeds)."""
     pat = rf"(?is)<link\b{_IN}*?\bhref\s*=\s*(?:\"([^\"]*)\"|'([^']*)')"
     hit = F.regexp_like(block, F.lit(pat))
     g1 = F.regexp_extract(block, pat, 1)
     g2 = F.regexp_extract(block, pat, 2)
-    return decode_entities(
-        F.when(hit, F.when(g1 != "", g1).otherwise(g2))
-    )
+    return F.when(hit, F.when(g1 != "", g1).otherwise(g2))
+
+
+def _atom_link(block: Column) -> Column:
+    """href of the first <link> in an Atom entry, either quote style."""
+    v = _atom_link_raw(block)
+    return F.when(v.isNotNull(), decode_entities(v))
 
 
 def feed_entries(xml: Column) -> Column:
@@ -91,11 +96,71 @@ def parse_feeds(
     df: DataFrame, xml_col: str = "feed_xml", key_cols: tuple = ("host",)
 ) -> DataFrame:
     """Parse a table of feed bodies: keeps ``key_cols``, adds ``kind``,
-    ``feed_title`` and ``entries``."""
+    ``feed_title`` and ``entries``.
+
+    Staged like ops/sitemap.parse_sitemaps: raw per-block fields
+    evaluate once behind a Generate barrier, entity decoding runs as
+    four ARRAY-level SQL-decoder calls at the top level (per-field
+    decode inside the block lambda would build the slow Column twin)."""
+    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.html import decode_entities_array
+    from schema_fantasy_spark.ops.sitemap import _tag_raw
+
     x = F.col(xml_col).cast("string")
-    return df.select(
+    base = df.select(
         *key_cols,
         feed_kind(x).alias("kind"),
         feed_title(x).alias("feed_title"),
-        feed_entries(x).alias("entries"),
+        x.alias("__x"),
+    )
+
+    def _raw(block_re: str, link_fn, ts_tag: str, guid_tag: str) -> Column:
+        return F.transform(
+            F.regexp_extract_all(F.col("__x"), F.lit(block_re), F.lit(0)),
+            lambda b: F.struct(
+                _tag_raw(b, "title").alias("title"),
+                link_fn(b).alias("link"),
+                _tag_raw(b, ts_tag).alias("ts"),
+                _tag_raw(b, guid_tag).alias("guid"),
+            ),
+        )
+
+    empty = F.expr("array()").cast(
+        "array<struct<title:string,link:string,ts:string,guid:string>>"
+    )
+    raw = (
+        F.when(F.col("kind") == "rss",
+               _raw(_ITEM_BLOCK, lambda b: _tag_raw(b, "link"),
+                    "pubDate", "guid"))
+        .when(F.col("kind") == "atom",
+              _raw(_ENTRY_BLOCK, _atom_link_raw, "updated", "id"))
+        .otherwise(empty)
+    )
+    base = _barrier(base, raw, "__raw")
+
+    def _getter(f):  # closure factory — a `f=field` default would make
+        return lambda e: e[f]  # a TWO-param lambda = (element, INDEX)
+
+    for field in ("title", "link", "ts", "guid"):
+        base = _barrier(
+            base,
+            decode_entities_array(
+                F.transform(F.col("__raw"), _getter(field))
+            ),
+            f"__{field}",
+        )
+    entries = F.filter(
+        F.transform(
+            F.col("__title"),
+            lambda v, i: F.struct(
+                v.alias("title"),
+                F.get(F.col("__link"), i).alias("link"),
+                F.get(F.col("__ts"), i).alias("ts"),
+                F.get(F.col("__guid"), i).alias("guid"),
+            ),
+        ),
+        lambda e: e["title"].isNotNull() | e["link"].isNotNull(),
+    )
+    return base.select(
+        *key_cols, "kind", "feed_title", entries.alias("entries")
     )

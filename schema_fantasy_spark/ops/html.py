@@ -95,46 +95,195 @@ def _tbl_lookup(table: str, key: Column) -> Column:
     )
 
 
+def _shard_lookup(span: Column) -> Column:
+    """Bucket-sharded exact-match lookup: O(1) ``get`` into the
+    101-shard array (first-two-chars bucket), then one ``instr`` scan
+    of ≤1.2 KB — bounding the MISS cost URL query params would pay
+    against the whole packed table."""
+    tbl = F.get(
+        F.lit(_ENT.SHARDS),
+        F.pmod(
+            F.ascii(span) * _ENT.SHARD_MUL
+            + F.ascii(F.substring(span, 2, 1)),
+            F.lit(_ENT.N_SHARDS),
+        ).cast("int"),
+    )
+    pos = F.nullif(
+        F.instr(tbl, F.concat(F.lit("\x01"), span, F.lit("\x02"))), F.lit(0)
+    )
+    return F.substring_index(
+        F.substr(tbl, pos + F.length(span) + 2, _BIG()), "\x01", 1
+    )
+
+
 def _decode_token(x: Column) -> Column:
     """Decode one post-``&`` token (a struct of precomputed fields —
     HOF lambdas get no common-subexpression elimination, so the regex
-    extractions and the full-table probe are materialized ONCE per
-    token in :func:`decode_entities` and referenced here as struct
-    field accesses)."""
-    t, span, dec, hexd, vf = (
-        x["t"], x["span"], x["dec"], x["hexd"], x["vf"]
+    extractions and the table probe are materialized ONCE per token in
+    :func:`_decode_entities_columns` and referenced here as struct
+    field accesses). Mirrors the SQL function body exactly."""
+    t, span, vf, m, dv, nn = (
+        x["t"], x["span"], x["vf"], x["m"], x["dv"], x["nn"]
     )
-    # --- numeric reference: &#NNN; / &#xHH; (semicolon required;
-    # invalid scalars pass through recognizably — module contract)
-    dv = F.when(dec != "", dec.cast("int")).otherwise(
-        F.when(hexd != "", F.conv(hexd, 16, 10).cast("int"))
-    )
+    # numeric reference: &#NNN; / &#xHH; (semicolon required; invalid
+    # scalars pass through recognizably — module contract)
     bad = (
         dv.isNull()
         | (dv < 1)
         | (dv > 0x10FFFF)
         | ((dv >= 0xD800) & (dv <= 0xDFFF))
     )
-    num_next = F.when(dec != "", F.length(dec) + 3).otherwise(F.length(hexd) + 4)
     numeric = F.when(bad, F.concat(F.lit("&"), t)).otherwise(
-        F.concat(_codepoint_char(dv), F.substr(t, num_next, _BIG()))
+        F.concat(_codepoint_char(dv), F.substr(t, nn, _BIG()))
     )
-    # --- named reference: exact span first ('&eacute;', and bare
-    # legacy '&eacute' when the span IS the whole name), then the
-    # spec's longest-prefix fallback over the legacy table ('&notit;'
-    # -> '¬it;'), longest first, strict prefixes only — mirrors
-    # html.unescape. The legacy probes run only on a full-table miss.
-    named = F.when(
-        vf.isNotNull(), F.concat(vf, F.substr(t, F.length(span) + 1, _BIG()))
+    # named: exact span first ('&eacute;', and bare legacy '&eacute'
+    # when the span IS the whole name — the full table contains the
+    # legacy keys), else the longest-prefix candidate m (a legacy name
+    # by regex construction, so its probe always hits)
+    named = (
+        F.when(vf.isNotNull(),
+               F.concat(vf, F.substr(t, F.length(span) + 1, _BIG())))
+        .when(m != "",
+              F.concat(_tbl_lookup(_ENT.LEGACY, m),
+                       F.substr(t, F.length(m) + 1, _BIG())))
+        .otherwise(F.concat(F.lit("&"), t))
     )
-    for L in range(_ENT.MAX_LEGACY, _ENT.MIN_LEGACY - 1, -1):
-        vL = _tbl_lookup(_ENT.LEGACY, F.substring(span, 1, L))
-        named = named.when(
-            (F.length(span) > F.lit(L)) & vL.isNotNull(),
-            F.concat(vL, F.substr(t, F.lit(L + 1), _BIG())),
+    return F.when(F.substring(t, 1, 1) == "#", numeric).otherwise(named)
+
+
+def _sql_lit(s: str) -> str:
+    """Spark-SQL single-quoted string literal: backslash escapes for
+    quote/backslash, ``\\uXXXX`` for control characters (the packed
+    tables' record anchors), raw text otherwise."""
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif o < 32 or o == 127:
+            out.append(f"\\u{o:04X}")
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+_FN = "sfs_decode_entities"
+
+
+def _decode_body_sql(var: str = "s") -> str:
+    """The decoder as a SQL expression string over ``var`` — identical
+    semantics to :func:`_decode_entities_columns`; wrapped into the
+    scalar + array TEMPORARY FUNCTIONs by :func:`_ensure_decode_fn`,
+    once per session.
+
+    Why SQL and not Column building: every pyspark ``F.*`` call is a
+    py4j round trip, and the decoder tree is ~1,000 nodes — building
+    it cost ~1.1 s of DRIVER time per call site (html_meta alone calls
+    it five times; measured +5-12 s per gated query in round 7's first
+    bench). The SQL body parses JVM-side in milliseconds, the analyzer
+    inlines it, and the physical plan is the same expression tree.
+
+    Lookup shape inside: the name table is bucket-sharded 101 ways on
+    the first two chars (O(1) ``element_at`` dispatch + an ``instr``
+    scan of ≤1.2 KB — bounding the MISS cost that URL query params
+    like ``&b=2`` would otherwise pay against the whole 25 KB table),
+    and legacy longest-prefix matching is ONE alternation regex
+    (longest name first = first-match-wins) instead of unrolled
+    per-length probes."""
+    big = 1 << 30
+    tbl = (
+        f"element_at(array({','.join(_sql_lit(x) for x in _ENT.SHARDS)}), "
+        f"pmod(ascii(x.span) * {_ENT.SHARD_MUL} + "
+        f"ascii(substr(x.span, 2, 1)), {_ENT.N_SHARDS}) + 1)"
+    )
+    leg = _sql_lit(_ENT.LEGACY)
+
+    def probe(table: str, key: str) -> str:
+        return (
+            f"substring_index(substr({table}, "
+            f"nullif(instr({table}, concat('\\u0001', {key}, '\\u0002')), 0)"
+            f" + length({key}) + 2, {big}), '\\u0001', 1)"
         )
-    named = named.otherwise(F.concat(F.lit("&"), t))
-    return F.when(F.startswith(t, F.lit("#")), numeric).otherwise(named)
+
+    span_re = _sql_lit(r"^([a-zA-Z][a-zA-Z0-9]{0,31};?)")
+    dec_re = _sql_lit(r"^#([0-9]{1,7});")
+    hex_re = _sql_lit(r"^#[xX]([0-9A-Fa-f]{1,6});")
+    codepoint = (
+        "decode(unhex(CASE WHEN x.dv < 65536 THEN lpad(hex(x.dv), 4, '0') "
+        "ELSE concat("
+        "lpad(hex(55296 + cast(floor((x.dv - 65536) / 1024) AS int)), 4, '0'), "
+        "lpad(hex(56320 + pmod(x.dv - 65536, 1024)), 4, '0')) END), 'UTF-16BE')"
+    )
+    return f"""
+array_join(transform(
+  transform(
+    transform(
+      transform(split({var}, '&', -1),
+        t -> struct(t AS t, regexp_extract(t, {span_re}, 1) AS span)),
+      x -> struct(x.t AS t, x.span AS span,
+        CASE WHEN length(x.span) >= {_ENT.MIN_LEGACY}
+             THEN {probe(tbl, 'x.span')} END AS vf,
+        CASE WHEN substr(x.t, 1, 1) = '#'
+             THEN regexp_extract(x.t, {dec_re}, 1) ELSE '' END AS dec,
+        CASE WHEN substr(x.t, 1, 1) = '#'
+             THEN regexp_extract(x.t, {hex_re}, 1) ELSE '' END AS hexd)),
+    x -> struct(x.t AS t, x.span AS span, x.vf AS vf,
+      CASE WHEN x.vf IS NULL AND substr(x.t, 1, 1) != '#'
+           THEN regexp_extract(x.span, {_sql_lit(_ENT.LEGACY_RE)}, 1)
+           ELSE '' END AS m,
+      CASE WHEN x.dec != '' THEN cast(x.dec AS int)
+           WHEN x.hexd != '' THEN cast(conv(x.hexd, 16, 10) AS int)
+           END AS dv,
+      CASE WHEN x.dec != '' THEN length(x.dec) + 3
+           ELSE length(x.hexd) + 4 END AS nn)),
+  (x, i) -> CASE
+    WHEN i = 0 THEN x.t
+    WHEN substr(x.t, 1, 1) = '#' THEN
+      CASE WHEN x.dv IS NULL OR x.dv < 1 OR x.dv > 1114111
+                OR (x.dv >= 55296 AND x.dv <= 57343)
+           THEN concat('&', x.t)
+           ELSE concat({codepoint}, substr(x.t, x.nn, {big})) END
+    WHEN x.vf IS NOT NULL
+         THEN concat(x.vf, substr(x.t, length(x.span) + 1, {big}))
+    WHEN x.m != ''
+         THEN concat({probe(leg, 'x.m')}, substr(x.t, length(x.m) + 1, {big}))
+    ELSE concat('&', x.t) END), '')
+"""
+
+
+_FN_ARR = "sfs_decode_entities_arr"
+
+
+def _ensure_decode_fn(spark) -> None:
+    """Register the scalar + array SQL decoders once per session (the
+    array form exists because SQL-function inlining cannot scope a
+    lambda-variable ARGUMENT — so callers that decode inside HOF
+    lambdas restructure to decode whole arrays at the top level)."""
+    if not spark.catalog.functionExists(_FN):
+        body = _decode_body_sql("s")
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {_FN}(s STRING) "
+            f"RETURNS STRING RETURN {body}"
+        )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {_FN_ARR}(a ARRAY<STRING>) "
+            f"RETURNS ARRAY<STRING> RETURN transform(a, s -> {body})"
+        )
+
+
+def _contains_lambda_var(col: Column) -> bool:
+    """True when the expression references a higher-order-function
+    lambda variable — SQL-function INLINING cannot scope those (the
+    analyzer lifts the argument into a standalone Project and the
+    reference dangles), so such call sites take the Column twin."""
+    try:
+        # Spark 4 classic Columns carry a ColumnNode; its toString
+        # renders the whole tree, so containment is an exact test
+        return "UnresolvedNamedLambdaVariable" in str(col._jc.node())
+    except Exception:
+        return True  # unknown shape: the Column twin is always safe
 
 
 def decode_entities(s: Column) -> Column:
@@ -146,35 +295,90 @@ def decode_entities(s: Column) -> Column:
     output is never rescanned: ``&amp;lt;`` -> ``&lt;`` and
     ``&#38;#97;`` -> ``&#97;``, exactly like ``html.unescape``'s
     single pass. See the module contract for the three documented
-    divergences from ``html.unescape``."""
+    divergences from ``html.unescape``.
+
+    Dispatch: with an active session and a lambda-free argument this
+    resolves to the per-session SQL function (see :func:`_decode_body_sql`
+    for why — ~1 s of driver-side py4j construction per Column-built
+    call site); inside HOF lambdas (where SQL-function inlining cannot
+    reach) and without a session it builds the semantics-identical
+    Column twin (differentially tested against the SQL path AND
+    html.unescape over the full table)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and not _contains_lambda_var(s):
+        _ensure_decode_fn(spark)
+        return F.call_function(_FN, s)
+    return _decode_entities_columns(s)
+
+
+def decode_entities_array(a: Column) -> Column:
+    """Element-wise :func:`decode_entities` over an ``array<string>``
+    (NULL elements pass through as NULL). This is how HOF-heavy parsers
+    (sitemaps, feeds, outlinks) reach the fast SQL decoder: extract the
+    RAW strings inside their lambdas, then decode the whole array at
+    the top level in one call."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and not _contains_lambda_var(a):
+        _ensure_decode_fn(spark)
+        return F.call_function(_FN_ARR, a)
+    return F.transform(a, _decode_entities_columns)
+
+
+def _decode_entities_columns(s: Column) -> Column:
+    """Pure-Column decoder (the SQL function's reference twin) — three
+    struct stages so every field is evaluated once per token (trap:
+    HOF lambdas get no CSE), then the shared token decode."""
     parts = F.split(s, "&", -1)
-    # stage 1: per-token field extraction, evaluated once per token
-    toks = F.transform(
+    is_num = lambda t: F.substring(t, 1, 1) == "#"  # noqa: E731
+    s1 = F.transform(
         parts,
         lambda t: F.struct(
             t.alias("t"),
             F.regexp_extract(t, r"^([a-zA-Z][a-zA-Z0-9]{0,31};?)", 1).alias("span"),
-            F.regexp_extract(t, r"^#([0-9]{1,7});", 1).alias("dec"),
-            F.regexp_extract(t, r"^#[xX]([0-9A-Fa-f]{1,6});", 1).alias("hexd"),
         ),
     )
-    # stage 2: the one full-table probe per token (skipped for spans
-    # shorter than the shortest name — covers '&', '& ', '&b=2' fast)
-    toks = F.transform(
-        toks,
+    s2 = F.transform(
+        s1,
         lambda x: F.struct(
             x["t"].alias("t"),
             x["span"].alias("span"),
-            x["dec"].alias("dec"),
-            x["hexd"].alias("hexd"),
             F.when(
-                F.length(x["span"]) >= _ENT.MIN_LEGACY,
-                _tbl_lookup(_ENT.TABLE, x["span"]),
+                F.length(x["span"]) >= _ENT.MIN_LEGACY, _shard_lookup(x["span"])
             ).alias("vf"),
+            F.when(
+                is_num(x["t"]),
+                F.regexp_extract(x["t"], r"^#([0-9]{1,7});", 1),
+            ).otherwise(F.lit("")).alias("dec"),
+            F.when(
+                is_num(x["t"]),
+                F.regexp_extract(x["t"], r"^#[xX]([0-9A-Fa-f]{1,6});", 1),
+            ).otherwise(F.lit("")).alias("hexd"),
+        ),
+    )
+    s3 = F.transform(
+        s2,
+        lambda x: F.struct(
+            x["t"].alias("t"),
+            x["span"].alias("span"),
+            x["vf"].alias("vf"),
+            F.when(
+                x["vf"].isNull() & ~is_num(x["t"]),
+                F.regexp_extract(x["span"], _ENT.LEGACY_RE, 1),
+            ).otherwise(F.lit("")).alias("m"),
+            F.when(x["dec"] != "", x["dec"].cast("int"))
+            .otherwise(
+                F.when(x["hexd"] != "", F.conv(x["hexd"], 16, 10).cast("int"))
+            ).alias("dv"),
+            F.when(x["dec"] != "", F.length(x["dec"]) + 3)
+            .otherwise(F.length(x["hexd"]) + 4).alias("nn"),
         ),
     )
     out = F.transform(
-        toks,
+        s3,
         lambda x, i: F.when(i == F.lit(0), x["t"]).otherwise(_decode_token(x)),
     )
     return F.array_join(out, "")

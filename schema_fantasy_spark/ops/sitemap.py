@@ -32,12 +32,23 @@ _URL_BLOCK = r"(?is)<url\b[^>]*>.*?</url\s*>"
 _SM_BLOCK = r"(?is)<sitemap\b[^>]*>.*?</sitemap\s*>"
 
 
-def _tag_text(block: Column, tag: str) -> Column:
-    """Trimmed, entity-decoded text of the first <tag> child; NULL when
-    absent (regexp_extract returns '' for no-match; a genuinely empty
-    <loc></loc> also yields NULL — an empty loc is no loc)."""
+def _tag_raw(block: Column, tag: str) -> Column:
+    """Trimmed RAW text of the first <tag> child; NULL when absent
+    (regexp_extract returns '' for no-match; a genuinely empty
+    <loc></loc> also yields NULL — an empty loc is no loc). Entity
+    decoding happens at the ARRAY level (decode_entities_array) so the
+    fast SQL decoder applies — decode_entities inside this per-block
+    lambda would force the Column twin per field."""
     v = F.regexp_extract(block, rf"(?is)<{tag}\b[^>]*>\s*(.*?)\s*</{tag}\s*>", 1)
-    return F.when(v != "", decode_entities(v))
+    return F.when(v != "", v)
+
+
+def _tag_text(block: Column, tag: str) -> Column:
+    """Trimmed, entity-decoded text of the first <tag> child (the
+    Column-level convenience form; the DataFrame path in
+    parse_sitemaps uses _tag_raw + array decoding instead)."""
+    v = _tag_raw(block, tag)
+    return F.when(v.isNotNull(), decode_entities(v))
 
 
 def sitemap_kind(xml: Column) -> Column:
@@ -78,17 +89,81 @@ def parse_sitemaps(
 ) -> DataFrame:
     """Parse a table of sitemap bodies: keeps ``key_cols``, adds ``kind``,
     ``urls`` (array, empty for an index) and ``children`` (array, empty
-    for a urlset). One projection — callers explode whichever side they
-    need and, for indexes, join ``children`` back against fetched child
-    bodies and re-parse (single-level by protocol)."""
+    for a urlset). Callers explode whichever side they need and, for
+    indexes, join ``children`` back against fetched child bodies and
+    re-parse (single-level by protocol).
+
+    Staged with Generate barriers: the raw per-block field structs
+    evaluate ONCE (CollapseProject would otherwise re-inline the block
+    regexes into each of the three field projections), and entity
+    decoding runs as THREE array-level SQL-decoder calls at the top
+    level — per-field decode_entities inside the block lambda would
+    build the slow Column twin per field (driver py4j cost) and
+    evaluate interpreted."""
+    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.html import decode_entities_array
+
     x = F.col(xml_col).cast("string")
-    return df.select(
-        *key_cols,
-        sitemap_kind(x).alias("kind"),
-        F.when(sitemap_kind(x) == "urlset", sitemap_urls(x))
-        .otherwise(F.expr("array()").cast("array<struct<loc:string,lastmod:string,priority:string>>"))
-        .alias("urls"),
-        F.when(sitemap_kind(x) == "index", sitemap_children(x))
-        .otherwise(F.expr("array()").cast("array<string>"))
-        .alias("children"),
+    empty_struct = (
+        "array()"  # typed empty for the non-matching kind
+    )
+    base = df.select(*key_cols, sitemap_kind(x).alias("kind"), x.alias("__x"))
+    raw = F.when(
+        F.col("kind") == "urlset",
+        F.transform(
+            F.regexp_extract_all(F.col("__x"), F.lit(_URL_BLOCK), F.lit(0)),
+            lambda b: F.struct(
+                _tag_raw(b, "loc").alias("loc"),
+                _tag_raw(b, "lastmod").alias("lastmod"),
+                _tag_raw(b, "priority").alias("priority"),
+            ),
+        ),
+    ).otherwise(
+        F.expr(empty_struct).cast(
+            "array<struct<loc:string,lastmod:string,priority:string>>"
+        )
+    )
+    ch_raw = F.when(
+        F.col("kind") == "index",
+        F.transform(
+            F.regexp_extract_all(F.col("__x"), F.lit(_SM_BLOCK), F.lit(0)),
+            lambda b: _tag_raw(b, "loc"),
+        ),
+    ).otherwise(F.expr(empty_struct).cast("array<string>"))
+    base = _barrier(base, raw, "__raw")
+    base = _barrier(
+        base,
+        decode_entities_array(F.transform(F.col("__raw"), lambda e: e["loc"])),
+        "__locs",
+    )
+    base = _barrier(
+        base,
+        decode_entities_array(
+            F.transform(F.col("__raw"), lambda e: e["lastmod"])
+        ),
+        "__lms",
+    )
+    base = _barrier(
+        base,
+        decode_entities_array(
+            F.transform(F.col("__raw"), lambda e: e["priority"])
+        ),
+        "__prs",
+    )
+    urls = F.filter(
+        F.transform(
+            F.col("__locs"),
+            lambda v, i: F.struct(
+                v.alias("loc"),
+                F.get(F.col("__lms"), i).alias("lastmod"),
+                F.get(F.col("__prs"), i).alias("priority"),
+            ),
+        ),
+        lambda e: e["loc"].isNotNull(),
+    )
+    children = F.filter(
+        decode_entities_array(ch_raw), lambda v: v.isNotNull()
+    )
+    return base.select(
+        *key_cols, "kind", urls.alias("urls"), children.alias("children")
     )
