@@ -256,6 +256,14 @@ def main() -> None:
         "robots -> politeness window, SQL-replayed) and entity_decode "
         "(83) gates a 64-case WHATWG named-entity panel with "
         "literal-stated expectations",
+        "r7 perf recovery: the first full-table decoder cost ~1.1s of "
+        "driver py4j PER CALL SITE (+5-12s on every decode-heavy "
+        "query); now a per-session SQL function (scalar+array forms, "
+        "analyzer-inlined) with 101-way bucket-sharded lookups - "
+        "crawl_plan 27.7->5.8s, boilerplate 11.3->2.7s, html_metadata "
+        "6.6->1.2s, feeds 15.3->4.7s at sf0.1; text_consistency "
+        "carries REAL new work (every %3==2 space decodes through "
+        "&nbsp;)",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
