@@ -4,6 +4,12 @@ parquet, compare row count + schema-width + order-insensitive value hash
 (columns sorted by name, rows sorted, values canonicalized).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes the full structured result (one record per
+query in the driver CORRECTNESS format: rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) — the per-round witness
+artifact for entries past the driver's ~50-slot recording window.
 """
 
 from __future__ import annotations
@@ -73,8 +79,13 @@ def value_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(app_name="correctness-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -83,6 +94,21 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
+    records = {}
+
+    def record(name, srows=None, orows=None, problems=None, err=None):
+        ok = err is None and not problems
+        records[name] = {
+            "rows_match": ok or (srows is not None and orows is not None
+                                 and len(srows) == len(orows)),
+            "schema_match": ok or not any(
+                p.startswith("schema") for p in (problems or [])),
+            "hash_match": ok,
+            "spark_rows": len(srows) if srows is not None else None,
+            "oracle_rows": len(orows) if orows is not None else None,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -92,11 +118,16 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record(name, err=f"spark error: {e}")
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?  {name}: rows-only check, {len(srows)} rows")
+            record(name, srows=srows, orows=None,
+                   err="rows-only (no oracle_sql entry)")
+            records[name]["hash_match"] = None
+            records[name]["err"] = None
             n_pass += 1
             continue
         try:
@@ -111,6 +142,7 @@ def main():
             orows = [tuple(_coerce(v) for v in r) for r in odf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, srows=srows, err=f"duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
@@ -134,6 +166,7 @@ def main():
                 for a, b in diff:
                     problems.append(f"  spark : {a[:160]}")
                     problems.append(f"  oracle: {b[:160]}")
+        record(name, srows=srows, orows=orows, problems=problems)
         if problems:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
@@ -143,6 +176,19 @@ def main():
             n_pass += 1
             print(f"PASS {name}: {len(srows)} rows")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+        import subprocess
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        with open(json_out, "w") as fh:
+            _json.dump({
+                "sf_dir": sf_dir, "git_head": head,
+                "n_pass": n_pass, "n_fail": n_fail,
+                "queries": records,
+            }, fh, indent=1)
+        print(f"wrote {json_out} ({len(records)} records)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
