@@ -2671,8 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cleaning, density or join error flips rows. NOTE: entry 66,
         # past the driver's ~50-slot recording window;
         # tools/check_correctness.py verifies it either way.
-        from schema_fantasy_spark.ops.boilerplate import block_stats
-        from schema_fantasy_spark.ops.dedup import _barrier
+        from schema_fantasy_spark.ops.boilerplate import with_block_stats
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
@@ -2720,7 +2719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("</body></html>")))
         )
         pages = docs.select("doc_id", page.alias("html"))
-        withstats = _barrier(pages, block_stats(F.col("html")), "stats")
+        # the df-level fast path (array-level entity decode; barriers
+        # inside) — equivalence with block_stats is pytest-pinned
+        withstats = with_block_stats(pages, html_col="html", out_col="stats")
         return withstats.select(
             "doc_id",
             F.size("stats").alias("n_blocks"),

@@ -94,11 +94,85 @@ def remove_boilerplate(html: Column, min_len: int = 20) -> Column:
     )
 
 
+def with_block_stats(
+    df: DataFrame, html_col: str = "html", out_col: str = "stats",
+    min_len: int = 20,
+) -> DataFrame:
+    """DataFrame-level :func:`block_stats` — the fast path: raw
+    per-block tag stripping stays in cheap lambdas, entity decoding
+    runs as TWO array-level SQL-decoder calls at the top level (the
+    Column form's per-block decode_entities builds the slow Column
+    twin — ops/html.py's py4j-tax note), and Generate barriers pin
+    each array to one evaluation (CollapseProject re-inlines
+    otherwise). Output column and semantics identical to
+    ``block_stats`` (equivalence-tested)."""
+    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.html import decode_entities_array
+
+    s = F.col(html_col).cast("string")
+    s = F.regexp_replace(s, r"(?is)<script\b.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<head\b.*?</head\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    base = _barrier(df, F.split(s, _BLOCK_TAG), "__blocks")
+    stripped = F.transform(
+        F.col("__blocks"), lambda b: F.regexp_replace(b, _TAG, " ")
+    )
+    astripped = F.transform(
+        F.col("__blocks"),
+        lambda b: F.regexp_replace(
+            F.array_join(F.regexp_extract_all(b, F.lit(_ANCHOR), 1), " "),
+            _TAG, " ",
+        ),
+    )
+    collapse = lambda v: F.trim(F.regexp_replace(v, r"\s+", " "))  # noqa: E731
+    base = _barrier(
+        base,
+        F.transform(decode_entities_array(stripped), collapse),
+        "__bt",
+    )
+    base = _barrier(
+        base,
+        F.transform(decode_entities_array(astripped), collapse),
+        "__at",
+    )
+    stats = F.filter(
+        F.transform(
+            F.col("__bt"),
+            lambda v, i: F.struct(
+                v.alias("text"),
+                F.length(v).cast("int").alias("text_len"),
+                F.length(F.get(F.col("__at"), i)).cast("int")
+                .alias("anchor_len"),
+                (
+                    (F.length(v) >= F.lit(min_len))
+                    & (F.length(F.get(F.col("__at"), i)) * 2 <= F.length(v))
+                ).alias("content"),
+            ),
+        ),
+        lambda b: b["text_len"] > 0,
+    )
+    return base.select(
+        *[c for c in df.columns], stats.alias(out_col)
+    )
+
+
 def with_boilerplate_removed(
     df: DataFrame, html_col: str = "html", out_col: str = "content_text",
     min_len: int = 20,
 ) -> DataFrame:
-    """Append the boilerplate-free content-text column."""
-    return df.withColumn(
-        out_col, remove_boilerplate(F.col(html_col).cast("string"), min_len)
-    )
+    """Append the boilerplate-free content-text column (through the
+    fast df-level stats path)."""
+    tmp = "__sfs_bstats"
+    staged = with_block_stats(df, html_col=html_col, out_col=tmp,
+                              min_len=min_len)
+    return staged.withColumn(
+        out_col,
+        F.array_join(
+            F.transform(
+                F.filter(F.col(tmp), lambda b: b["content"]),
+                lambda b: b["text"],
+            ),
+            " ",
+        ),
+    ).drop(tmp)

@@ -66,3 +66,29 @@ def test_with_boilerplate_removed_binary_and_plan(spark):
     assert out.collect()[0].content_text.startswith("Real content")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure Column work
+
+
+def test_with_block_stats_equals_column_form(spark):
+    """The df-level fast path (array-level SQL entity decode behind
+    Generate barriers) must return exactly what the Column-form
+    block_stats returns, row for row, struct for struct."""
+    from schema_fantasy_spark.ops.boilerplate import with_block_stats
+    from schema_fantasy_spark.ops.dedup import _barrier
+
+    htmls = [
+        "<html><body><p>a long enough content paragraph with words "
+        "and caf&eacute; &amp; entities</p>"
+        '<div><a href="/x">nav one</a> <a href="/y">nav two</a></div>'
+        "<p>short</p><footer>f &copy; 2026</footer></body></html>",
+        "<p></p>",
+        "<div>exactly at the density boundary "
+        '<a href="q">half of everything here is anchor text ok</a>'
+        " trailing words</div>",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(htmls)],
+                               "i long, html string")
+    fast = {r["i"]: [tuple(b) for b in r["stats"]]
+            for r in with_block_stats(df, html_col="html").collect()}
+    slow = {r["i"]: [tuple(b) for b in r["stats"]]
+            for r in _barrier(df, block_stats(F.col("html")), "stats").collect()}
+    assert fast == slow and len(fast) == 3
