@@ -1748,7 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expansion error flips a value. NOTE: entry 55, past the
         # driver's ~50-slot recording window; tools/check_correctness.py
         # verifies it either way.
-        from schema_fantasy_spark.ops.sitemap import parse_sitemaps, sitemap_urls
+        from schema_fantasy_spark.ops.sitemap import parse_sitemaps
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
@@ -1828,11 +1828,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(cbase, F.lit("/sm/"), cs, F.lit(".xml")).alias("child_url"),
             child_body.alias("body"),
         )
-        expanded = (
+        # Re-parse fetched child bodies through the DataFrame-level
+        # parser: the Column-level sitemap_urls builds the interpreted
+        # decoder twin per field (~1.5 s of driver py4j per call site —
+        # CLAUDE.md trap 16), while parse_sitemaps reaches the SQL
+        # decoder. Parent kind is staged as pkind because parse_sitemaps
+        # emits its own kind column (and rejects the collision).
+        fetched = (
             parsed.filter(F.col("kind") == "index")
-            .select("host", "kind", F.explode("children").alias("child_url"))
+            .select(
+                "host", F.col("kind").alias("pkind"),
+                F.explode("children").alias("child_url"),
+            )
             .join(child_tbl, "child_url")
-            .select("host", "kind", F.explode(sitemap_urls(F.col("body"))).alias("u"))
+            .withColumnRenamed("body", "sitemap_xml")
+        )
+        expanded = parse_sitemaps(fetched, key_cols=("host", "pkind")).select(
+            "host", F.col("pkind").alias("kind"),
+            F.explode("urls").alias("u"),
         )
         direct = parsed.filter(F.col("kind") == "urlset").select(
             "host", "kind", F.explode("urls").alias("u")

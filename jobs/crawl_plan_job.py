@@ -31,8 +31,12 @@ ships and gates:
        reads exactly its own files) + ONE JSON stats line on stdout
        with the full funnel: n_listed -> n_distinct -> n_new ->
        n_allowed -> n_scheduled (plus capped-out count and max queue
-       depth), accounting computed in ONE aggregation pass over the
-       annotated frame, the filter_funnel discipline.
+       depth). Candidate accounting is ONE aggregation pass over the
+       annotated frame (per-key spelling counts fold n_listed in,
+       novelty and governance are per-row flags — the filter_funnel
+       discipline, no rescans of earlier stages); queue stats are one
+       further bounded pass over the scheduled plan, which only exists
+       after the host window.
 
 100 TB shape: the url side shuffles exactly twice (the canonical-key
 dedup and the host window inside schedule_fetches) plus the final
@@ -90,23 +94,33 @@ def main() -> int:
         .select("host", F.col("u")["loc"].alias("url"))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
     )
-    n_listed = listed.count()
 
-    # 2. one row per canonical url (min spelling is the stable pick)
+    # 2. one row per canonical url (min spelling is the stable pick);
+    # the per-key spelling count folds n_listed into the candidate frame
+    # so funnel accounting never rescans the parse output
     cand = (
         listed.withColumn("url_key", canonicalize_url(F.col("url")))
         .groupBy("url_key")
-        .agg(F.min("url").alias("url"), F.min("host").alias("host"))
+        .agg(F.min("url").alias("url"), F.min("host").alias("host"),
+             F.count(F.lit(1)).alias("n_spellings"))
     )
 
-    # 3. novelty — already-crawled urls wait for --recrawl cycles
+    # 3. novelty — ANNOTATE rather than drop (the filter-funnel
+    # discipline: each stage is a per-row flag so one aggregation pass
+    # yields every funnel count; already-crawled urls wait for
+    # --recrawl cycles via the is_new filter before scheduling)
     if args.crawled and not args.recrawl:
         crawled = (
             spark.read.parquet(args.crawled)
             .select(canonicalize_url(F.col("url")).alias("url_key"))
             .distinct()
+            .withColumn("__seen", F.lit(True))
         )
-        cand = cand.join(crawled, "url_key", "left_anti")
+        cand = cand.join(crawled, "url_key", "left").withColumn(
+            "is_new", F.col("__seen").isNull()
+        ).drop("__seen")
+    else:
+        cand = cand.withColumn("is_new", F.lit(True))
 
     # 4. governance
     if args.robots:
@@ -126,7 +140,7 @@ def main() -> int:
         )
 
     plan = schedule_fetches(
-        cand.filter(F.col("allowed")),
+        cand.filter(F.col("is_new") & F.col("allowed")),
         host_col="host", url_col="url", delay_col="crawl_delay",
         default_delay=args.default_delay, num_shards=args.num_shards,
         per_host_cap=None,  # cap accounted below, then applied
@@ -135,15 +149,17 @@ def main() -> int:
     in_cap = F.lit(True) if cap is None else (F.col("seq") < F.lit(cap))
     plan = plan.withColumn("in_cap", in_cap)
 
-    # ONE accounting pass over the annotated frame (the funnel
-    # discipline: distinct/new come from the frame itself, not rescans)
+    # ONE accounting pass over the annotated candidate frame: listed/
+    # distinct/new/allowed all come from per-row annotations (spelling
+    # counts, is_new, allowed), never from rescans of earlier stages
     stats_row = (
-        cand.select(
-            F.lit(1).alias("one"),
-            F.col("allowed").cast("long").alias("a"),
-        )
-        .agg(F.count("one").alias("n_new"), F.sum("a").alias("n_allowed"))
-        .collect()[0]
+        cand.agg(
+            F.sum("n_spellings").alias("n_listed"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("is_new").cast("long")).alias("n_new"),
+            F.sum((F.col("is_new") & F.col("allowed")).cast("long"))
+            .alias("n_allowed"),
+        ).collect()[0]
     )
     sched = (
         plan.agg(
@@ -162,8 +178,9 @@ def main() -> int:
     ).partitionBy("shard").parquet(args.output)
 
     print(json.dumps({
-        "n_listed": int(n_listed),
-        "n_new": int(stats_row["n_new"]),
+        "n_listed": int(stats_row["n_listed"] or 0),
+        "n_distinct": int(stats_row["n_distinct"]),
+        "n_new": int(stats_row["n_new"] or 0),
         "n_allowed": int(stats_row["n_allowed"] or 0),
         "n_scheduled": int(sched["n_scheduled"] or 0),
         "n_capped_out": int(sched["n_capped_out"] or 0),

@@ -106,9 +106,12 @@ def with_block_stats(
     each array to one evaluation (CollapseProject re-inlines
     otherwise). Output column and semantics identical to
     ``block_stats`` (equivalence-tested)."""
-    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free, _barrier
     from schema_fantasy_spark.ops.html import decode_entities_array
 
+    _assert_staging_free(
+        df, "__blocks", "__bt_raw", "__at_raw", "__bt", "__at", out_col
+    )
     s = F.col(html_col).cast("string")
     s = F.regexp_replace(s, r"(?is)<script\b.*?</script\s*>", " ")
     s = F.regexp_replace(s, r"(?is)<style\b.*?</style\s*>", " ")
@@ -126,15 +129,28 @@ def with_block_stats(
         ),
     )
     collapse = lambda v: F.trim(F.regexp_replace(v, r"\s+", " "))  # noqa: E731
-    base = _barrier(
-        base,
-        F.transform(decode_entities_array(stripped), collapse),
-        "__bt",
+    # The raw (tag-stripped) arrays must reach decode_entities_array as
+    # BARE column references or the SQL array decoder silently falls back
+    # to the interpreted Column twin (a transform(...) argument carries
+    # bound lambda vars the free-variable guard can't clear). Each raw
+    # column is consumed exactly once, so CollapseProject inlining it into
+    # its decode barrier evaluates the strip regexes once per row.
+    base = base.select(
+        "*", stripped.alias("__bt_raw"), astripped.alias("__at_raw")
+    )
+    # Decode in a plain Project (a SQL UDF inside Generate is
+    # UNSUPPORTED_SQL_UDF_USAGE), then pin the collapsed arrays behind
+    # Generate barriers so the per-index lambda below can't re-inline them.
+    base = base.select(
+        "*",
+        decode_entities_array(F.col("__bt_raw")).alias("__bt_dec"),
+        decode_entities_array(F.col("__at_raw")).alias("__at_dec"),
     )
     base = _barrier(
-        base,
-        F.transform(decode_entities_array(astripped), collapse),
-        "__at",
+        base, F.transform(F.col("__bt_dec"), collapse), "__bt"
+    )
+    base = _barrier(
+        base, F.transform(F.col("__at_dec"), collapse), "__at"
     )
     stats = F.filter(
         F.transform(
@@ -164,6 +180,9 @@ def with_boilerplate_removed(
     """Append the boilerplate-free content-text column (through the
     fast df-level stats path)."""
     tmp = "__sfs_bstats"
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free
+
+    _assert_staging_free(df, tmp)
     staged = with_block_stats(df, html_col=html_col, out_col=tmp,
                               min_len=min_len)
     return staged.withColumn(

@@ -121,6 +121,19 @@ def _barrier(df: DataFrame, expr: Column, name: str) -> DataFrame:
     return df.select("*", F.explode(F.array(expr)).alias(name))
 
 
+def _assert_staging_free(df: DataFrame, *names: str) -> None:
+    """Refuse to stage through internal column names the caller's
+    DataFrame already carries — silently clobbering (or an ambiguous
+    reference deep in a parser pipeline) is strictly worse than an
+    upfront error naming the conflict."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            "input DataFrame already has internal staging column(s) "
+            f"{clash}; rename them before calling this parser"
+        )
+
+
 def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Spread compute-heavy HOF stages across cores: higher-order-function
     folds evaluate interpreted and inherit the SCAN's parallelism, so a

@@ -102,10 +102,15 @@ def parse_feeds(
     evaluate once behind a Generate barrier, entity decoding runs as
     four ARRAY-level SQL-decoder calls at the top level (per-field
     decode inside the block lambda would build the slow Column twin)."""
-    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free, _barrier
     from schema_fantasy_spark.ops.html import decode_entities_array
     from schema_fantasy_spark.ops.sitemap import _tag_raw
 
+    _assert_staging_free(
+        df.select(*key_cols), "kind", "feed_title", "__x", "__raw",
+        *(f"__{f}{sfx}" for f in ("title", "link", "ts", "guid")
+          for sfx in ("", "_raw")),
+    )
     x = F.col(xml_col).cast("string")
     base = df.select(
         *key_cols,
@@ -141,14 +146,25 @@ def parse_feeds(
     def _getter(f):  # closure factory — a `f=field` default would make
         return lambda e: e[f]  # a TWO-param lambda = (element, INDEX)
 
+    # Raw field arrays under bare names first: the SQL array decoder only
+    # engages for plain column references (a transform(...) argument
+    # carries bound lambda vars and falls back to the interpreted twin —
+    # the round-7 regression). Each raw column is consumed exactly once.
+    base = base.select(
+        "*",
+        *(F.transform(F.col("__raw"), _getter(f)).alias(f"__{f}_raw")
+          for f in ("title", "link", "ts", "guid")),
+    )
+    # Decode in a plain Project (a SQL UDF inside Generate is
+    # UNSUPPORTED_SQL_UDF_USAGE), then pin each decoded array behind a
+    # Generate barrier so downstream lambda references don't re-inline it.
+    base = base.select(
+        "*",
+        *(decode_entities_array(F.col(f"__{f}_raw")).alias(f"__{f}_dec")
+          for f in ("title", "link", "ts", "guid")),
+    )
     for field in ("title", "link", "ts", "guid"):
-        base = _barrier(
-            base,
-            decode_entities_array(
-                F.transform(F.col("__raw"), _getter(field))
-            ),
-            f"__{field}",
-        )
+        base = _barrier(base, F.col(f"__{field}_dec"), f"__{field}")
     entries = F.filter(
         F.transform(
             F.col("__title"),

@@ -34,7 +34,13 @@ a browser-grade HTML5 parser — scope documented per step):
    * numeric character references, decimal and hex, for EVERY valid
      Unicode scalar value 1..0x10FFFF — BMP code points via a two-byte
      UTF-16BE decode built in-expression, supplementary-plane ones via
-     an in-expression surrogate pair (``&#128512;`` -> 😀).
+     an in-expression surrogate pair (``&#128512;`` -> 😀). Leading
+     zeros are accepted to any length (``&#0000097;`` -> ``a``,
+     ``&#x0000041;`` -> ``A``): the patterns strip ``0*`` before
+     capping significant digits at 9 decimal / 6 hex, which covers
+     every valid scalar — a reference whose significant digits exceed
+     the cap is out of range and passes through unchanged like any
+     other invalid reference.
 
    ``&amp;lt;`` therefore yields the literal ``&lt;``. Documented
    divergences from ``html.unescape`` (asserted in tests): numeric
@@ -171,6 +177,14 @@ def _sql_lit(s: str) -> str:
 
 _FN = "sfs_decode_entities"
 
+#: numeric-reference captures, shared by the SQL body and the Column
+#: twin. ``0*`` strips leading zeros so the significant-digit caps
+#: (9 decimal / 6 hex — every valid scalar fits) don't reject padded
+#: but valid references like ``&#0000097;``; the captured group keeps
+#: the zeros so consumed-length arithmetic stays ``length(m) + 3/4``.
+_DEC_RE = r"^#(0*[0-9]{1,9});"
+_HEX_RE = r"^#[xX](0*[0-9A-Fa-f]{1,6});"
+
 
 def _decode_body_sql(var: str = "s") -> str:
     """The decoder as a SQL expression string over ``var`` — identical
@@ -208,8 +222,8 @@ def _decode_body_sql(var: str = "s") -> str:
         )
 
     span_re = _sql_lit(r"^([a-zA-Z][a-zA-Z0-9]{0,31};?)")
-    dec_re = _sql_lit(r"^#([0-9]{1,7});")
-    hex_re = _sql_lit(r"^#[xX]([0-9A-Fa-f]{1,6});")
+    dec_re = _sql_lit(_DEC_RE)
+    hex_re = _sql_lit(_HEX_RE)
     codepoint = (
         "decode(unhex(CASE WHEN x.dv < 65536 THEN lpad(hex(x.dv), 4, '0') "
         "ELSE concat("
@@ -351,11 +365,11 @@ def _decode_entities_columns(s: Column) -> Column:
             ).alias("vf"),
             F.when(
                 is_num(x["t"]),
-                F.regexp_extract(x["t"], r"^#([0-9]{1,7});", 1),
+                F.regexp_extract(x["t"], _DEC_RE, 1),
             ).otherwise(F.lit("")).alias("dec"),
             F.when(
                 is_num(x["t"]),
-                F.regexp_extract(x["t"], r"^#[xX]([0-9A-Fa-f]{1,6});", 1),
+                F.regexp_extract(x["t"], _HEX_RE, 1),
             ).otherwise(F.lit("")).alias("hexd"),
         ),
     )

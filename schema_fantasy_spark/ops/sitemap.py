@@ -100,9 +100,13 @@ def parse_sitemaps(
     level — per-field decode_entities inside the block lambda would
     build the slow Column twin per field (driver py4j cost) and
     evaluate interpreted."""
-    from schema_fantasy_spark.ops.dedup import _barrier
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free, _barrier
     from schema_fantasy_spark.ops.html import decode_entities_array
 
+    _assert_staging_free(
+        df.select(*key_cols), "kind", "__x", "__raw", "__locs_raw",
+        "__lms_raw", "__prs_raw", "__ch_raw", "__locs", "__lms", "__prs",
+    )
     x = F.col(xml_col).cast("string")
     empty_struct = (
         "array()"  # typed empty for the non-matching kind
@@ -131,25 +135,34 @@ def parse_sitemaps(
         ),
     ).otherwise(F.expr(empty_struct).cast("array<string>"))
     base = _barrier(base, raw, "__raw")
-    base = _barrier(
-        base,
-        decode_entities_array(F.transform(F.col("__raw"), lambda e: e["loc"])),
-        "__locs",
+    # Project the per-field RAW arrays under bare names BEFORE decoding:
+    # decode_entities_array must receive a plain column reference for the
+    # SQL decoder to engage — a transform(...) argument carries BOUND
+    # lambda variables, which the conservative free-variable guard cannot
+    # distinguish from free ones, so it would silently fall back to the
+    # interpreted Column twin (the round-7 regression). Each raw column
+    # is referenced exactly once (by its decode barrier), so CollapseProject
+    # inlining it there evaluates the cheap field-extraction transform once.
+    base = base.select(
+        "*",
+        F.transform(F.col("__raw"), lambda e: e["loc"]).alias("__locs_raw"),
+        F.transform(F.col("__raw"), lambda e: e["lastmod"]).alias("__lms_raw"),
+        F.transform(F.col("__raw"), lambda e: e["priority"]).alias("__prs_raw"),
+        ch_raw.alias("__ch_raw"),
     )
-    base = _barrier(
-        base,
-        decode_entities_array(
-            F.transform(F.col("__raw"), lambda e: e["lastmod"])
-        ),
-        "__lms",
+    # Decode in a plain Project (a SQL UDF inside Generate is
+    # UNSUPPORTED_SQL_UDF_USAGE), then pin each decoded array behind a
+    # Generate barrier — Generate does not inline Project aliases, so the
+    # decode evaluates once even though downstream lambdas reference it.
+    base = base.select(
+        "*",
+        decode_entities_array(F.col("__locs_raw")).alias("__locs_dec"),
+        decode_entities_array(F.col("__lms_raw")).alias("__lms_dec"),
+        decode_entities_array(F.col("__prs_raw")).alias("__prs_dec"),
     )
-    base = _barrier(
-        base,
-        decode_entities_array(
-            F.transform(F.col("__raw"), lambda e: e["priority"])
-        ),
-        "__prs",
-    )
+    base = _barrier(base, F.col("__locs_dec"), "__locs")
+    base = _barrier(base, F.col("__lms_dec"), "__lms")
+    base = _barrier(base, F.col("__prs_dec"), "__prs")
     urls = F.filter(
         F.transform(
             F.col("__locs"),
@@ -162,7 +175,7 @@ def parse_sitemaps(
         lambda e: e["loc"].isNotNull(),
     )
     children = F.filter(
-        decode_entities_array(ch_raw), lambda v: v.isNotNull()
+        decode_entities_array(F.col("__ch_raw")), lambda v: v.isNotNull()
     )
     return base.select(
         *key_cols, "kind", urls.alias("urls"), children.alias("children")

@@ -68,6 +68,7 @@ def test_crawl_plan_job_end_to_end(spark, tmp_path, monkeypatch):
     # funnel: 11 listed -> 10 distinct, 3 crawled away -> 7 new,
     # 1 robots-killed -> 6 allowed, cap 2/host -> 4 scheduled, 2 capped
     assert stats["n_listed"] == 11
+    assert stats["n_distinct"] == 10
     assert stats["n_new"] == 7
     assert stats["n_allowed"] == 6
     assert stats["n_scheduled"] == 4

@@ -40,10 +40,18 @@ def test_extract_text_hand_cases(spark):
         ("&#x4E2D;&#20013;", "中中"),
         ("&#128512; &#x1F600;", "\U0001f600 \U0001f600"),
         ("&#x10FFFF;", "\U0010ffff"),                   # range ceiling
+        # leading zeros are accepted to any length (html.unescape parity)
+        ("&#0000097;&#x0000041;", "aA"),
+        ("&#00000000000000097;", "a"),
+        ("&#x000000000001F600;", "\U0001f600"),
         # invalid refs pass through: malformed, &#0;, surrogates, beyond
-        # the Unicode range, overlong digit strings
+        # the Unicode range, overlong digit strings (with or without
+        # leading-zero padding — significant digits past the cap are out
+        # of Unicode range by construction)
         ("&#; &#xZZ; &#0; &#xD800; &#1114112; &#99999999;",
          "&#; &#xZZ; &#0; &#xD800; &#1114112; &#99999999;"),
+        ("&#0999999999999; &#x0FFFFFFFF;",
+         "&#0999999999999; &#x0FFFFFFFF;"),
         # whitespace collapse + trim
         ("  <p>\n  a \t b  </p>\n ", "a b"),
         ("<br/>line<br>break", "line break"),

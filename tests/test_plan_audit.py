@@ -429,3 +429,60 @@ def test_column_stats_single_scan(spark, sf_dir="/root/testdata/sf0.001"):
     pct = tc.percentiles(li, ["l_extendedprice", "l_quantity"])
     profile = stats.join(F.broadcast(pct), "col_name", "left")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan_of(profile))) == 2
+
+
+def test_array_decoder_sql_path_engages(spark):
+    """The HOF-heavy parsers (sitemaps, feeds, boilerplate) must reach
+    the SQL array decoder — their round-7 shape passed a transform(...)
+    argument whose BOUND lambda variables tripped the conservative
+    free-variable guard, silently falling back to the interpreted Column
+    twin at every call site (semantics identical, but the documented
+    driver-py4j/interpreted-HOF cost was still paid). The restage
+    projects raw arrays under bare names, decodes in a plain Project
+    (a SQL UDF inside Generate is UNSUPPORTED_SQL_UDF_USAGE), and
+    barriers the decoded column; the analyzed plan must therefore show
+    the registered function, and the optimized sitemap plan must inline
+    it exactly once per decoded field (3 fields + children = 4)."""
+    from schema_fantasy_spark.ops.boilerplate import with_block_stats
+    from schema_fantasy_spark.ops.feeds import parse_feeds
+    from schema_fantasy_spark.ops.sitemap import parse_sitemaps
+
+    sm = spark.createDataFrame(
+        [("h", "<urlset></urlset>")], "host string, sitemap_xml string"
+    )
+    out = parse_sitemaps(sm)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "sfs_decode_entities_arr" in analyzed
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_join(transform(") == 4, optimized
+
+    fd = spark.createDataFrame(
+        [("h", "<rss></rss>")], "host string, feed_xml string"
+    )
+    assert "sfs_decode_entities_arr" in (
+        parse_feeds(fd)._jdf.queryExecution().analyzed().toString()
+    )
+
+    bp = spark.createDataFrame([(bytearray(b"<p>x</p>"),)], "html binary")
+    assert "sfs_decode_entities_arr" in (
+        with_block_stats(bp)._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_parsers_reject_staging_name_collisions(spark):
+    """Staging through fixed internal names must fail loudly when the
+    caller's DataFrame already carries one (silent clobber otherwise)."""
+    from schema_fantasy_spark.ops.boilerplate import with_block_stats
+    from schema_fantasy_spark.ops.sitemap import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [("h", "<urlset/>", "clash")],
+        "host string, sitemap_xml string, __locs string",
+    )
+    with pytest.raises(ValueError, match="__locs"):
+        parse_sitemaps(df, key_cols=("host", "__locs"))
+    bp = spark.createDataFrame(
+        [(bytearray(b"<p>x</p>"), "y")], "html binary, __blocks string"
+    )
+    with pytest.raises(ValueError, match="__blocks"):
+        with_block_stats(bp)
