@@ -1520,6 +1520,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast here only keeps the sf0.01 gate plan exchange-free.
         return frames.join(F.broadcast(cmeta), "doc_id")
 
+    def avc1_metadata_synthetic(spark, sf):
+        # the avc1/H.264 path under the gate — the dominant real-crawl
+        # video format, handled at the metadata/index level (documented
+        # no-decoder stance): a corpus of H.264-in-MP4 files whose tkhd
+        # presentation dims are ZERO, so width/height/profile/level can
+        # only come from parsing the SPS inside the stsd avcC box
+        # (ops/h264.py: Exp-Golomb, emulation prevention, frame-crop
+        # units — dims are mostly not multiples of 16, so real cropping
+        # arithmetic runs per doc), joined with the stss keyframe
+        # byte-range index (parse_mp4_samples stbl walk). The oracle
+        # re-derives every value from the same md5 nibbles and REPLAYS
+        # the sample-size/chunk-offset layout with a window cumulative
+        # sum — any SPS-field, crop-unit, stss, stsz or stco error
+        # flips n_keyframes/last_kf_offset/kf_bytes. Gate-only join
+        # (two operators, one row set), broadcast to stay exchange-free
+        # at sf0.01; at scale the two reads co-partition on doc_id.
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        vids = mm_corpus.synthetic_avc1_videos(docs)
+        meta = multimodal.video_metadata(
+            vids, binary_col="payload", id_col="doc_id"
+        ).select(
+            "doc_id", "codec", "profile_idc", "level_idc",
+            "width", "height", "n_frames", "duration_sec",
+        )
+        kstats = (
+            multimodal.video_frame_index(
+                vids, binary_col="payload", id_col="doc_id",
+                keyframes_only=True,
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_keyframes"),
+                F.max("offset").alias("last_kf_offset"),
+                F.sum("size").alias("kf_bytes"),
+            )
+        )
+        return meta.join(F.broadcast(kstats), "doc_id")
+
     def audio_metadata_synthetic(spark, sf):
         # audio decode under the gate, SIX codec families: 16-bit PCM
         # (stdlib wave), G.711 mu-law and A-law
@@ -3604,7 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitioned_documents": iceberg_partitioned_documents,
         "crawl_plan_documents": crawl_plan_documents,
         "entity_decode_documents": entity_decode_documents,
-        # --- recorded in CORRECTNESS_r01-r07; ~12 more fit the window ---
+        "avc1_metadata_synthetic": avc1_metadata_synthetic,
+        # --- recorded in CORRECTNESS_r01-r07; ~11 more fit the window ---
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
@@ -4485,6 +4528,45 @@ def oracle_sql() -> dict[str, str]:
       FROM f, unnest(range(0, nf, 2)) AS t(frame_idx)
     """
 
+    # the avc1 oracle REPLAYS the encode_mp4_avc1 layout: per-sample
+    # sizes (4-byte NAL length + (200|40) + 8*(j%3) body), keyframes at
+    # every ke-th sample (stss), offsets = 32 (ftyp 24 + mdat header 8)
+    # plus a window cumulative sum — exactly the stsz/stsc/stco walk.
+    # Dims/profile/level restate ops/mm_corpus.avc1_params closed-form;
+    # duration = nf/8 s is an exact multiple of 125 ms (no float fuzz).
+    avc1_meta_sql = _mm_cte + """
+    , f AS (SELECT doc_id,
+                   320 + 2 * n10 AS width, 180 + 2 * n11 AS height,
+                   24 + n12 AS nf,
+                   CASE n13 % 4 WHEN 0 THEN 66 WHEN 1 THEN 77
+                        WHEN 2 THEN 100 ELSE 122 END AS profile_idc,
+                   CASE n14 % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                        WHEN 2 THEN 40 ELSE 41 END AS level_idc,
+                   4 + n9 % 3 AS ke
+              FROM n),
+    s AS (SELECT doc_id, ke, j,
+                 CAST(CASE WHEN j % ke = 0 THEN 204 + 8 * (j % 3)
+                           ELSE 44 + 8 * (j % 3) END AS BIGINT) AS sz
+            FROM f, unnest(range(0, nf)) AS t(j)),
+    o AS (SELECT doc_id, j, sz, (j % ke = 0) AS kf,
+                 32 + COALESCE(SUM(sz) OVER (
+                     PARTITION BY doc_id ORDER BY j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS off
+            FROM s),
+    k AS (SELECT doc_id,
+                 CAST(COUNT(*) FILTER (WHERE kf) AS INTEGER) AS n_keyframes,
+                 CAST(MAX(off) FILTER (WHERE kf) AS BIGINT)
+                     AS last_kf_offset,
+                 CAST(SUM(sz) FILTER (WHERE kf) AS BIGINT) AS kf_bytes
+            FROM o GROUP BY doc_id)
+    SELECT f.doc_id, 'avc1' AS codec, profile_idc, level_idc,
+           width, height, CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf AS DOUBLE) / 8 AS duration_sec,
+           k.n_keyframes, k.last_kf_offset, k.kf_bytes
+      FROM f JOIN k ON f.doc_id = k.doc_id
+    """
+
     # rms per codec family (n14 % 3): PCM square wave amp/32768;
     # G.711 rows replay the ITU expansion formulas on the coded
     # (exp, mant) pair — mu-law ((mant*8+132)<<exp)-132, A-law
@@ -4803,6 +4885,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_synthetic": image_decode_sql,
         "jpeg_decode_synthetic": jpeg_decode_sql,
         "video_frames_synthetic": video_frames_sql,
+        "avc1_metadata_synthetic": avc1_meta_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         # the charset-family suffix + (charset, source) labels replay
         # from the same md5-nibble derivation the corpus generator uses;

@@ -311,6 +311,57 @@ def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFra
         run, PAYLOAD_SCHEMA)
 
 
+def avc1_params(doc_id: int, nib: list | None = None):
+    """(width, height, n_frames, profile_idc, level_idc, keyframe_every)
+    for the H.264-in-MP4 metadata corpus. Dims are EVEN but mostly not
+    multiples of 16, so the SPS carries real frame-cropping values (the
+    4:2:0 crop-unit path); profile splits baseline/main/high/high422
+    (the high ones exercise the chroma/bit-depth SPS branch), level and
+    keyframe cadence vary; fps is fixed at 8 so duration = nf/8 is an
+    exact multiple of 125 ms the DuckDB oracle recomputes with no float
+    fuzz."""
+    nib = _nibbles(doc_id) if nib is None else nib
+    w = 320 + 2 * nib[9]                       # 320..350, even
+    h = 180 + 2 * nib[10]                      # 180..210, even
+    nf = 24 + nib[11]                          # 24..39
+    profile = [66, 77, 100, 122][nib[12] % 4]
+    level = [30, 31, 40, 41][nib[13] % 4]
+    ke = 4 + nib[8] % 3                        # 4..6
+    return w, h, nf, profile, level, ke
+
+
+def _avc1_payload(doc_id: int) -> bytes:
+    from schema_fantasy_spark.ops.video import encode_mp4_avc1
+
+    w, h, nf, profile, level, ke = avc1_params(doc_id)
+    return encode_mp4_avc1(
+        w, h, nf, fps=8, profile_idc=profile, level_idc=level,
+        keyframe_every=ke,
+    )
+
+
+def synthetic_avc1_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of deterministic H.264-in-MP4 files whose tkhd
+    presentation dims are ZERO — every reported dimension must come from
+    the avcC SPS parse (ops/h264.py), every keyframe position from the
+    stss walk; all emitted values are pure functions of the md5
+    nibbles so the oracle restates them closed-form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "payload": pd.Series([_avc1_payload(i) for i in ids],
+                                     dtype="object"),
+            })
+
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df.select(id_col)).mapInPandas(
+        run, PAYLOAD_SCHEMA)
+
+
 def audio_params(doc_id: int) -> Tuple[int, int, int, bool, int]:
     """(sample_rate, n_frames, amplitude, corrupt, law). ``law`` splits
     the corpus between codecs: 0 = 16-bit PCM, 1 = G.711 mu-law,

@@ -655,16 +655,25 @@ VIDEO_META_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("n_frames", T.LongType(), nullable=True),
     T.StructField("duration_sec", T.DoubleType(), nullable=True),
+    # codec-config slice (ISO-BMFF stsd): fourcc, and for avc1/avc3 the
+    # H.264 profile/level from the avcC SPS (ops/h264.py); NULL for
+    # containers without a parsed codec entry (AVI/MKV skeletons)
+    T.StructField("codec", T.StringType(), nullable=True),
+    T.StructField("profile_idc", T.IntegerType(), nullable=True),
+    T.StructField("level_idc", T.IntegerType(), nullable=True),
 ])
 
 
 def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") -> DataFrame:
     """REAL container metadata for video columns — AVI (RIFF walk),
     MP4/MOV (ISO-BMFF box walk), and Matroska/WebM (EBML walk), all
-    pure struct parsing: dims, frame count, duration. No codec work:
-    this is the header slice training pipelines filter on
-    (resolution/length cuts) before any decode. Unparseable payloads
-    are quarantined at the row level."""
+    pure struct parsing: dims, frame count, duration, plus the stsd
+    codec fourcc and — for ``avc1``/``avc3``, the dominant real-crawl
+    format — H.264 profile/level and the authoritative CODED dims from
+    the avcC SPS (ops/h264.py; tkhd presentation dims may be scaled or
+    zero). Still no codec DECODE work: this is the header slice
+    training pipelines filter on (resolution/length cuts) before any
+    decode. Unparseable payloads are quarantined at the row level."""
     from schema_fantasy_spark.ops.video import (
         EBML_MAGIC,
         parse_avi,
@@ -675,10 +684,12 @@ def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, kinds, ws, hs, nfs, durs = [], [], [], [], [], []
+            codecs, profs, lvls = [], [], []
             for i, payload in zip(pdf[id_col], pdf[binary_col]):
                 if payload is None:
                     continue
                 payload = bytes(payload)
+                codec = prof = lvl = None
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                     m = parse_avi(payload)
                     if m is None:
@@ -696,6 +707,9 @@ def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                     kind = "mp4"
                     dur = m["duration_sec"]
                     nf = m["n_frames"]
+                    codec = m["codec"]
+                    prof = m["profile_idc"]
+                    lvl = m["level_idc"]
                 elif payload[:4] == EBML_MAGIC:
                     m = parse_mkv_header(payload)
                     if m is None or m["width"] is None:
@@ -711,6 +725,9 @@ def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 hs.append(m["height"])
                 nfs.append(nf)
                 durs.append(dur)
+                codecs.append(codec)
+                profs.append(prof)
+                lvls.append(lvl)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "container": pd.Series(kinds, dtype="object"),
@@ -718,6 +735,9 @@ def video_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "id") 
                 "height": pd.Series(hs, dtype="int32"),
                 "n_frames": pd.Series(nfs, dtype="object"),
                 "duration_sec": pd.Series(durs, dtype="object"),
+                "codec": pd.Series(codecs, dtype="object"),
+                "profile_idc": pd.Series(profs, dtype="object"),
+                "level_idc": pd.Series(lvls, dtype="object"),
             })
 
     return df.select(id_col, binary_col).mapInPandas(run, VIDEO_META_SCHEMA)

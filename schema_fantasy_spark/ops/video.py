@@ -153,10 +153,15 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
     training pipelines routinely need exactly this header slice (dims,
     duration) without decode.
 
-    Walks ftyp/moov(mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stsz))))),
-    64-bit box sizes included; dims come from the first video trak's
-    tkhd fixed-point 16.16 fields, duration from mvhd, frame count from
-    that trak's stsz sample_count when present."""
+    Walks ftyp/moov(mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stsz, stsd))))),
+    64-bit box sizes included; duration comes from mvhd, frame count
+    from the video trak's stsz sample_count when present. Dims: for
+    ``avc1``/``avc3`` entries the authoritative CODED dims are parsed
+    from the SPS inside the stsd entry's ``avcC`` box (ops/h264.py —
+    tkhd carries presentation hints that may be scaled or zero), which
+    also yields profile_idc/level_idc; other codecs fall back to the
+    tkhd fixed-point 16.16 fields. The returned dict always carries
+    codec/profile_idc/level_idc keys (None when not applicable)."""
     n = len(payload)
     if n < 16 or payload[4:8] != b"ftyp":
         return None
@@ -179,7 +184,38 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
             yield typ, body, i + size
             i += size
 
-    meta = {"width": None, "height": None, "duration_sec": None, "n_frames": None}
+    meta = {
+        "width": None, "height": None, "duration_sec": None,
+        "n_frames": None, "codec": None, "profile_idc": None,
+        "level_idc": None,
+    }
+
+    def walk_stsd(b: int, e: int) -> dict:
+        """First sample entry of an stsd box: codec fourcc, plus SPS
+        dims/profile/level for avc1/avc3 (avcC child of the
+        VisualSampleEntry, whose fixed part is 78 bytes past its own
+        8-byte box header — ISO 14496-12 §12.1.3)."""
+        got: dict = {}
+        if b + 16 > e:
+            return got
+        fmt = payload[b + 12 : b + 16]
+        got["codec"] = fmt.decode("latin-1")
+        if fmt not in (b"avc1", b"avc3"):
+            return got
+        entry_b = b + 8
+        entry_size = int.from_bytes(payload[entry_b : entry_b + 4], "big")
+        entry_e = min(entry_b + entry_size, e)
+        for t, bb, ee in boxes(entry_b + 86, entry_e):
+            if t == b"avcC":
+                from schema_fantasy_spark.ops.h264 import parse_avcc
+
+                rec = parse_avcc(payload[bb:ee])
+                if rec is not None and rec.get("width"):
+                    got["sps_dims"] = (rec["width"], rec["height"])
+                    got["profile_idc"] = rec["profile_idc"]
+                    got["level_idc"] = rec["level_idc"]
+                break
+        return got
 
     def walk_trak(start: int, end: int):
         got = {}
@@ -207,6 +243,8 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
                                         got["n_frames"] = int.from_bytes(
                                             payload[b4 + 8 : b4 + 12], "big"
                                         )
+                                    elif t4 == b"stsd":
+                                        got.update(walk_stsd(b4, e4))
         return got
 
     for typ, b, e in boxes(0, n):
@@ -226,8 +264,15 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
             elif t1 == b"trak":
                 got = walk_trak(b1, e1)
                 dims = got.get("dims")
-                if dims and dims[0] and dims[1] and meta["width"] is None:
-                    meta["width"], meta["height"] = dims
+                sps_dims = got.get("sps_dims")
+                usable = sps_dims or (dims and dims[0] and dims[1])
+                if usable and meta["width"] is None:
+                    # SPS coded dims are authoritative for avc1/avc3 —
+                    # tkhd presentation dims may be scaled or zero
+                    meta["width"], meta["height"] = sps_dims or dims
+                    meta["codec"] = got.get("codec")
+                    meta["profile_idc"] = got.get("profile_idc")
+                    meta["level_idc"] = got.get("level_idc")
                     if "n_frames" in got:
                         meta["n_frames"] = got["n_frames"]
     if meta["width"] is None and meta["duration_sec"] is None:
@@ -480,6 +525,94 @@ def encode_mp4_mjpeg(
         bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
         + dur.to_bytes(4, "big") + bytes(52)
         + (width << 16).to_bytes(4, "big") + (height << 16).to_bytes(4, "big"),
+    )
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def encode_mp4_avc1(
+    width: int, height: int, n_frames: int, fps: int = 8,
+    profile_idc: int = 66, level_idc: int = 30, keyframe_every: int = 4,
+    chunk_size: int = 2, zero_tkhd_dims: bool = True,
+) -> bytes:
+    """Spec-layout H.264-in-MP4 for the METADATA/INDEX path: ftyp + mdat
+    (length-prefixed filler NAL samples — the engine indexes avc1 by
+    byte range, it does not decode it) + moov whose stbl carries the
+    real tables (stsd 'avc1' VisualSampleEntry with an avcC holding a
+    REAL SPS from ops/h264.encode_sps, stts/stsc/stsz/stco, and an stss
+    marking every ``keyframe_every``-th sample sync). ``zero_tkhd_dims``
+    writes 0x0 presentation dims so a parser that skips the SPS reports
+    nothing — proving dims came from the codec config, which is the
+    whole point of the avc1 metadata path."""
+    from schema_fantasy_spark.ops.h264 import encode_avcc, encode_sps
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    nf = n_frames
+    # deterministic filler samples: a 4-byte NAL length prefix + bytes,
+    # keyframes bigger (as in real streams), sizes a pure function of k
+    samples = []
+    for k in range(nf):
+        body_len = (200 if k % keyframe_every == 0 else 40) + 8 * (k % 3)
+        nal = bytes([(k * 37 + j) & 0xFF for j in range(body_len)])
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+    timescale = fps
+    mdat_body = b"".join(samples)
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomavc1")
+    mdat = box(b"mdat", mdat_body)
+    data_base = len(ftyp) + 8
+
+    chunks = [samples[i : i + chunk_size] for i in range(0, nf, chunk_size)]
+    offsets, off = [], data_base
+    for ch in chunks:
+        offsets.append(off)
+        off += sum(len(s) for s in ch)
+
+    sps = encode_sps(width, height, profile_idc, level_idc)
+    avcc = box(b"avcC", encode_avcc(sps))
+    entry = (
+        bytes(6) + (1).to_bytes(2, "big")          # reserved + data_ref_idx
+        + bytes(16)                                  # predefined/reserved
+        + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + (0x480000).to_bytes(4, "big") * 2          # 72 dpi x/y
+        + bytes(4) + (1).to_bytes(2, "big")          # reserved + frame_count
+        + bytes(32)                                  # compressorname
+        + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
+        + avcc
+    )
+    stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+               + box(b"avc1", entry))
+    stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+               + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsc_entries = [(1, chunk_size, 1)]
+    if nf % chunk_size and len(chunks) > 1:
+        stsc_entries.append((len(chunks), nf % chunk_size, 1))
+    stsc = box(b"stsc", bytes(4) + len(stsc_entries).to_bytes(4, "big")
+               + b"".join(a.to_bytes(4, "big") + b.to_bytes(4, "big")
+                          + c.to_bytes(4, "big") for a, b, c in stsc_entries))
+    stsz = box(b"stsz", bytes(4) + bytes(4) + nf.to_bytes(4, "big")
+               + b"".join(len(s).to_bytes(4, "big") for s in samples))
+    stco = box(b"stco", bytes(4) + len(offsets).to_bytes(4, "big")
+               + b"".join(o.to_bytes(4, "big") for o in offsets))
+    syncs = [k + 1 for k in range(0, nf, keyframe_every)]
+    stss = box(b"stss", bytes(4) + len(syncs).to_bytes(4, "big")
+               + b"".join(s.to_bytes(4, "big") for s in syncs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = box(b"minf", stbl)
+    dur = nf  # timescale = fps -> 1 tick per frame
+    mdhd = box(b"mdhd", bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
+               + dur.to_bytes(4, "big") + bytes(4))
+    mdia = box(b"mdia", mdhd + minf)
+    tw, th = (0, 0) if zero_tkhd_dims else (width, height)
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+        + dur.to_bytes(4, "big") + bytes(52)
+        + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big"),
     )
     trak = box(b"trak", tkhd + mdia)
     mvhd = box(b"mvhd", bytes(4) + bytes(8) + timescale.to_bytes(4, "big")
