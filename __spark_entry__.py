@@ -1780,17 +1780,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sitemap_urls_documents(spark, sf):
         # Sitemap inventory under the gate (ops/sitemap.py): per-host
-        # bodies synthesized in Column exprs — even hosts a urlset of
-        # 2+k%3 entries (escaped-& query locs, lastmod, priority on even
-        # slots only), odd hosts a single-level sitemapindex whose two
-        # child urlsets are joined back by child URL and re-parsed (the
-        # data-driven index expansion the op prescribes). The oracle
-        # states the per-host inventory closed-form from the same
-        # construction — any block/loc/lastmod/priority/entity/index-
-        # expansion error flips a value. NOTE: entry 55 — in the driver's recorded
-        # window since the round-8 rotation; tools/check_correctness.py
-        # verifies all 83 every round.
-        from schema_fantasy_spark.ops.sitemap import parse_sitemaps
+        # bodies synthesized in Column exprs, now spanning the FULL
+        # protocol surface — k%2==0 hosts a urlset of 2+k%3 entries
+        # (escaped-& query locs, lastmod, priority on even slots only),
+        # with the k%4==2 subset DELIVERED GZIPPED (.xml.gz is the
+        # protocol-sanctioned form; with_gunzipped_sitemaps gunzips at
+        # the source seam, so a gunzip error kills those hosts' rows);
+        # k%4==3 hosts a single-level sitemapindex over two child
+        # urlsets; k%4==1 hosts a NESTED index whose children are
+        # themselves indexes over two grandchild urlsets each (depth 2,
+        # via expand_sitemap_indexes' bounded data-driven loop). The
+        # oracle states the per-host inventory (counts, max lastmod,
+        # sorted locs, max index depth) closed-form from the same
+        # construction — any block/loc/lastmod/priority/entity/gunzip/
+        # nesting error flips a value. NOTE: entry 55 — in the driver's
+        # recorded window since the round-8 rotation;
+        # tools/check_correctness.py verifies all 83 every round.
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        from schema_fantasy_spark.ops.sitemap import (
+            expand_sitemap_indexes,
+            sitemap_kind,
+            with_gunzipped_sitemaps,
+        )
 
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
@@ -1840,15 +1852,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("/sm/1.xml</loc></sitemap>\n</sitemapindex>"),
         )
         xml = F.when(F.pmod(F.col("k"), F.lit(2)) == 0, urlset).otherwise(index)
-        sm = hosts.select("k", host.alias("host"), xml.alias("sitemap_xml"))
-        parsed = parse_sitemaps(sm, key_cols=("k", "host"))
+
+        # k%4==2 hosts ship .xml.gz: compress deterministically (mtime=0)
+        # in the Arrow lane; everything else ships utf-8 bytes. The
+        # gunzip seam then recovers identical XML for both — the oracle
+        # sees only the decoded values.
+        @pandas_udf("binary", PandasUDFType.SCALAR)
+        def _maybe_gz(xml_s, gz_flag):
+            import gzip
+
+            import pandas as pd
+
+            return pd.Series([
+                gzip.compress(x.encode("utf-8"), mtime=0) if f
+                else x.encode("utf-8")
+                for x, f in zip(xml_s, gz_flag)
+            ])
+
+        sm = hosts.select(
+            "k", host.alias("host"),
+            _maybe_gz(xml, F.pmod(F.col("k"), F.lit(4)) == 2)
+            .alias("sitemap_body"),
+        )
+        sm = with_gunzipped_sitemaps(sm)
+
+        # fetched-bodies table: children of every odd host, plus the
+        # grandchild urlsets behind the k%4==1 nested indexes
         odd = hosts.filter(F.pmod(F.col("k"), F.lit(2)) == 1)
-        childs = odd.select("k", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("c"))
+        childs = odd.select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("c")
+        )
         cbase = F.concat(
             F.lit("https://h"), F.col("k").cast("string"), F.lit(".example.com")
         )
         cs = F.col("c").cast("string")
-        child_body = F.concat(
+        child_urlset = F.concat(
             F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
             F.array_join(
                 F.transform(
@@ -1866,44 +1904,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             F.lit("</urlset>"),
         )
+        child_index = F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            cbase, F.lit("/sm/"), cs, F.lit("/g0.xml"),
+            F.lit("</loc></sitemap><sitemap><loc>"),
+            cbase, F.lit("/sm/"), cs, F.lit("/g1.xml"),
+            F.lit("</loc></sitemap></sitemapindex>"),
+        )
+        child_body = F.when(
+            F.pmod(F.col("k"), F.lit(4)) == 1, child_index
+        ).otherwise(child_urlset)
         child_tbl = childs.select(
             F.concat(cbase, F.lit("/sm/"), cs, F.lit(".xml")).alias("child_url"),
             child_body.alias("body"),
         )
-        # Re-parse fetched child bodies through the DataFrame-level
-        # parser: the Column-level sitemap_urls builds the interpreted
-        # decoder twin per field (~1.5 s of driver py4j per call site —
-        # CLAUDE.md trap 16), while parse_sitemaps reaches the SQL
-        # decoder. Parent kind is staged as pkind because parse_sitemaps
-        # emits its own kind column (and rejects the collision).
-        fetched = (
-            parsed.filter(F.col("kind") == "index")
-            .select(
-                "host", F.col("kind").alias("pkind"),
-                F.explode("children").alias("child_url"),
-            )
-            .join(child_tbl, "child_url")
-            .withColumnRenamed("body", "sitemap_xml")
+        grands = (
+            odd.filter(F.pmod(F.col("k"), F.lit(4)) == 1)
+            .select("k", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("c"))
+            .select("k", "c", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("g"))
         )
-        expanded = parse_sitemaps(fetched, key_cols=("host", "pkind")).select(
-            "host", F.col("pkind").alias("kind"),
-            F.explode("urls").alias("u"),
+        gs = F.col("g").cast("string")
+        grand_body = F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(1)),
+                    lambda j: F.concat(
+                        F.lit("<url><loc>"), cbase, F.lit("/pg/"), cs,
+                        F.lit("/"), gs, F.lit("/"), j.cast("string"),
+                        F.lit("</loc><lastmod>2026-04-"),
+                        F.lpad(
+                            (F.col("k") + F.col("c") + F.col("g") + j + 1)
+                            .cast("string"), 2, "0",
+                        ),
+                        F.lit("</lastmod></url>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
         )
-        direct = parsed.filter(F.col("kind") == "urlset").select(
-            "host", "kind", F.explode("urls").alias("u")
+        grand_tbl = grands.select(
+            F.concat(cbase, F.lit("/sm/"), cs, F.lit("/g"), gs, F.lit(".xml"))
+            .alias("child_url"),
+            grand_body.alias("body"),
+        )
+        bodies = child_tbl.unionByName(grand_tbl)
+
+        exp = expand_sitemap_indexes(
+            sm, bodies, key_cols=("k", "host"), max_depth=2
+        )
+        kinds = sm.select(
+            "k", "host", sitemap_kind(F.col("sitemap_xml")).alias("kind")
         )
         return (
-            direct.unionByName(expanded)
+            exp.join(F.broadcast(kinds), ["k", "host"])
             .groupBy("host", "kind")
             .agg(
                 F.count(F.lit(1)).cast("int").alias("n_urls"),
                 F.sum(
-                    F.when(F.col("u.priority").isNotNull(), 1).otherwise(0)
+                    F.when(F.col("priority").isNotNull(), 1).otherwise(0)
                 ).cast("int").alias("n_priority"),
-                F.max("u.lastmod").alias("max_lastmod"),
-                F.array_join(F.array_sort(F.collect_list("u.loc")), "\n").alias(
+                F.max("lastmod").alias("max_lastmod"),
+                F.array_join(F.array_sort(F.collect_list("loc")), "\n").alias(
                     "locs"
                 ),
+                F.max("depth").cast("int").alias("max_index_depth"),
             )
         )
 
@@ -5092,6 +5158,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts_documents": _pagerank_cte(),
         # closed-form per-host sitemap inventory from the same modular
         # construction as the Spark query (entry 55)
+        # k%2==0: direct urlset (k%4==2 delivered gzipped — transparent
+        # after the gunzip seam); k%4==3: depth-1 index over 2 child
+        # urlsets; k%4==1: depth-2 NESTED index -> 2 child indexes -> 4
+        # grandchild urlsets of 2 urls each
         "sitemap_urls_documents": """
     WITH h AS (SELECT DISTINCT CAST(doc_id % 19 AS INTEGER) AS k
                  FROM documents WHERE doc_id IS NOT NULL),
@@ -5100,11 +5170,14 @@ def oracle_sql() -> dict[str, str]:
             FROM h)
     SELECT 'h' || ks || '.example.com' AS host,
            CASE WHEN k % 2 = 0 THEN 'urlset' ELSE 'index' END AS kind,
-           CAST(CASE WHEN k % 2 = 0 THEN nu ELSE 4 END AS INTEGER) AS n_urls,
+           CAST(CASE WHEN k % 2 = 0 THEN nu
+                     WHEN k % 4 = 1 THEN 8 ELSE 4 END AS INTEGER) AS n_urls,
            CAST(CASE WHEN k % 2 = 0 THEN (nu + 1) // 2 ELSE 0 END
                 AS INTEGER) AS n_priority,
            CASE WHEN k % 2 = 0
                 THEN '2026-02-' || lpad(CAST(k + nu AS VARCHAR), 2, '0')
+                WHEN k % 4 = 1
+                THEN '2026-04-' || lpad(CAST(k + 4 AS VARCHAR), 2, '0')
                 ELSE '2026-03-' || lpad(CAST(k + 3 AS VARCHAR), 2, '0')
            END AS max_lastmod,
            CASE WHEN k % 2 = 0 THEN array_to_string(
@@ -5112,10 +5185,19 @@ def oracle_sql() -> dict[str, str]:
                                  j -> base || '/page/' || CAST(j AS VARCHAR)
                                       || '?a=1&b=2'),
                   chr(10))
+                WHEN k % 4 = 1 THEN array_to_string(
+                  list_transform(range(0, 8),
+                                 i -> base || '/pg/' || CAST(i // 4 AS VARCHAR)
+                                      || '/' || CAST((i // 2) % 2 AS VARCHAR)
+                                      || '/' || CAST(i % 2 AS VARCHAR)),
+                  chr(10))
                 ELSE base || '/p/0/0' || chr(10) || base || '/p/0/1'
                      || chr(10) || base || '/p/1/0' || chr(10)
                      || base || '/p/1/1'
-           END AS locs
+           END AS locs,
+           CAST(CASE WHEN k % 2 = 0 THEN 0
+                     WHEN k % 4 = 1 THEN 2 ELSE 1 END AS INTEGER)
+               AS max_index_depth
       FROM d
     """,
         # closed-form violation rows from the JSON-LD page construction

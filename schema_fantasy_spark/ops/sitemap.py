@@ -11,15 +11,18 @@ bodies are small (the protocol caps one file at 50k URLs / 50 MB) so the
 heavy side is the JOIN of parsed inventories against the corpus, which
 is host-keyed like every other per-host check here.
 
-Scope (deliberate, documented): well-formed ``<urlset>`` / single-level
+Scope (deliberate, documented): well-formed ``<urlset>`` /
 ``<sitemapindex>`` documents; ``<loc>`` / ``<lastmod>`` / ``<priority>``
 children (``<changefreq>`` is ignored); XML entities in loc decoded
 (``&amp;`` is REQUIRED escaping for query strings per the protocol);
-CDATA sections and gzipped bodies are out of scope at this layer (gzip
-is a transport concern — sources/warc.py already owns member-gzip).
-Index expansion is data-driven: ``children()`` returns child sitemap
-URLs for the caller to join against fetched bodies (the engine does not
-fetch; same stance as ops/robots.py).
+CDATA sections are out of scope. Gzipped bodies (the protocol-sanctioned
+``.xml.gz`` delivery — most real sitemaps) gunzip at this source seam
+via :func:`with_gunzipped_sitemaps` (Arrow lane, partition-preserving,
+like sources/warc.py member-gzip). Index expansion is data-driven and
+handles NESTED indexes to a bounded depth: the engine does not fetch
+(same stance as ops/robots.py), so :func:`expand_sitemap_indexes` joins
+each level's child URLs against a caller-supplied table of fetched
+bodies and re-parses, ``max_depth`` capping protocol-violating cycles.
 """
 
 from __future__ import annotations
@@ -105,7 +108,8 @@ def parse_sitemaps(
 
     _assert_staging_free(
         df.select(*key_cols), "kind", "__x", "__raw", "__locs_raw",
-        "__lms_raw", "__prs_raw", "__ch_raw", "__locs", "__lms", "__prs",
+        "__lms_raw", "__prs_raw", "__ch_raw", "__locs_dec", "__lms_dec",
+        "__prs_dec", "__locs", "__lms", "__prs",
     )
     x = F.col(xml_col).cast("string")
     empty_struct = (
@@ -180,3 +184,121 @@ def parse_sitemaps(
     return base.select(
         *key_cols, "kind", urls.alias("urls"), children.alias("children")
     )
+
+
+def with_gunzipped_sitemaps(
+    df: DataFrame, body_col: str = "sitemap_body", out_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Gunzip protocol-sanctioned ``.xml.gz`` sitemap bodies at the
+    source seam: ``body_col`` (binary or string) becomes the XML text
+    ``out_col`` — gzip members (1F 8B magic) decompress, anything else
+    passes through as text unchanged, undecodable rows yield NULL (the
+    per-row quarantine contract).
+
+    Arrow lane (no codec in Catalyst — same reasoning as
+    ops/text.with_compression_ratio): one vectorized pandas_udf,
+    partition-preserving, no shuffle; the protocol caps one sitemap at
+    50 MB uncompressed, so per-row decompression is bounded. At 10^12
+    docs this runs inside the scan stage like WARC member-gzip."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit PandasUDFType: this module's `from __future__ import
+    # annotations` stringifies type hints, which breaks pandas_udf
+    # signature inference (CLAUDE.md trap 5)
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _gunzip(s):
+        import gzip
+        import zlib
+
+        import pandas as pd
+
+        def one(v):
+            if v is None:
+                return None
+            b = bytes(v) if isinstance(v, (bytes, bytearray)) else None
+            if b is None:
+                # already text: pass through (mixed corpora are normal)
+                return v
+            if b[:2] == b"\x1f\x8b":
+                try:
+                    b = gzip.decompress(b)
+                except (OSError, EOFError, zlib.error):
+                    return None  # truncated/corrupt member: quarantine
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return b.decode("latin-1")
+
+        return pd.Series([one(v) for v in s])
+
+    return df.withColumn(out_col, _gunzip(F.col(body_col)))
+
+
+def expand_sitemap_indexes(
+    df: DataFrame,
+    bodies: DataFrame,
+    xml_col: str = "sitemap_xml",
+    key_cols: tuple = ("host",),
+    child_url_col: str = "child_url",
+    body_col: str = "body",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Data-driven NESTED sitemapindex expansion: parse ``df``'s bodies,
+    then repeatedly join each level's child sitemap URLs against the
+    caller-supplied ``bodies`` table (``child_url_col`` -> ``body_col``,
+    the fetched child documents — the engine does not fetch) and
+    re-parse, up to ``max_depth`` levels of indexes. Returns one row per
+    discovered url: ``key_cols + (loc, lastmod, priority, depth)`` where
+    depth counts index hops (0 = url listed directly in a urlset).
+
+    The protocol forbids nested indexes but the wild ignores that;
+    ``max_depth`` bounds both the wild's nesting and malicious cycles
+    (a child body whose children point back up stops contributing once
+    the depth budget is spent). Shape: every fetched body is parsed
+    exactly ONCE (one parse of ``bodies`` up front — parsing is the
+    expensive plan, the full entity-decoder tree), then the bounded
+    driver-side loop is pure reachability joins over the parsed frame —
+    a body referenced by many hosts or many levels never re-parses, and
+    lineage grows by one url-keyed join per level, like
+    ops/linkgraph.pagerank's fixed iterations."""
+    key_cols = tuple(key_cols)
+    # persist both parsed frames: the per-level union branches each
+    # reference them, and without a cache boundary every branch would
+    # re-instantiate the full parse plan (the entity-decoder tree) —
+    # measured ~2x the whole query. Lazy persist: the first action
+    # populates it, later branches of the SAME action reuse it.
+    parsed = parse_sitemaps(df, xml_col, key_cols=key_cols).persist()
+    pbodies = parse_sitemaps(
+        bodies.withColumnRenamed(body_col, "__body_xml"),
+        "__body_xml",
+        key_cols=(child_url_col,),
+    ).persist()
+
+    def urls_of(p: DataFrame, depth: int) -> DataFrame:
+        return (
+            p.filter(F.col("kind") == "urlset")
+            .select(*key_cols, F.explode("urls").alias("__u"))
+            .select(
+                *key_cols,
+                F.col("__u")["loc"].alias("loc"),
+                F.col("__u")["lastmod"].alias("lastmod"),
+                F.col("__u")["priority"].alias("priority"),
+                F.lit(depth).cast("int").alias("depth"),
+            )
+        )
+
+    out = urls_of(parsed, 0)
+    frontier = parsed.filter(F.col("kind") == "index").select(
+        *key_cols, F.explode("children").alias(child_url_col)
+    )
+    for depth in range(1, max_depth + 1):
+        level = frontier.join(pbodies, child_url_col).select(
+            *key_cols, "kind", "urls", "children"
+        )
+        out = out.unionByName(urls_of(level, depth))
+        if depth == max_depth:
+            break
+        frontier = level.filter(F.col("kind") == "index").select(
+            *key_cols, F.explode("children").alias(child_url_col)
+        )
+    return out

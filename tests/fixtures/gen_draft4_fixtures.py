@@ -169,6 +169,40 @@ G["pattern"] = [
     ]},
 ]
 
+# the reference compiles pattern with a FLAGLESS new RegExp
+# (src/v4/pattern.js:18), so Annex-B legacy semantics apply: \p/\P and
+# dangling \u are IDENTITY escapes (they match the literal letter) and a
+# brace run that is not a valid quantifier is literal text. A schema
+# using \p{...} therefore validates on the reference — these fixtures
+# pin that the engine reproduces the same verdicts in every mode.
+G["pattern-annexb"] = [
+    {"description": "flagless property escape is an identity escape",
+     "schema": {"pattern": r"\p{L}"}, "tests": [
+        {"description": "matches the literal p{L}", "data": "xp{L}y", "valid": True},
+        {"description": "does not match arbitrary letters", "data": "letters", "valid": False},
+    ]},
+    {"description": "quantifier after identity-escaped p",
+     "schema": {"pattern": r"^\p{2}$"}, "tests": [
+        {"description": "pp matches", "data": "pp", "valid": True},
+        {"description": "single p does not", "data": "p", "valid": False},
+    ]},
+    {"description": "dangling backslash-u is the literal letter",
+     "schema": {"pattern": r"^\u{2}$"}, "tests": [
+        {"description": "uu matches (quantified u)", "data": "uu", "valid": True},
+        {"description": "the brace text does not", "data": "u{2}", "valid": False},
+    ]},
+    {"description": "non-quantifier braces are literal",
+     "schema": {"pattern": r"^\u{1F600}$"}, "tests": [
+        {"description": "literal u{1F600} matches", "data": "u{1F600}", "valid": True},
+        {"description": "the code point does not", "data": "\U0001F600", "valid": False},
+    ]},
+    {"description": "identity escapes inside a character class",
+     "schema": {"pattern": r"^[\p{L}]+$"}, "tests": [
+        {"description": "class members are p L and braces", "data": "pL{}", "valid": True},
+        {"description": "other letters rejected", "data": "q", "valid": False},
+    ]},
+]
+
 G["minItems"] = [
     {"description": "minItems validation", "schema": {"minItems": 1}, "tests": [
         {"description": "longer is valid", "data": [1, 2], "valid": True},

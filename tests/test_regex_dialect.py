@@ -1,7 +1,10 @@
 """JS-regex dialect routing (reference src/v4/pattern.js:18 compiles
 ``pattern`` with JavaScript ``new RegExp``): translatable JS spellings must
-yield the reference's verdicts on every engine mode; dialect-divergent
-constructs must fail loudly at schema-compile time, never silently diverge."""
+yield the reference's verdicts on every engine mode. The reference's
+RegExp is FLAGLESS, so Annex-B legacy semantics apply: ``\\p``/``\\P``/
+dangling ``\\u`` are identity escapes and non-quantifier braces are
+literals — the default translation reproduces exactly that reading;
+``strict=True`` rejects those constructs at schema-compile time instead."""
 
 import re
 
@@ -22,14 +25,22 @@ class TestTranslation:
                   r"[\]\[]", r"\\u\{literal"]:
             assert java_pattern(p) == p
 
-    def test_codepoint_escape_braces_raise(self):
+    def test_codepoint_escape_braces_annex_b(self):
         # \u{...} is a code-point escape ONLY under the u flag; the
-        # reference's flagless new RegExp reads it as 'u' + quantifier
-        # (Annex B) — ambiguous across readings, so it must fail loudly
+        # reference's flagless new RegExp reads '\u' as an identity
+        # escape, so {2} quantifies the literal 'u' and {GG} is a
+        # literal brace run (Annex B) — the default translation must
+        # reproduce exactly that reading
+        assert python_pattern(r"\u{2}").fullmatch("uu")
+        assert not python_pattern(r"\u{2}").fullmatch("u")
+        assert python_pattern(r"\u{1F600}").fullmatch("u{1F600}")
+        assert java_pattern(r"\u{2}") == "u{2}"
+        assert java_pattern(r"\u{1F600}") == r"u\{1F600\}"
+        # strict mode rejects the ambiguity at compile time instead
         with pytest.raises(RegexDialectError):
-            java_pattern(r"\u{1F600}")
+            java_pattern(r"\u{1F600}", strict=True)
         with pytest.raises(RegexDialectError):
-            python_pattern(r"\u{2}")
+            python_pattern(r"\u{2}", strict=True)
         # the unambiguous 4-hex spelling passes through
         assert java_pattern(r"\u0041") == r"\u0041"
         assert python_pattern(r"\u0041").search("A")
@@ -54,17 +65,42 @@ class TestTranslation:
         # '(' inside a class is literal, not a group opener
         assert java_pattern(r"[(?<a]") == r"[(?<a]"
 
-    def test_property_escape_raises(self):
+    def test_property_escape_annex_b(self):
+        # flagless '\p' is an identity escape in the reference: \p{L}
+        # matches the literal text 'p{L}' ({L} is not a quantifier, so
+        # the braces are literal), \p{2} matches 'pp' (quantified p)
+        assert python_pattern(r"\p{L}").fullmatch("p{L}")
+        assert python_pattern(r"\P{Lu}x").fullmatch("P{Lu}x")
+        assert python_pattern(r"\p{2}").fullmatch("pp")
+        assert java_pattern(r"\p{Letter}+") == r"p\{Letter\}+"
+        # inside a class: identity escape, braces already literal there
+        assert python_pattern(r"[\p{L}]+").fullmatch("pL{}")
+        assert java_pattern(r"[\p]") == "[p]"
+        # strict mode rejects property escapes at compile time
         with pytest.raises(RegexDialectError):
-            java_pattern(r"\p{Letter}+")
+            java_pattern(r"\p{Letter}+", strict=True)
         with pytest.raises(RegexDialectError):
-            python_pattern(r"\P{L}")
+            python_pattern(r"\P{L}", strict=True)
 
-    def test_malformed_u_raises(self):
+    def test_malformed_u_annex_b(self):
+        # dangling '\u' (no 4 hex digits) is the literal letter 'u'
+        assert python_pattern(r"\u12").fullmatch("u12")
+        assert java_pattern(r"\u12") == "u12"
         with pytest.raises(RegexDialectError):
-            java_pattern(r"\u12")
+            java_pattern(r"\u12", strict=True)
         with pytest.raises(RegexDialectError):
-            java_pattern(r"\u{GG}")
+            java_pattern(r"\u{GG}", strict=True)
+
+    def test_literal_braces_match_annex_b(self):
+        # a brace that is not a valid quantifier is a literal in the
+        # flagless reference; valid quantifiers still quantify
+        assert python_pattern(r"a{2}").fullmatch("aa")
+        assert python_pattern(r"a{,3}").fullmatch("a{,3}")  # JS: literal
+        assert python_pattern(r"x{y}").fullmatch("x{y}")
+        assert java_pattern(r"a{2,3}") == r"a{2,3}"
+        assert java_pattern(r"x{y}") == r"x\{y\}"
+        assert java_pattern(r"a}b") == r"a\}b"
+        assert java_pattern(r"[{}]") == r"[{}]"  # class braces untouched
 
     def test_bare_c_raises(self):
         with pytest.raises(RegexDialectError):
@@ -77,17 +113,25 @@ class TestEngineRouting:
         assert list(kernel.validate({"s": "a\nx"})) == []
         assert len(list(kernel.validate({"s": "zz"}))) == 1
 
-    def test_dynamic_kernel_raises_on_divergent(self):
-        with pytest.raises(SchemaCompileError):
-            compile_schema({"properties": {"s": {"pattern": r"\p{L}"}}})
+    def test_dynamic_kernel_annex_b_parity(self):
+        # a schema that works on the reference must validate identically
+        # here: \p{L} matches the literal 'p{L}' in the flagless RegExp
+        kernel = compile_schema({"properties": {"s": {"pattern": r"\p{L}"}}})
+        assert list(kernel.validate({"s": "xp{L}y"})) == []
+        assert len(list(kernel.validate({"s": "letters"}))) == 1
 
-    def test_columnar_raises_on_divergent(self):
-        with pytest.raises(SchemaCompileError):
-            compile_columnar({"properties": {"s": {"pattern": r"\p{L}"}}})
-        with pytest.raises(SchemaCompileError):
-            compile_columnar(
-                {"patternProperties": {r"\u12": {"type": "string"}}}
-            )
+    def test_columnar_annex_b_parity(self, spark):
+        plan = compile_columnar({"properties": {"s": {"pattern": r"\p{L}"}}})
+        df = spark.createDataFrame(
+            [(0, "xp{L}y"), (1, "letters")], "rid: long, s: string"
+        )
+        got = {r["rid"]: r["verdict"] for r in plan.apply(df).collect()}
+        assert got == {0: True, 1: False}
+        # patternProperties keys route through the same translation
+        kernel = compile_columnar(
+            {"patternProperties": {r"\u12": {"type": "string"}}}
+        )
+        assert kernel is not None
 
     def test_columnar_verdict_matches_kernel(self, spark):
         schema = {"properties": {"s": {"pattern": r"^\u0061+\cI$"}}}
