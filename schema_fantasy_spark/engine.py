@@ -29,12 +29,19 @@ class ValidationEngine:
         schema: Any,
         refs: Optional[Dict[str, Any]] = None,
         mode: str = "columnar",
+        nfc_lengths: bool = False,
     ):
         """modes: 'columnar' (typed tables, the scale path), 'dynamic'
         (JSON strings via Arrow-batched compiled kernel — the measured
         default for dynamic docs), 'variant' (JSON strings via Spark 4
         VariantType expressions, JVM-side; see variant.py for when it
-        wins)."""
+        wins).
+
+        ``nfc_lengths=True`` (columnar mode) counts min/maxLength in NFC
+        like the reference (src/v4/minLength.js:19-20) via one vectorized
+        Arrow UDF slice — the exact-parity option for corpora with
+        decomposed combining sequences; default stays pure-JVM raw code
+        points (documented divergence). Dynamic mode is always NFC-exact."""
         if mode not in ("columnar", "dynamic", "variant"):
             raise ValueError(f"unknown mode {mode!r}")
         self.schema = schema
@@ -42,7 +49,9 @@ class ValidationEngine:
         self.mode = mode
         self._plan = None
         if mode == "columnar":
-            self._plan = compile_columnar(schema, refs=self.refs)
+            self._plan = compile_columnar(
+                schema, refs=self.refs, nfc_lengths=nfc_lengths
+            )
         elif mode == "variant":
             from schema_fantasy_spark.variant import compile_variant
 
