@@ -1521,15 +1521,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frames.join(F.broadcast(cmeta), "doc_id")
 
     def avc1_metadata_synthetic(spark, sf):
-        # the avc1/H.264 path under the gate — the dominant real-crawl
-        # video format, handled at the metadata/index level (documented
-        # no-decoder stance): a corpus of H.264-in-MP4 files whose tkhd
-        # presentation dims are ZERO, so width/height/profile/level can
-        # only come from parsing the SPS inside the stsd avcC box
-        # (ops/h264.py: Exp-Golomb, emulation prevention, frame-crop
-        # units — dims are mostly not multiples of 16, so real cropping
-        # arithmetic runs per doc), joined with the stss keyframe
-        # byte-range index (parse_mp4_samples stbl walk). The oracle
+        # the avc1/hvc1 (H.264/H.265) path under the gate — together
+        # the two codecs carrying essentially all real-crawl MP4 video,
+        # handled at the metadata/index level (documented no-decoder
+        # stance): a corpus of MP4 files (nibble-7 codec split) whose
+        # tkhd presentation dims are ZERO, so width/height/profile/
+        # level can only come from parsing the SPS inside the stsd
+        # avcC/hvcC box (ops/h264.py Exp-Golomb + frame-crop units,
+        # ops/h265.py profile_tier_level + conformance window — dims
+        # are mostly not multiples of 16, so real cropping arithmetic
+        # runs per doc), joined with the stss keyframe byte-range
+        # index (parse_mp4_samples stbl walk). The oracle
         # re-derives every value from the same md5 nibbles and REPLAYS
         # the sample-size/chunk-offset layout with a window cumulative
         # sum — any SPS-field, crop-unit, stss, stsz or stco error
@@ -4602,12 +4604,19 @@ def oracle_sql() -> dict[str, str]:
     # duration = nf/8 s is an exact multiple of 125 ms (no float fuzz).
     avc1_meta_sql = _mm_cte + """
     , f AS (SELECT doc_id,
+                   CASE WHEN n8 % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
                    320 + 2 * n10 AS width, 180 + 2 * n11 AS height,
                    24 + n12 AS nf,
-                   CASE n13 % 4 WHEN 0 THEN 66 WHEN 1 THEN 77
-                        WHEN 2 THEN 100 ELSE 122 END AS profile_idc,
-                   CASE n14 % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
-                        WHEN 2 THEN 40 ELSE 41 END AS level_idc,
+                   CASE WHEN n8 % 2 = 0
+                        THEN CASE n13 % 4 WHEN 0 THEN 66 WHEN 1 THEN 77
+                                  WHEN 2 THEN 100 ELSE 122 END
+                        ELSE 1 + n13 % 4 END AS profile_idc,
+                   CASE WHEN n8 % 2 = 0
+                        THEN CASE n14 % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
+                                  WHEN 2 THEN 40 ELSE 41 END
+                        ELSE CASE n14 % 4 WHEN 0 THEN 93 WHEN 1 THEN 120
+                                  WHEN 2 THEN 123 ELSE 150 END
+                        END AS level_idc,
                    4 + n9 % 3 AS ke
               FROM n),
     s AS (SELECT doc_id, ke, j,
@@ -4626,7 +4635,7 @@ def oracle_sql() -> dict[str, str]:
                      AS last_kf_offset,
                  CAST(SUM(sz) FILTER (WHERE kf) AS BIGINT) AS kf_bytes
             FROM o GROUP BY doc_id)
-    SELECT f.doc_id, 'avc1' AS codec, profile_idc, level_idc,
+    SELECT f.doc_id, codec, profile_idc, level_idc,
            width, height, CAST(nf AS BIGINT) AS n_frames,
            CAST(nf AS DOUBLE) / 8 AS duration_sec,
            k.n_keyframes, k.last_kf_offset, k.kf_bytes

@@ -312,40 +312,53 @@ def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFra
 
 
 def avc1_params(doc_id: int, nib: list | None = None):
-    """(width, height, n_frames, profile_idc, level_idc, keyframe_every)
-    for the H.264-in-MP4 metadata corpus. Dims are EVEN but mostly not
-    multiples of 16, so the SPS carries real frame-cropping values (the
-    4:2:0 crop-unit path); profile splits baseline/main/high/high422
-    (the high ones exercise the chroma/bit-depth SPS branch), level and
-    keyframe cadence vary; fps is fixed at 8 so duration = nf/8 is an
-    exact multiple of 125 ms the DuckDB oracle recomputes with no float
+    """(codec, width, height, n_frames, profile_idc, level_idc,
+    keyframe_every) for the H.264/H.265-in-MP4 metadata corpus: nibble 7
+    splits avc1/hvc1 — together the two codecs that carry essentially
+    all real-crawl MP4 video. Dims are EVEN but mostly not multiples of
+    16, so the avc1 SPS carries real frame-cropping values (4:2:0
+    crop-unit path) and the hvc1 SPS a real conformance window; profile
+    spans baseline/main/high/high422 (H.264) or Main/Main10/MainSP/REXT
+    (H.265, whose level_idc scale is 30x the level number), keyframe
+    cadence varies; fps is fixed at 8 so duration = nf/8 is an exact
+    multiple of 125 ms the DuckDB oracle recomputes with no float
     fuzz."""
     nib = _nibbles(doc_id) if nib is None else nib
+    codec = "avc1" if nib[7] % 2 == 0 else "hvc1"
     w = 320 + 2 * nib[9]                       # 320..350, even
     h = 180 + 2 * nib[10]                      # 180..210, even
     nf = 24 + nib[11]                          # 24..39
-    profile = [66, 77, 100, 122][nib[12] % 4]
-    level = [30, 31, 40, 41][nib[13] % 4]
+    if codec == "avc1":
+        profile = [66, 77, 100, 122][nib[12] % 4]
+        level = [30, 31, 40, 41][nib[13] % 4]
+    else:
+        profile = [1, 2, 3, 4][nib[12] % 4]
+        level = [93, 120, 123, 150][nib[13] % 4]
     ke = 4 + nib[8] % 3                        # 4..6
-    return w, h, nf, profile, level, ke
+    return codec, w, h, nf, profile, level, ke
 
 
 def _avc1_payload(doc_id: int) -> bytes:
-    from schema_fantasy_spark.ops.video import encode_mp4_avc1
+    from schema_fantasy_spark.ops.video import (
+        encode_mp4_avc1,
+        encode_mp4_hvc1,
+    )
 
-    w, h, nf, profile, level, ke = avc1_params(doc_id)
-    return encode_mp4_avc1(
+    codec, w, h, nf, profile, level, ke = avc1_params(doc_id)
+    enc = encode_mp4_avc1 if codec == "avc1" else encode_mp4_hvc1
+    return enc(
         w, h, nf, fps=8, profile_idc=profile, level_idc=level,
         keyframe_every=ke,
     )
 
 
 def synthetic_avc1_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, payload) of deterministic H.264-in-MP4 files whose tkhd
-    presentation dims are ZERO — every reported dimension must come from
-    the avcC SPS parse (ops/h264.py), every keyframe position from the
-    stss walk; all emitted values are pure functions of the md5
-    nibbles so the oracle restates them closed-form."""
+    """(doc_id, payload) of deterministic H.264/H.265-in-MP4 files whose
+    tkhd presentation dims are ZERO — every reported dimension must come
+    from the avcC/hvcC SPS parse (ops/h264.py, ops/h265.py), every
+    keyframe position from the stss walk; all emitted values are pure
+    functions of the md5 nibbles so the oracle restates them
+    closed-form."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

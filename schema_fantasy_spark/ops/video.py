@@ -200,21 +200,27 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
             return got
         fmt = payload[b + 12 : b + 16]
         got["codec"] = fmt.decode("latin-1")
-        if fmt not in (b"avc1", b"avc3"):
+        if fmt not in (b"avc1", b"avc3", b"hvc1", b"hev1"):
             return got
         entry_b = b + 8
         entry_size = int.from_bytes(payload[entry_b : entry_b + 4], "big")
         entry_e = min(entry_b + entry_size, e)
         for t, bb, ee in boxes(entry_b + 86, entry_e):
-            if t == b"avcC":
+            if t == b"avcC" and fmt in (b"avc1", b"avc3"):
                 from schema_fantasy_spark.ops.h264 import parse_avcc
 
                 rec = parse_avcc(payload[bb:ee])
-                if rec is not None and rec.get("width"):
-                    got["sps_dims"] = (rec["width"], rec["height"])
-                    got["profile_idc"] = rec["profile_idc"]
-                    got["level_idc"] = rec["level_idc"]
-                break
+            elif t == b"hvcC" and fmt in (b"hvc1", b"hev1"):
+                from schema_fantasy_spark.ops.h265 import parse_hvcc
+
+                rec = parse_hvcc(payload[bb:ee])
+            else:
+                continue
+            if rec is not None and rec.get("width"):
+                got["sps_dims"] = (rec["width"], rec["height"])
+                got["profile_idc"] = rec["profile_idc"]
+                got["level_idc"] = rec["level_idc"]
+            break
         return got
 
     def walk_trak(start: int, end: int):
@@ -552,6 +558,45 @@ def encode_mp4_avc1(
     def box(typ: bytes, body: bytes) -> bytes:
         return (len(body) + 8).to_bytes(4, "big") + typ + body
 
+    sps = encode_sps(width, height, profile_idc, level_idc)
+    cfg = box(b"avcC", encode_avcc(sps))
+    return _encode_mp4_codec(
+        b"avc1", cfg, width, height, n_frames, fps, keyframe_every,
+        chunk_size, zero_tkhd_dims,
+    )
+
+
+def encode_mp4_hvc1(
+    width: int, height: int, n_frames: int, fps: int = 8,
+    profile_idc: int = 1, level_idc: int = 93, keyframe_every: int = 4,
+    chunk_size: int = 2, zero_tkhd_dims: bool = True,
+) -> bytes:
+    """HEVC sibling of :func:`encode_mp4_avc1`: stsd 'hvc1' entry with an
+    hvcC holding a REAL H.265 SPS (ops/h265.encode_sps_h265); same
+    sample layout, same zeroed tkhd dims proving the config-parse path."""
+    from schema_fantasy_spark.ops.h265 import encode_hvcc, encode_sps_h265
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    sps = encode_sps_h265(width, height, profile_idc, level_idc)
+    cfg = box(b"hvcC", encode_hvcc(sps))
+    return _encode_mp4_codec(
+        b"hvc1", cfg, width, height, n_frames, fps, keyframe_every,
+        chunk_size, zero_tkhd_dims,
+    )
+
+
+def _encode_mp4_codec(
+    fourcc: bytes, config_box: bytes, width: int, height: int,
+    n_frames: int, fps: int, keyframe_every: int, chunk_size: int,
+    zero_tkhd_dims: bool,
+) -> bytes:
+    """Shared ftyp/mdat/moov layout for the codec-config writers."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
     nf = n_frames
     # deterministic filler samples: a 4-byte NAL length prefix + bytes,
     # keyframes bigger (as in real streams), sizes a pure function of k
@@ -562,7 +607,7 @@ def encode_mp4_avc1(
         samples.append(len(nal).to_bytes(4, "big") + nal)
     timescale = fps
     mdat_body = b"".join(samples)
-    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomavc1")
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom" + fourcc)
     mdat = box(b"mdat", mdat_body)
     data_base = len(ftyp) + 8
 
@@ -572,8 +617,6 @@ def encode_mp4_avc1(
         offsets.append(off)
         off += sum(len(s) for s in ch)
 
-    sps = encode_sps(width, height, profile_idc, level_idc)
-    avcc = box(b"avcC", encode_avcc(sps))
     entry = (
         bytes(6) + (1).to_bytes(2, "big")          # reserved + data_ref_idx
         + bytes(16)                                  # predefined/reserved
@@ -582,10 +625,10 @@ def encode_mp4_avc1(
         + bytes(4) + (1).to_bytes(2, "big")          # reserved + frame_count
         + bytes(32)                                  # compressorname
         + (24).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big")
-        + avcc
+        + config_box
     )
     stsd = box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
-               + box(b"avc1", entry))
+               + box(fourcc, entry))
     stts = box(b"stts", bytes(4) + (1).to_bytes(4, "big")
                + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"))
     stsc_entries = [(1, chunk_size, 1)]

@@ -132,11 +132,11 @@ def test_avc1_mp4_keyframe_index():
     assert sum(1 for (_, _, s) in got["samples"] if s) == math.ceil(nf / ke)
 
 
-@pytest.mark.parametrize("profile", [66, 100])
-def test_video_metadata_avc1_dataframe(spark, profile):
-    """DataFrame-level integration: the synthetic avc1 corpus reports
-    codec/profile/level/dims via video_metadata, keyframes via
-    video_frame_index — all from SPS + stss, tkhd dims zeroed."""
+def test_video_metadata_avc1_hvc1_dataframe(spark):
+    """DataFrame-level integration: the synthetic codec corpus (avc1 and
+    hvc1 families) reports codec/profile/level/dims via video_metadata,
+    keyframes via video_frame_index — all from the SPS inside avcC/hvcC
+    plus the stss walk, tkhd dims zeroed."""
     from schema_fantasy_spark.ops import mm_corpus, multimodal
 
     docs = spark.range(40).withColumnRenamed("id", "doc_id")
@@ -148,11 +148,59 @@ def test_video_metadata_avc1_dataframe(spark, profile):
     ).groupBy("doc_id").count().collect()
     nk = {r["doc_id"]: r["count"] for r in kf}
     assert len(meta) == 40
+    codecs_seen = set()
     for i in range(40):
-        w, h, nf, prof, lvl, ke = mm_corpus.avc1_params(i)
+        codec, w, h, nf, prof, lvl, ke = mm_corpus.avc1_params(i)
+        codecs_seen.add(codec)
         r = meta[i]
         assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
-        assert r["codec"] == "avc1"
+        assert r["codec"] == codec
         assert (r["profile_idc"], r["level_idc"]) == (prof, lvl)
         assert r["duration_sec"] == nf / 8
         assert nk[i] == math.ceil(nf / ke)
+    assert codecs_seen == {"avc1", "hvc1"}  # both families exercised
+
+
+def test_h265_sps_round_trip_grid():
+    """HEVC sibling of the H.264 grid: encode -> parse recovers dims
+    (conformance-window path for non-8-aligned dims), profile, level,
+    tier and chroma format."""
+    from schema_fantasy_spark.ops.h265 import (
+        encode_hvcc,
+        encode_sps_h265,
+        parse_hvcc,
+        parse_sps_h265,
+    )
+
+    for (w, h), prof, lvl, chroma, tier in itertools.product(
+        [(1920, 1080), (642, 362), (111, 97), (8, 8), (3840, 2160)],
+        [1, 2, 3, 4], [93, 120, 153], [0, 1, 2, 3], [0, 1],
+    ):
+        try:
+            sps = encode_sps_h265(w, h, prof, lvl, chroma, tier)
+        except ValueError:
+            assert (w % 2 or h % 2) and chroma in (1, 2)
+            continue
+        got = parse_sps_h265(sps)
+        assert got is not None
+        assert (got["width"], got["height"]) == (w, h)
+        assert (got["profile_idc"], got["level_idc"]) == (prof, lvl)
+        assert (got["chroma_format_idc"], got["tier"]) == (chroma, tier)
+    rec = parse_hvcc(encode_hvcc(encode_sps_h265(354, 198, 2, 120)))
+    assert (rec["width"], rec["height"], rec["profile_idc"],
+            rec["level_idc"], rec["nal_length_size"]) == (354, 198, 2, 120, 4)
+    assert parse_hvcc(b"") is None and parse_sps_h265(b"\xff") is None
+
+
+def test_hvc1_mp4_header_dims_from_sps():
+    from schema_fantasy_spark.ops.video import encode_mp4_hvc1
+
+    p = encode_mp4_hvc1(642, 362, 25, profile_idc=2, level_idc=120,
+                        keyframe_every=4)
+    m = parse_mp4_header(p)
+    assert (m["width"], m["height"]) == (642, 362)
+    assert m["codec"] == "hvc1"
+    assert (m["profile_idc"], m["level_idc"]) == (2, 120)
+    got = parse_mp4_samples(p)
+    assert got["codec"] == "hvc1" and len(got["samples"]) == 25
+    assert sum(1 for (_, _, s) in got["samples"] if s) == math.ceil(25 / 4)
