@@ -1521,14 +1521,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return frames.join(F.broadcast(cmeta), "doc_id")
 
     def avc1_metadata_synthetic(spark, sf):
-        # the avc1/hvc1 (H.264/H.265) path under the gate — together
-        # the two codecs carrying essentially all real-crawl MP4 video,
-        # handled at the metadata/index level (documented no-decoder
-        # stance): a corpus of MP4 files (nibble-7 codec split) whose
+        # the avc1/hvc1/av01 (H.264/H.265/AV1) path under the gate —
+        # together the codecs carrying essentially all real-crawl MP4
+        # video, handled at the metadata/index level (documented
+        # no-decoder stance): a corpus of MP4 files (nibble-7 %3 codec
+        # split) whose
         # tkhd presentation dims are ZERO, so width/height/profile/
-        # level can only come from parsing the SPS inside the stsd
-        # avcC/hvcC box (ops/h264.py Exp-Golomb + frame-crop units,
-        # ops/h265.py profile_tier_level + conformance window — dims
+        # level can only come from parsing the codec config inside
+        # the stsd avcC/hvcC/av1C box (ops/h264.py Exp-Golomb +
+        # frame-crop units, ops/h265.py profile_tier_level +
+        # conformance window, ops/av1.py sequence-header OBU — dims
         # are mostly not multiples of 16, so real cropping arithmetic
         # runs per doc), joined with the stss keyframe byte-range
         # index (parse_mp4_samples stbl walk). The oracle
@@ -4604,18 +4606,25 @@ def oracle_sql() -> dict[str, str]:
     # duration = nf/8 s is an exact multiple of 125 ms (no float fuzz).
     avc1_meta_sql = _mm_cte + """
     , f AS (SELECT doc_id,
-                   CASE WHEN n8 % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS codec,
+                   CASE n8 % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                        ELSE 'av01' END AS codec,
                    320 + 2 * n10 AS width, 180 + 2 * n11 AS height,
                    24 + n12 AS nf,
-                   CASE WHEN n8 % 2 = 0
-                        THEN CASE n13 % 4 WHEN 0 THEN 66 WHEN 1 THEN 77
-                                  WHEN 2 THEN 100 ELSE 122 END
-                        ELSE 1 + n13 % 4 END AS profile_idc,
-                   CASE WHEN n8 % 2 = 0
-                        THEN CASE n14 % 4 WHEN 0 THEN 30 WHEN 1 THEN 31
-                                  WHEN 2 THEN 40 ELSE 41 END
-                        ELSE CASE n14 % 4 WHEN 0 THEN 93 WHEN 1 THEN 120
-                                  WHEN 2 THEN 123 ELSE 150 END
+                   CASE n8 % 3
+                        WHEN 0 THEN CASE n13 % 4 WHEN 0 THEN 66
+                                  WHEN 1 THEN 77 WHEN 2 THEN 100
+                                  ELSE 122 END
+                        WHEN 1 THEN 1 + n13 % 4
+                        ELSE n13 % 3 END AS profile_idc,
+                   CASE n8 % 3
+                        WHEN 0 THEN CASE n14 % 4 WHEN 0 THEN 30
+                                  WHEN 1 THEN 31 WHEN 2 THEN 40
+                                  ELSE 41 END
+                        WHEN 1 THEN CASE n14 % 4 WHEN 0 THEN 93
+                                  WHEN 1 THEN 120 WHEN 2 THEN 123
+                                  ELSE 150 END
+                        ELSE CASE n14 % 4 WHEN 0 THEN 8 WHEN 1 THEN 12
+                                  WHEN 2 THEN 13 ELSE 16 END
                         END AS level_idc,
                    4 + n9 % 3 AS ke
               FROM n),

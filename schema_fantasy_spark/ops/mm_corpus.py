@@ -313,39 +313,46 @@ def synthetic_video_containers(df: DataFrame, id_col: str = "doc_id") -> DataFra
 
 def avc1_params(doc_id: int, nib: list | None = None):
     """(codec, width, height, n_frames, profile_idc, level_idc,
-    keyframe_every) for the H.264/H.265-in-MP4 metadata corpus: nibble 7
-    splits avc1/hvc1 — together the two codecs that carry essentially
+    keyframe_every) for the H.264/H.265/AV1-in-MP4 metadata corpus:
+    nibble 7 % 3 splits avc1/hvc1/av01 — together the two codecs that carry essentially
     all real-crawl MP4 video. Dims are EVEN but mostly not multiples of
     16, so the avc1 SPS carries real frame-cropping values (4:2:0
-    crop-unit path) and the hvc1 SPS a real conformance window; profile
-    spans baseline/main/high/high422 (H.264) or Main/Main10/MainSP/REXT
-    (H.265, whose level_idc scale is 30x the level number), keyframe
+    crop-unit path) and the hvc1 SPS a real conformance window (AV1
+    signals exact dims directly); profile spans baseline/main/high/
+    high422 (H.264), Main/Main10/MainSP/REXT (H.265, whose level_idc
+    scale is 30x the level number), or seq_profile 0..2 with
+    seq_level_idx (AV1); keyframe
     cadence varies; fps is fixed at 8 so duration = nf/8 is an exact
     multiple of 125 ms the DuckDB oracle recomputes with no float
     fuzz."""
     nib = _nibbles(doc_id) if nib is None else nib
-    codec = "avc1" if nib[7] % 2 == 0 else "hvc1"
+    codec = ["avc1", "hvc1", "av01"][nib[7] % 3]
     w = 320 + 2 * nib[9]                       # 320..350, even
     h = 180 + 2 * nib[10]                      # 180..210, even
     nf = 24 + nib[11]                          # 24..39
     if codec == "avc1":
         profile = [66, 77, 100, 122][nib[12] % 4]
         level = [30, 31, 40, 41][nib[13] % 4]
-    else:
+    elif codec == "hvc1":
         profile = [1, 2, 3, 4][nib[12] % 4]
         level = [93, 120, 123, 150][nib[13] % 4]
+    else:
+        profile = nib[12] % 3
+        level = [8, 12, 13, 16][nib[13] % 4]
     ke = 4 + nib[8] % 3                        # 4..6
     return codec, w, h, nf, profile, level, ke
 
 
 def _avc1_payload(doc_id: int) -> bytes:
     from schema_fantasy_spark.ops.video import (
+        encode_mp4_av01,
         encode_mp4_avc1,
         encode_mp4_hvc1,
     )
 
     codec, w, h, nf, profile, level, ke = avc1_params(doc_id)
-    enc = encode_mp4_avc1 if codec == "avc1" else encode_mp4_hvc1
+    enc = {"avc1": encode_mp4_avc1, "hvc1": encode_mp4_hvc1,
+           "av01": encode_mp4_av01}[codec]
     return enc(
         w, h, nf, fps=8, profile_idc=profile, level_idc=level,
         keyframe_every=ke,
@@ -353,9 +360,9 @@ def _avc1_payload(doc_id: int) -> bytes:
 
 
 def synthetic_avc1_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, payload) of deterministic H.264/H.265-in-MP4 files whose
+    """(doc_id, payload) of deterministic H.264/H.265/AV1-in-MP4 files whose
     tkhd presentation dims are ZERO — every reported dimension must come
-    from the avcC/hvcC SPS parse (ops/h264.py, ops/h265.py), every
+    from the avcC/hvcC/av1C config parse (ops/h264.py, ops/h265.py, ops/av1.py), every
     keyframe position from the stss walk; all emitted values are pure
     functions of the md5 nibbles so the oracle restates them
     closed-form."""

@@ -200,7 +200,7 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
             return got
         fmt = payload[b + 12 : b + 16]
         got["codec"] = fmt.decode("latin-1")
-        if fmt not in (b"avc1", b"avc3", b"hvc1", b"hev1"):
+        if fmt not in (b"avc1", b"avc3", b"hvc1", b"hev1", b"av01"):
             return got
         entry_b = b + 8
         entry_size = int.from_bytes(payload[entry_b : entry_b + 4], "big")
@@ -214,6 +214,17 @@ def parse_mp4_header(payload: bytes) -> Optional[dict]:
                 from schema_fantasy_spark.ops.h265 import parse_hvcc
 
                 rec = parse_hvcc(payload[bb:ee])
+            elif t == b"av1C" and fmt == b"av01":
+                from schema_fantasy_spark.ops.av1 import parse_av1c
+
+                rec = parse_av1c(payload[bb:ee])
+                if rec is not None:  # av1C names differ from the h26x keys
+                    rec = {
+                        "width": rec.get("width"),
+                        "height": rec.get("height"),
+                        "profile_idc": rec["seq_profile"],
+                        "level_idc": rec["seq_level_idx"],
+                    }
             else:
                 continue
             if rec is not None and rec.get("width"):
@@ -583,6 +594,31 @@ def encode_mp4_hvc1(
     cfg = box(b"hvcC", encode_hvcc(sps))
     return _encode_mp4_codec(
         b"hvc1", cfg, width, height, n_frames, fps, keyframe_every,
+        chunk_size, zero_tkhd_dims,
+    )
+
+
+def encode_mp4_av01(
+    width: int, height: int, n_frames: int, fps: int = 8,
+    profile_idc: int = 0, level_idc: int = 8, keyframe_every: int = 4,
+    chunk_size: int = 2, zero_tkhd_dims: bool = True,
+) -> bytes:
+    """AV1 sibling of :func:`encode_mp4_avc1`: stsd 'av01' entry with an
+    av1C carrying a REAL Sequence Header OBU (ops/av1.py); same sample
+    layout, same zeroed tkhd dims proving the config-parse path.
+    ``profile_idc``/``level_idc`` map to seq_profile/seq_level_idx."""
+    from schema_fantasy_spark.ops.av1 import (
+        encode_av1_sequence_header,
+        encode_av1c,
+    )
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    obu = encode_av1_sequence_header(width, height, profile_idc, level_idc)
+    cfg = box(b"av1C", encode_av1c(obu))
+    return _encode_mp4_codec(
+        b"av01", cfg, width, height, n_frames, fps, keyframe_every,
         chunk_size, zero_tkhd_dims,
     )
 

@@ -133,10 +133,10 @@ def test_avc1_mp4_keyframe_index():
 
 
 def test_video_metadata_avc1_hvc1_dataframe(spark):
-    """DataFrame-level integration: the synthetic codec corpus (avc1 and
-    hvc1 families) reports codec/profile/level/dims via video_metadata,
-    keyframes via video_frame_index — all from the SPS inside avcC/hvcC
-    plus the stss walk, tkhd dims zeroed."""
+    """DataFrame-level integration: the synthetic codec corpus (avc1,
+    hvc1 and av01 families) reports codec/profile/level/dims via
+    video_metadata, keyframes via video_frame_index — all from the codec
+    config inside avcC/hvcC/av1C plus the stss walk, tkhd dims zeroed."""
     from schema_fantasy_spark.ops import mm_corpus, multimodal
 
     docs = spark.range(40).withColumnRenamed("id", "doc_id")
@@ -158,7 +158,7 @@ def test_video_metadata_avc1_hvc1_dataframe(spark):
         assert (r["profile_idc"], r["level_idc"]) == (prof, lvl)
         assert r["duration_sec"] == nf / 8
         assert nk[i] == math.ceil(nf / ke)
-    assert codecs_seen == {"avc1", "hvc1"}  # both families exercised
+    assert codecs_seen == {"avc1", "hvc1", "av01"}  # all families exercised
 
 
 def test_h265_sps_round_trip_grid():
@@ -204,3 +204,47 @@ def test_hvc1_mp4_header_dims_from_sps():
     got = parse_mp4_samples(p)
     assert got["codec"] == "hvc1" and len(got["samples"]) == 25
     assert sum(1 for (_, _, s) in got["samples"] if s) == math.ceil(25 / 4)
+
+
+def test_av1_sequence_header_round_trip():
+    """AV1 leg of the trio: sequence-header OBU encode -> parse recovers
+    dims/profile/level/tier, including the timing-info skip path and
+    leb128-sized OBUs; av1C wraps and unwraps; malformed quarantines."""
+    import itertools as it
+
+    from schema_fantasy_spark.ops.av1 import (
+        encode_av1_sequence_header,
+        encode_av1c,
+        parse_av1_sequence_header,
+        parse_av1c,
+    )
+
+    for (w, h), prof, lvl, ti in it.product(
+        [(1920, 1080), (354, 198), (1, 1), (65536, 4096), (111, 97)],
+        [0, 1, 2], [0, 8, 12, 16, 31], [False, True],
+    ):
+        obu = encode_av1_sequence_header(w, h, prof, lvl,
+                                         with_timing_info=ti)
+        got = parse_av1_sequence_header(obu)
+        assert got is not None
+        assert (got["width"], got["height"]) == (w, h)
+        assert (got["seq_profile"], got["seq_level_idx"]) == (prof, lvl)
+    rec = parse_av1c(encode_av1c(encode_av1_sequence_header(354, 198, 1, 12)))
+    assert (rec["width"], rec["height"], rec["seq_profile"],
+            rec["seq_level_idx"]) == (354, 198, 1, 12)
+    assert parse_av1c(b"") is None
+    assert parse_av1_sequence_header(b"\x80") is None
+
+
+def test_av01_mp4_header_dims_from_config():
+    from schema_fantasy_spark.ops.video import encode_mp4_av01
+
+    p = encode_mp4_av01(354, 198, 24, profile_idc=2, level_idc=13,
+                        keyframe_every=6)
+    m = parse_mp4_header(p)
+    assert (m["width"], m["height"]) == (354, 198)
+    assert m["codec"] == "av01"
+    assert (m["profile_idc"], m["level_idc"]) == (2, 13)
+    got = parse_mp4_samples(p)
+    assert got["codec"] == "av01" and len(got["samples"]) == 24
+    assert sum(1 for (_, _, s) in got["samples"] if s) == math.ceil(24 / 6)
