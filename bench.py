@@ -264,6 +264,27 @@ def main() -> None:
         "6.6->1.2s, feeds 15.3->4.7s at sf0.1; text_consistency "
         "carries REAL new work (every %3==2 space decodes through "
         "&nbsp;)",
+        "r8 regression attribution (VERDICT r7 item 1): sitemap_urls' "
+        "r7 +49% was the array-decoder guard silently falling back to "
+        "the interpreted Column twin at every parser call site (a "
+        "transform(...) argument carries BOUND lambda vars) - fixed by "
+        "projecting raw arrays under bare names and decoding in a "
+        "plain Project (a SQL UDF inside Generate is unsupported), "
+        "then barriering the result; ivf_partial_probe and "
+        "near_dup_embeddings saw NO code change between r6 and r7 "
+        "(git log on ops/similarity.py is empty for the round) and "
+        "re-measure across the r6-r7 range run to run (2.5-3.9s "
+        "swings on this 3-10x bursty host) - ambient variance, not "
+        "regressions",
+        "r8: sitemap_urls now does STRICTLY MORE work under the gate "
+        "(k%4==2 hosts delivered gzipped through the new "
+        "with_gunzipped_sitemaps seam; k%4==1 hosts expand a DEPTH-2 "
+        "nested index via expand_sitemap_indexes - one parse of the "
+        "bodies table, persisted, then per-level reachability joins) "
+        "yet runs ~2.8s vs r7's 3.42s; avc1_metadata (84) is NEW: "
+        "avc1/hvc1/av01 codec-config parsing (SPS/hvcC/av1C) joined "
+        "with the stss keyframe index, oracle replays the "
+        "chunk-offset layout with a window cumulative sum",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
