@@ -69,9 +69,21 @@ def main() -> None:
     from schema_fantasy_spark.session import get_spark
     from schema_fantasy_spark.sources.pages import PAGES_SCHEMA, pages
 
+    def loadavg():
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return None
+
+    # sampled BEFORE any Spark work: the only loadavg reading that
+    # reflects EXTERNAL ambient competition rather than this bench's own
+    # 32-core stages (the before/after sweep samples include those)
+    load_start = loadavg()
     spark = get_spark(app_name="sfs-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    log(f"bench: sf_dir={sf_dir} cores={cpus} pages_n={pages_n}")
+    log(f"bench: sf_dir={sf_dir} cores={cpus} pages_n={pages_n} "
+        f"loadavg_at_start={load_start}")
 
     # ---- headline: validated docs/sec on the pages table (columnar path).
     # Materialize the synthetic table to parquet once so the timed section
@@ -129,13 +141,6 @@ def main() -> None:
     # counted in 1.3s while materializing costs ~8s) - the write forces
     # every output column, which is what a production sink pays.
     # Totals are therefore NOT comparable to r1-r5 sidecars.
-    def loadavg():
-        try:
-            with open("/proc/loadavg") as f:
-                return [float(x) for x in f.read().split()[:3]]
-        except OSError:
-            return None
-
     load_before = loadavg()
     qtimes = {}
     total = 0.0
@@ -190,6 +195,7 @@ def main() -> None:
         "runs_per_query": 3,
         # 1/5/15-min loadavg bracketing the query sweep — reject a window
         # the host burst into (this VM's host swings 3-10x)
+        "loadavg_at_start": load_start,
         "loadavg_before": load_before,
         "loadavg_after": loadavg(),
         # ambient host speed at bench time — normalize across runs with it
