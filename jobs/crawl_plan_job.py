@@ -11,6 +11,12 @@ ships and gates:
 
     1. INVENTORY   — parse each host's sitemap XML into candidate urls
                      (ops.sitemap.parse_sitemaps, entry 55's operator);
+                     .xml.gz bodies gunzip at the source seam
+                     (with_gunzipped_sitemaps), and with
+                     --sitemap-bodies index sitemaps expand through the
+                     fetched child documents to --max-index-depth
+                     (expand_sitemap_indexes — nested indexes, each
+                     body parsed once);
     2. CANONICALIZE— collapse crawl-variant spellings to one canonical
                      url per candidate (ops.urls.canonicalize_url, the
                      text_consistency key), keep one row per key;
@@ -70,6 +76,16 @@ def main() -> int:
                     help="seconds between fetches for hosts without Crawl-delay")
     ap.add_argument("--recrawl", action="store_true",
                     help="keep already-crawled urls in the plan")
+    ap.add_argument("--sitemap-body-col", default="sitemap_body",
+                    help="binary body column when --sitemaps carries "
+                         ".xml.gz payloads instead of a sitemap_xml "
+                         "string column (gunzipped at the source seam)")
+    ap.add_argument("--sitemap-bodies", default=None,
+                    help="parquet of (child_url, body): fetched child "
+                         "sitemap documents — index-type sitemaps expand "
+                         "through them (nested indexes supported)")
+    ap.add_argument("--max-index-depth", type=int, default=3,
+                    help="bound on sitemapindex nesting during expansion")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -86,14 +102,41 @@ def main() -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("sfs-crawl-plan").getOrCreate()
 
-    # 1. inventory
+    # 1. inventory. Bodies may arrive as .xml.gz binary (the protocol's
+    # usual delivery) — the gunzip seam recovers XML per row; with
+    # --sitemap-bodies, index-type sitemaps expand through the fetched
+    # child bodies to a bounded depth (nested indexes exist in the
+    # wild), each body parsed exactly once.
     sm = spark.read.parquet(args.sitemaps)
-    listed = (
-        parse_sitemaps(sm, "sitemap_xml", key_cols=("host",))
-        .select("host", F.explode("urls").alias("u"))
-        .select("host", F.col("u")["loc"].alias("url"))
-        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
-    )
+    if "sitemap_xml" not in sm.columns:
+        from schema_fantasy_spark.ops.sitemap import with_gunzipped_sitemaps
+
+        sm = with_gunzipped_sitemaps(sm, args.sitemap_body_col)
+    elif dict(sm.dtypes).get("sitemap_xml") == "binary":
+        from schema_fantasy_spark.ops.sitemap import with_gunzipped_sitemaps
+
+        sm = with_gunzipped_sitemaps(
+            sm.withColumnRenamed("sitemap_xml", "__sm_body"), "__sm_body"
+        ).drop("__sm_body")
+    if args.sitemap_bodies:
+        from schema_fantasy_spark.ops.sitemap import expand_sitemap_indexes
+
+        bodies = spark.read.parquet(args.sitemap_bodies)
+        listed = (
+            expand_sitemap_indexes(
+                sm, bodies, key_cols=("host",),
+                max_depth=args.max_index_depth,
+            )
+            .select("host", F.col("loc").alias("url"))
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        )
+    else:
+        listed = (
+            parse_sitemaps(sm, "sitemap_xml", key_cols=("host",))
+            .select("host", F.explode("urls").alias("u"))
+            .select("host", F.col("u")["loc"].alias("url"))
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        )
 
     # 2. one row per canonical url (min spelling is the stable pick);
     # the per-key spelling count folds n_listed into the candidate frame

@@ -110,3 +110,71 @@ def test_robots_crawl_delays(spark):
     # conservative: MAX delay in the file, fractional rounds UP;
     # comments stripped; hosts without the directive absent
     assert got == {"a.com": 8, "c.com": 4}
+
+
+def test_crawl_plan_job_gz_and_nested_indexes(spark, tmp_path, monkeypatch):
+    """The inventory stage's protocol edges inside the job: .xml.gz
+    delivery (binary sitemap_body column, gunzipped at the source seam)
+    and index-type sitemaps expanding through fetched child bodies —
+    including one protocol-violating NESTED index — with the funnel
+    counting every discovered url."""
+    import gzip
+
+    sys.path.insert(0, "jobs")
+    import crawl_plan_job
+
+    def urlset(locs):
+        body = "".join(f"<url><loc>{u}</loc></url>" for u in locs)
+        return f"<urlset>{body}</urlset>"
+
+    def index(children):
+        body = "".join(f"<sitemap><loc>{c}</loc></sitemap>"
+                       for c in children)
+        return f"<sitemapindex>{body}</sitemapindex>"
+
+    # h0 ships a GZIPPED urlset of 2 urls; h1 ships an index whose first
+    # child is itself an index (depth 2) over one grandchild urlset
+    sm_rows = [
+        ("h0.example.com", bytearray(gzip.compress(urlset([
+            "https://h0.example.com/a", "https://h0.example.com/b",
+        ]).encode(), mtime=0))),
+        ("h1.example.com", bytearray(index([
+            "https://h1.example.com/sm/nested.xml",
+            "https://h1.example.com/sm/flat.xml",
+        ]).encode())),
+    ]
+    body_rows = [
+        ("https://h1.example.com/sm/nested.xml",
+         index(["https://h1.example.com/sm/deep.xml"])),
+        ("https://h1.example.com/sm/flat.xml",
+         urlset(["https://h1.example.com/f/1"])),
+        ("https://h1.example.com/sm/deep.xml",
+         urlset(["https://h1.example.com/d/1",
+                 "https://h1.example.com/d/2"])),
+    ]
+    smp, bdp, out = (str(tmp_path / n) for n in ("sm", "bodies", "plan"))
+    spark.createDataFrame(sm_rows, "host string, sitemap_body binary") \
+        .write.parquet(smp)
+    spark.createDataFrame(body_rows, "child_url string, body string") \
+        .write.parquet(bdp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "crawl_plan_job.py", "--sitemaps", smp,
+        "--sitemap-bodies", bdp, "--output", out,
+        "--num-shards", "4",
+    ])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert crawl_plan_job.main() == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    # 2 gz urls + 1 flat child + 2 nested grandchildren = 5 listed
+    assert stats["n_listed"] == 5
+    assert stats["n_distinct"] == 5
+    assert stats["n_scheduled"] == 5
+    plan = spark.read.parquet(out)
+    urls = sorted(r["url"] for r in plan.collect())
+    assert urls == [
+        "https://h0.example.com/a", "https://h0.example.com/b",
+        "https://h1.example.com/d/1", "https://h1.example.com/d/2",
+        "https://h1.example.com/f/1",
+    ]
