@@ -216,3 +216,35 @@ def read_cdxj(spark, path: str):
     lines = spark.read.text(path)
     s = cdxj_struct(F.col("value"))
     return lines.select(s.alias("r")).select("r.*")
+
+
+def lookup_release(release_dir: str, surt: str, ts14: str = "") -> List[str]:
+    """Wayback-style lookup against an on-disk publish_job release —
+    the multi-shard form of :func:`lookup_via_cluster_idx`: binary-search
+    ``cluster.idx``, then range-read ONLY the needed blocks of whichever
+    CDXJ shard file each candidate row NAMES (shards hold contiguous key
+    ranges, so a lookup normally touches one file; equal keys at a shard
+    boundary can spill into the next). Returns the matching CDXJ lines;
+    the caller range-reads each line's WARC extent from its
+    offset/length/filename fields. On an object store the two
+    ``open``+``seek`` reads become ranged GETs — three bounded reads
+    against a petabyte of WARC, none proportional to corpus size."""
+    import bisect
+    import os
+
+    with open(os.path.join(release_dir, "cluster.idx")) as f:
+        rows = [ln.split("\t") for ln in f.read().split("\n") if ln]
+    keys = [r[0] for r in rows]
+    want = f"{surt} {ts14}" if ts14 else surt
+    lo = max(bisect.bisect_right(keys, want) - 1, 0)
+    out: List[str] = []
+    for r in rows[lo:]:
+        if r[0] > want and not r[0].startswith(want):
+            break
+        with open(os.path.join(release_dir, r[1]), "rb") as f:
+            f.seek(int(r[2]))
+            block = f.read(int(r[3]))
+        for ln in block.decode("utf-8").split("\n"):
+            if ln.startswith(want):
+                out.append(ln)
+    return out

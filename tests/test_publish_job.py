@@ -82,3 +82,61 @@ def test_publish_job_end_to_end(spark, tmp_path, monkeypatch):
     cl = (rel / "cluster.idx").read_text().strip("\n").split("\n")
     assert len(cl) == stats["cluster_idx_lines"]
     assert [r.split("\t")[0] for r in cl] == sorted(r.split("\t")[0] for r in cl)
+
+
+def test_lookup_release_multi_shard(spark, tmp_path, monkeypatch):
+    """lookup_release resolves urls across a MULTI-shard release: the
+    cluster.idx rows name their shard file, the block range-read lands
+    in the right one, and every line's WARC extent fetches the exact
+    record — the full three-bounded-reads Wayback path."""
+    import json as _json
+    import pathlib
+
+    import pyspark.sql.functions as F
+
+    sys.path.insert(0, "jobs")
+    import publish_job
+
+    from schema_fantasy_spark.ops.urls import surt_key
+    from schema_fantasy_spark.sources.cdx import lookup_release
+    from schema_fantasy_spark.sources.warc import parse_warc
+
+    rows = [
+        (i, f"https://h{i % 7}.example.com/page/{i}",
+         f"text for page {i} with several words")
+        for i in range(60)
+    ]
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "rel")
+    spark.createDataFrame(rows, "doc_id long, url string, text string") \
+        .write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "publish_job.py", "--input", inp, "--output", out,
+        "--num-shards", "3", "--prefix", "ms",
+    ])
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        assert publish_job.main() == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["n_shards"] == 3  # the multi-shard premise
+
+    surts = {r["url"]: r["s"] for r in spark.createDataFrame(
+        [(u,) for _, u, _ in rows], "url string"
+    ).select("url", surt_key(F.col("url")).alias("s")).collect()}
+    rel = pathlib.Path(out)
+    for i in (0, 17, 35, 59):  # spread across shards
+        url = rows[i][1]
+        lines = lookup_release(out, surts[url])
+        assert len(lines) == 1, url
+        meta = _json.loads(lines[0].split(" ", 2)[2])
+        assert meta["url"] == url
+        archive = (rel / meta["filename"]).read_bytes()
+        extent = archive[int(meta["offset"]):
+                         int(meta["offset"]) + int(meta["length"])]
+        recs = parse_warc(extent)
+        assert len(recs) == 1 and recs[0]["url"] == url
+    # a surt absent from the corpus returns nothing
+    assert lookup_release(out, "zzz,nonexistent)/x") == []
