@@ -1405,6 +1405,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h_expected",
         )
 
+    def image_resize_synthetic(spark, sf):
+        # model-input preprocessing under the gate: every image of the
+        # two-tone corpus (all six container formats, REAL decoders)
+        # resizes to a fixed 6x5 RGB tensor by exact integer
+        # nearest-index sampling (src[j*h//6, i*w//5]) — 5 > some source
+        # widths (w=4..19), so BOTH up- and down-scaling arithmetic run.
+        # The oracle rebuilds the ENTIRE flattened tensor closed-form
+        # from the generation nibbles (top-half color_a rows vs exact
+        # inverses; the lossy-VP8 gray family replicates its tone across
+        # channels) — a one-pixel index or channel error anywhere in any
+        # decoder or in the resampling flips the row hash.
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        imgs = mm_corpus.synthetic_images(docs)
+        resized = multimodal.image_resize(
+            imgs, binary_col="payload", id_col="doc_id", out_w=5, out_h=6
+        )
+        # the tensor crosses the gate as a CSV string: array-typed
+        # columns degrade to numpy arrays in pandas-path comparators
+        return resized.select(
+            "doc_id", "src_width", "src_height", "out_w", "out_h",
+            F.array_join(
+                F.transform(F.col("pixels"), lambda v: v.cast("string")), ","
+            ).alias("pixels_csv"),
+        )
+
     def image_decode_synthetic(spark, sf):
         # multimodal decode under the oracle gate: a deterministic
         # two-tone BMP/PPM/GIF/PNG/WebP corpus from md5(doc_id) nibbles
@@ -3717,7 +3746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_plan_documents": crawl_plan_documents,
         "entity_decode_documents": entity_decode_documents,
         "avc1_metadata_synthetic": avc1_metadata_synthetic,
-        # --- recorded in CORRECTNESS_r01-r07; ~11 more fit the window ---
+        "image_resize_synthetic": image_resize_synthetic,
+        # --- recorded in CORRECTNESS_r01-r07; ~10 more fit the window ---
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
@@ -4564,6 +4594,49 @@ def oracle_sql() -> dict[str, str]:
       FROM f
     """
 
+    # full-tensor resize oracle: rebuild the 6x5x3 nearest-sampled
+    # output closed-form per family (same nibble derivation as
+    # image_decode_sql; DuckDB integer // matches numpy floor-div)
+    # the B_PRED lossy sub-family (n13 odd) reconstructs top = ta+1 /
+    # bottom = 256-ta (doubled residual levels shift both halves by one;
+    # clamped to [0,255], and ta=255's doubled -510 bottom level lands 0)
+    # — swept exhaustively over all 256 tones in tests; the 16x16 path
+    # and every lossless format reconstruct the construction exactly
+    image_resize_sql = _mm_cte + """
+    , f AS (SELECT *, (n1 % 4 = 3 AND n14 % 2 = 1) AS lossy,
+                 n4 * 16 + n5 AS ta FROM n),
+    g AS (SELECT doc_id,
+                 4 + n2 AS w,
+                 CASE WHEN lossy THEN 32 ELSE 8 * (1 + n3 % 3) END AS h,
+                 CASE WHEN lossy AND n13 % 2 = 1
+                      THEN [LEAST(ta + 1, 255),
+                            LEAST(ta + 1, 255), LEAST(ta + 1, 255)]
+                      WHEN lossy THEN [ta, ta, ta]
+                      ELSE [ta, n6*16+n7, n8*16+n9] END AS cht,
+                 CASE WHEN lossy AND n13 % 2 = 1
+                      THEN [CASE WHEN ta = 255 THEN 0
+                                 ELSE LEAST(256 - ta, 255) END,
+                            CASE WHEN ta = 255 THEN 0
+                                 ELSE LEAST(256 - ta, 255) END,
+                            CASE WHEN ta = 255 THEN 0
+                                 ELSE LEAST(256 - ta, 255) END]
+                      WHEN lossy THEN [255 - ta, 255 - ta, 255 - ta]
+                      ELSE [255 - ta, 255 - (n6*16+n7), 255 - (n8*16+n9)]
+                      END AS chb
+            FROM f)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_width,
+           CAST(h AS INTEGER) AS src_height,
+           5 AS out_w, 6 AS out_h,
+           array_to_string(
+             flatten(list_transform(range(0, 6), j ->
+               flatten(list_transform(range(0, 5), i ->
+                 list_transform(range(1, 4), c ->
+                   CASE WHEN (j * h) // 6 < h // 2
+                        THEN cht[c] ELSE chb[c] END))))), ',') AS pixels_csv
+      FROM g
+    """
+
     jpeg_decode_sql = _mm_cte + """
     SELECT doc_id,
            4 + n2 AS width,
@@ -4970,6 +5043,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode_synthetic": jpeg_decode_sql,
         "video_frames_synthetic": video_frames_sql,
         "avc1_metadata_synthetic": avc1_meta_sql,
+        "image_resize_synthetic": image_resize_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         # the charset-family suffix + (charset, source) labels replay
         # from the same md5-nibble derivation the corpus generator uses;

@@ -308,6 +308,12 @@ def main() -> None:
         "avc1/hvc1/av01 codec-config parsing (SPS/hvcC/av1C) joined "
         "with the stss keyframe index, oracle replays the "
         "chunk-offset layout with a window cumulative sum",
+        "r8 late: image_resize (85) gates model-input preprocessing - "
+        "every corpus image's full 6x5x3 nearest-resized tensor "
+        "rebuilt closed-form in SQL (incl. the lossy B_PRED "
+        "reconstruction curve, pinned over all 256 tones in pytest); "
+        "crawl_plan_job gained .xml.gz + nested-index inventory, and "
+        "lookup_release serves multi-shard Wayback lookups",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:

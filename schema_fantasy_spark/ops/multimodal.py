@@ -532,6 +532,88 @@ def image_features(
     return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+IMAGE_RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_width", T.IntegerType()),
+    T.StructField("src_height", T.IntegerType()),
+    T.StructField("out_w", T.IntegerType()),
+    T.StructField("out_h", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.IntegerType())),
+])
+
+
+def image_resize(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    out_w: int = 8, out_h: int = 8, method: str = "nearest",
+) -> DataFrame:
+    """Model-input preprocessing resize — the step between decode and a
+    vision encoder: every decodable image (BMP/PPM/PNG/JPEG/WebP/GIF,
+    the real codecs above) becomes a fixed ``out_h x out_w`` RGB tensor,
+    emitted flattened row-major (j, i, channel) as ``array<int>`` (a
+    production sink packs the same bytes as ``binary``; the array form
+    keeps the tensor SQL-comparable under the oracle gate).
+
+    ``method``: 'nearest' = exact integer index sampling
+    (``src[j*h//out_h, i*w//out_w]`` — deterministic, replayable
+    closed-form, handles up- AND down-scaling); 'area' = box average
+    over the source cells each output cell spans (float accumulation,
+    rounded half-up to uint8 — pytest-pinned against numpy, not
+    SQL-gated). Undecodable payloads are quarantined at the row level.
+
+    Scale shape: mapInPandas, partition-preserving — image bytes never
+    shuffle, and the output tensor is out_h*out_w*3 ints regardless of
+    source size, so downstream training-mix tables are fixed-width."""
+    if method not in ("nearest", "area"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                try:
+                    px = decode_image_pixels(bytes(payload))
+                except (ValueError, IndexError, OverflowError):
+                    continue
+                if px is None:
+                    continue
+                if px.ndim == 2:  # grayscale plane -> replicated RGB
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                h, w = px.shape[:2]
+                if method == "nearest":
+                    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    out = px[np.ix_(ri, ci)]
+                else:
+                    edges_r = (np.arange(out_h + 1) * h) // out_h
+                    edges_c = (np.arange(out_w + 1) * w) // out_w
+                    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+                    for j in range(out_h):
+                        r0, r1 = edges_r[j], max(edges_r[j + 1], edges_r[j] + 1)
+                        for k in range(out_w):
+                            c0 = edges_c[k]
+                            c1 = max(edges_c[k + 1], c0 + 1)
+                            box = px[r0:r1, c0:c1].astype(np.float64)
+                            out[j, k] = np.floor(
+                                box.mean(axis=(0, 1)) + 0.5
+                            ).astype(np.uint8)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                pxs.append([int(v) for v in out.flatten()])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "src_width": pd.Series(ws, dtype="int32"),
+                "src_height": pd.Series(hs, dtype="int32"),
+                "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
+                "pixels": pd.Series(pxs, dtype="object"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "html",

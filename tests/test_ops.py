@@ -2010,3 +2010,67 @@ def test_video_keyframe_hashes_fused_equals_chained(spark):
             m["width"], m["height"], m["phash"])
     assert fused == chained and len(fused) == 4
     assert not any(k[0] == 3 for k in fused)  # non-AVI quarantined
+
+
+def test_image_resize_nearest_and_area(spark):
+    """image_resize: nearest = exact integer index sampling (up- and
+    down-scaling), area = box average rounded half-up; undecodable rows
+    quarantine; tensors arrive flattened row-major RGB."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.multimodal import (
+        encode_ppm6,
+        image_resize,
+    )
+
+    # 4x2 source with distinct pixels: upscale to 3x5 and downscale to 2x2
+    src = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3) * 10
+    rows = [(1, bytearray(encode_ppm6(src))), (2, bytearray(b"notanimage"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    up = image_resize(df, binary_col="payload", id_col="doc_id",
+                      out_w=5, out_h=3).collect()
+    assert len(up) == 1  # the undecodable row quarantined
+    r = up[0]
+    assert (r["src_width"], r["src_height"], r["out_w"], r["out_h"]) == (4, 2, 5, 3)
+    ri = [j * 2 // 3 for j in range(3)]
+    ci = [i * 4 // 5 for i in range(5)]
+    expect = [int(src[j, i, c]) for j in ri for i in ci for c in range(3)]
+    assert r["pixels"] == expect
+
+    down = image_resize(df, binary_col="payload", id_col="doc_id",
+                        out_w=2, out_h=1, method="area").collect()[0]
+    # area boxes: rows 0..1, cols [0,2) and [2,4) -> plain means
+    exp = [int(np.floor(src[:, 0:2, c].mean() + 0.5)) for c in range(3)] + \
+          [int(np.floor(src[:, 2:4, c].mean() + 0.5)) for c in range(3)]
+    assert down["pixels"] == exp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        image_resize(df, method="bicubic")
+
+
+def test_lossy_bpred_tone_curve_exhaustive():
+    """The oracle for image_resize_synthetic states the B_PRED lossy
+    family's reconstruction closed-form: top = min(ta+1, 255), bottom =
+    256-ta clamped, except ta=255 whose doubled -510 residual lands 0.
+    Pin that curve over ALL 256 tones so an encoder/decoder change that
+    shifts any tone breaks here before it breaks the gate."""
+    from schema_fantasy_spark.ops.webp import (
+        decode_webp,
+        encode_webp_lossy_bpred,
+        encode_webp_lossy_two_tone,
+    )
+
+    for ta in range(256):
+        q = decode_webp(
+            encode_webp_lossy_bpred(8, 32, 2 * (ta - 128), 2 * (255 - 2 * ta))
+        )
+        top, bot = int(q[0, 0, 0]), int(q[-1, 0, 0])
+        assert top == min(ta + 1, 255), ta
+        assert bot == (0 if ta == 255 else min(256 - ta, 255)), ta
+        # the 16x16 path reconstructs the construction exactly
+        e = decode_webp(
+            encode_webp_lossy_two_tone(8, 32, ta - 128, 255 - 2 * ta)
+        )
+        assert int(e[0, 0, 0]) == ta and int(e[-1, 0, 0]) == 255 - ta
