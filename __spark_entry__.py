@@ -1405,6 +1405,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "h_expected",
         )
 
+    def audio_resample_synthetic(spark, sf):
+        # the audio sibling of image_resize under the gate: every PCM /
+        # G.711 WAV of the corpus (mu-law and A-law decode through the
+        # ITU expansion tables) resamples to 16 kHz by exact
+        # nearest-index arithmetic — src rates 8/16/24 kHz, so up-,
+        # down- and identity-sampling all run. The oracle rebuilds the
+        # ENTIRE resampled waveform closed-form (alternating +/-amp
+        # square wave through the index map, amp replayed from the
+        # G.711 expansion formulas) — one wrong index, sign or
+        # magnitude anywhere flips the row hash. Header-walk codecs
+        # (MP3/FLAC/Ogg) and corrupt rows quarantine, mirrored by the
+        # oracle's family filter.
+        from schema_fantasy_spark.ops import mm_corpus, multimodal
+
+        docs = tables.load(spark, sf, "documents").select("doc_id").filter(
+            F.col("doc_id").isNotNull()
+        )
+        wavs = mm_corpus.synthetic_audio(docs)
+        rs = multimodal.audio_resample(
+            wavs, binary_col="payload", id_col="doc_id", out_rate=16000
+        )
+        return rs.select(
+            "doc_id", "src_rate", "out_rate", "n_in", "n_out",
+            F.array_join(
+                F.transform(F.col("samples"), lambda v: v.cast("string")),
+                ",",
+            ).alias("samples_csv"),
+        )
+
     def image_resize_synthetic(spark, sf):
         # model-input preprocessing under the gate: every image of the
         # two-tone corpus (all six container formats, REAL decoders)
@@ -3747,7 +3776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_decode_documents": entity_decode_documents,
         "avc1_metadata_synthetic": avc1_metadata_synthetic,
         "image_resize_synthetic": image_resize_synthetic,
-        # --- recorded in CORRECTNESS_r01-r07; ~10 more fit the window ---
+        "audio_resample_synthetic": audio_resample_synthetic,
+        # --- recorded in CORRECTNESS_r01-r07; ~9 more fit the window ---
         "flagship_validation": flagship_validation,
         "combinator_validation": combinator_validation,
         "json_props_validation": json_props_validation,
@@ -4637,6 +4667,38 @@ def oracle_sql() -> dict[str, str]:
       FROM g
     """
 
+    # full-waveform resample oracle: laws 0-2 only (PCM + G.711 —
+    # the families with in-container sample decode), corrupt rows
+    # excluded; the alternating square wave replays through the exact
+    # nearest-index map, amp through the ITU expansion formulas
+    audio_resample_sql = _mm_cte + """
+    , g AS (SELECT *,
+                 CASE WHEN n9 % 4 = 0 THEN 3
+                      WHEN n9 % 4 = 2 AND n8 % 2 = 0 THEN 4
+                      WHEN n9 % 4 = 3 AND n8 % 2 = 0 THEN 5
+                      ELSE n14 % 3 END AS law,
+                 n12 % 8 AS aexp, n10 % 16 AS amant
+            FROM n WHERE n13 <> 0),
+    h AS (SELECT doc_id,
+                 8000 * (1 + n10 % 3) AS sr,
+                 400 + 64 * n11 AS nf,
+                 CASE law WHEN 0 THEN 512 * (1 + n12)
+                      WHEN 1 THEN ((amant * 8 + 132) * (1 << aexp)) - 132
+                      ELSE CASE WHEN aexp = 0 THEN amant * 16 + 8
+                                ELSE (amant * 16 + 264) * (1 << (aexp - 1))
+                           END
+                 END AS amp
+            FROM g WHERE law < 3)
+    SELECT doc_id,
+           CAST(sr AS INTEGER) AS src_rate, 16000 AS out_rate,
+           CAST(nf AS BIGINT) AS n_in,
+           CAST((nf * 16000) // sr AS BIGINT) AS n_out,
+           array_to_string(list_transform(range(0, (nf * 16000) // sr),
+             k -> CASE WHEN ((k * sr) // 16000) % 2 = 0
+                       THEN amp ELSE -amp END), ',') AS samples_csv
+      FROM h
+    """
+
     jpeg_decode_sql = _mm_cte + """
     SELECT doc_id,
            4 + n2 AS width,
@@ -5044,6 +5106,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames_synthetic": video_frames_sql,
         "avc1_metadata_synthetic": avc1_meta_sql,
         "image_resize_synthetic": image_resize_sql,
+        "audio_resample_synthetic": audio_resample_sql,
         "audio_metadata_synthetic": audio_meta_sql,
         # the charset-family suffix + (charset, source) labels replay
         # from the same md5-nibble derivation the corpus generator uses;

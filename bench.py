@@ -313,7 +313,7 @@ def main() -> None:
         "rebuilt closed-form in SQL (incl. the lossy B_PRED "
         "reconstruction curve, pinned over all 256 tones in pytest); "
         "crawl_plan_job gained .xml.gz + nested-index inventory, and "
-        "lookup_release serves multi-shard Wayback lookups",
+        "lookup_release serves multi-shard Wayback lookups; audio_resample (86) gates the full resampled waveform of every PCM/G.711 row",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:

@@ -1343,6 +1343,79 @@ def encode_png_rgb(px: "np.ndarray", filter_type: int = 0) -> bytes:
     )
 
 
+AUDIO_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_rate", T.IntegerType()),
+    T.StructField("out_rate", T.IntegerType()),
+    T.StructField("n_in", T.LongType()),
+    T.StructField("n_out", T.LongType()),
+    T.StructField("samples", T.ArrayType(T.IntegerType())),
+])
+
+
+def audio_resample(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    out_rate: int = 16000,
+) -> DataFrame:
+    """Model-input preprocessing resample — the audio sibling of
+    :func:`image_resize` (ASR pipelines standardize on one rate):
+    decodable PCM WAVs (stdlib ``wave``) and G.711 mu-law/A-law WAVs
+    (:func:`parse_wav_g711`) become an ``out_rate`` int16 waveform by
+    exact nearest-index sampling (``src[k * src_rate // out_rate]`` for
+    ``k < n_in * out_rate // src_rate`` — deterministic integer
+    arithmetic, up- AND down-sampling, replayable closed-form). Channel
+    0 of multi-channel files (the corpus is mono; a production variant
+    would mix down). Emitted as ``array<int>`` of int16 values for
+    SQL comparability under the gate (a production sink packs int16
+    binary). Header-walk codecs (MP3/FLAC/Ogg — no in-container sample
+    decode, the documented stance) and corrupt containers quarantine at
+    the row level."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, nins, nouts, outs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                payload_b = bytes(payload)
+                mono = None
+                try:
+                    with wave.open(io.BytesIO(payload_b)) as wf:
+                        if wf.getsampwidth() == 2:
+                            sr = wf.getframerate()
+                            nch = wf.getnchannels()
+                            raw = wf.readframes(wf.getnframes())
+                            arr = np.frombuffer(raw, dtype="<i2")
+                            mono = arr[::nch] if nch > 1 else arr
+                except (wave.Error, EOFError):
+                    got = parse_wav_g711(payload_b)
+                    if got is not None:
+                        _tag, sr, nch, samples = got
+                        mono = samples[::nch] if nch > 1 else samples
+                if mono is None or sr <= 0:
+                    continue
+                n_in = len(mono)
+                n_out = n_in * out_rate // sr
+                idx = np.arange(n_out, dtype=np.int64) * sr // out_rate
+                out = mono[idx] if n_out else mono[:0]
+                ids.append(i)
+                srs.append(sr)
+                nins.append(n_in)
+                nouts.append(n_out)
+                outs.append([int(v) for v in out])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "src_rate": pd.Series(srs, dtype="int32"),
+                "out_rate": pd.Series([out_rate] * len(ids), dtype="int32"),
+                "n_in": pd.Series(nins, dtype="int64"),
+                "n_out": pd.Series(nouts, dtype="int64"),
+                "samples": pd.Series(outs, dtype="object"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, AUDIO_RESAMPLE_SCHEMA)
+
+
 def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV from an int16 sample array. File size =
     44 + 2*len(samples) exactly (stdlib wave writes the canonical

@@ -2074,3 +2074,62 @@ def test_lossy_bpred_tone_curve_exhaustive():
             encode_webp_lossy_two_tone(8, 32, ta - 128, 255 - 2 * ta)
         )
         assert int(e[0, 0, 0]) == ta and int(e[-1, 0, 0]) == 255 - ta
+
+
+def test_audio_resample_nearest(spark):
+    """audio_resample: exact nearest-index resampling for PCM and G.711
+    WAVs (up, down, identity), channel 0 of stereo, header-walk codecs
+    and corrupt rows quarantined."""
+    import numpy as np
+
+    from schema_fantasy_spark.ops.multimodal import (
+        audio_resample,
+        encode_wav_g711,
+        encode_wav_pcm16,
+    )
+
+    src = np.array([100, -100, 200, -200, 300, -300, 400, -400],
+                   dtype="<i2")
+    # stereo: interleave a junk right channel that must be ignored
+    stereo = np.empty(16, dtype="<i2")
+    stereo[0::2] = src
+    stereo[1::2] = 9999
+    import struct
+
+    def wav_stereo(samples, rate):
+        body = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+        return (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+                + b"fmt " + (16).to_bytes(4, "little") + fmt
+                + b"data" + len(body).to_bytes(4, "little") + body)
+
+    ulaw_codes = np.array([0x1F ^ 0x7F, 0x9F ^ 0x7F] * 4, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_wav_pcm16(src, rate=8000))),      # upsample
+        (2, bytearray(encode_wav_pcm16(src, rate=32000))),     # downsample
+        (3, bytearray(encode_wav_pcm16(src, rate=16000))),     # identity
+        (4, bytearray(wav_stereo(stereo, 8000))),              # stereo
+        (5, bytearray(encode_wav_g711(ulaw_codes, rate=8000))),  # mu-law
+        (6, bytearray(b"ID3garbage")),                          # quarantine
+        (7, bytearray(encode_wav_pcm16(src, rate=8000))[:13]),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_resample(
+        df, binary_col="payload", id_col="doc_id", out_rate=16000
+    ).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # upsample 8k -> 16k: each source sample twice
+    assert got[1]["n_out"] == 16
+    assert got[1]["samples"] == [int(v) for v in np.repeat(src, 2)]
+    # downsample 32k -> 16k: every other sample
+    assert got[2]["n_out"] == 4
+    assert got[2]["samples"] == [100, 200, 300, 400]
+    # identity
+    assert got[3]["samples"] == [int(v) for v in src]
+    # stereo: left channel only, junk never surfaces
+    assert got[4]["samples"] == [int(v) for v in np.repeat(src, 2)]
+    # G.711 mu-law decodes through the expansion table, then resamples
+    from schema_fantasy_spark.ops.multimodal import parse_wav_g711
+
+    _t, _sr, _nch, decoded = parse_wav_g711(bytes(rows[4][1]))
+    assert got[5]["samples"] == [int(v) for v in np.repeat(decoded, 2)]
