@@ -62,8 +62,21 @@ PROPS_SCHEMA = {
 _ENUM_EXPECTED = "en, de, fr or es"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a single-row-group bench scan across cores before a
+    compute-heavy stage (ops.dedup._ensure_parallelism: no-op whenever
+    the input already has >= defaultParallelism partitions — always true
+    for a 100 TB table, so at scale this never adds a shuffle). Applied
+    AFTER pushed filters so scan pruning/pushdown is unchanged; outputs
+    of the wrapped stages are per-row or aggregate, so results are
+    partition-layout-invariant."""
+    from schema_fantasy_spark.ops.dedup import _ensure_parallelism
+
+    return _ensure_parallelism(df)
+
+
 def _violations(spark: SparkSession, sf_dir: str, schema: dict) -> DataFrame:
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = _spread(tables.load(spark, sf_dir, "documents"))
     eng = ValidationEngine(schema)
     v = eng.apply(docs)
     out = ValidationEngine.violations(v, ["doc_id"])
@@ -140,7 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _violations(spark, sf, DOCUMENTS_SCHEMA)
 
     def combinator_validation(spark, sf):
-        docs = tables.load(spark, sf, "documents")
+        docs = _spread(tables.load(spark, sf, "documents"))
         v = ValidationEngine(DOCUMENTS_COMBINATOR_SCHEMA).apply(docs)
         out = ValidationEngine.violations(v, ["doc_id"])
         # depth-0 entries only: the combinator verdict layer (children are
@@ -153,7 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def json_props_validation(spark, sf):
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = tables.load(spark, sf, "events")
+        ev = _spread(tables.load(spark, sf, "events"))
         v = validate_json(ev, "props", PROPS_SCHEMA)
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -164,7 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so it shares that oracle — three-mode parity on the driver
         from schema_fantasy_spark.variant import compile_variant
 
-        ev = tables.load(spark, sf, "events")
+        ev = _spread(tables.load(spark, sf, "events"))
         v = compile_variant(PROPS_SCHEMA).apply(ev, "props")
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -179,7 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Arrow-UDF kernel
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = tables.load(spark, sf, "events")
+        ev = _spread(tables.load(spark, sf, "events"))
         kv = (F.col("event_id") % 100).cast("string")
         # JSON-escape the string leg (backslash first, then quote — literal
         # replace, not regex): an unescaped quote/backslash in event_type
@@ -253,7 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modes") — the UDF twin covers the full table
         from schema_fantasy_spark.variant import compile_variant
 
-        ev = tables.load(spark, sf, "events").filter(F.col("event_id") % 10 == 0)
+        ev = _spread(
+            tables.load(spark, sf, "events").filter(F.col("event_id") % 10 == 0)
+        )
         kv = (F.col("event_id") % 100).cast("string")
         # JSON-escape the string leg (backslash first, then quote — literal
         # replace, not regex): an unescaped quote/backslash in event_type
@@ -331,7 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def leaf_suite_lineitem(spark, sf):
         # multipleOf (float semantics) + exclusive bounds over lineitem
-        li = tables.load(spark, sf, "lineitem")
+        li = _spread(tables.load(spark, sf, "lineitem"))
         schema = {
             "properties": {
                 "l_quantity": {"multipleOf": 1},
@@ -350,7 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minItems/maxItems/uniqueItems over a real array column; the
         # quantized copy (floor(x*10), exact in IEEE754 both engines)
         # guarantees duplicates so uniqueItems actually fires
-        emb = tables.load(spark, sf, "embeddings").withColumn(
+        emb = _spread(tables.load(spark, sf, "embeddings")).withColumn(
             "emb_q", F.transform("embedding", lambda x: F.floor(x * 10).cast("int"))
         )
         schema = {
@@ -369,7 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minProperties/maxProperties on dynamic JSON objects (UDF kernel)
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = tables.load(spark, sf, "events")
+        ev = _spread(tables.load(spark, sf, "events"))
         v = validate_json(ev, "props", {"minProperties": 2, "maxProperties": 1})
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -455,7 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "source": pd.Series(rows["source"], dtype="object"),
                 })
 
-        archives = docs.select(*cols).mapInPandas(enc, "payload binary")
+        archives = _spread(docs.select(*cols)).mapInPandas(enc, "payload binary")
         roundtripped = archives.mapInPandas(
             dec, "doc_id long, text string, lang string, n_chars long, source string"
         )
@@ -493,7 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-column stats + exact percentiles in one profile row set: the
         # stats rows (4 columns) left-join the percentile rows (2 columns)
         # on col_name — both are tiny per-column aggregates
-        li = tables.load(spark, sf, "lineitem")
+        li = _spread(tables.load(spark, sf, "lineitem"))
         stats = tc.column_stats(
             li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
         )
@@ -602,7 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data pipeline ops (dedup / similarity / text analysis)
 
     def error_breakdown_documents(spark, sf):
-        docs = tables.load(spark, sf, "documents")
+        docs = _spread(tables.load(spark, sf, "documents"))
         v = ValidationEngine(DOCUMENTS_SCHEMA).apply(docs)
         return ValidationEngine.error_breakdown(v)
 
@@ -1315,7 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from schema_fantasy_spark.ops import charset as csops
         from schema_fantasy_spark.ops import mm_corpus as mc
 
-        docs = docs.filter(F.col("doc_id").isNotNull())
+        docs = _spread(docs.filter(F.col("doc_id").isNotNull()))
 
         def build_pages(batches):
             import pandas as pd
@@ -1788,7 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('</a></body></html>'),
             ))
         )
-        pages = docs.select(
+        pages = _spread(docs).select(
             "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
             page.alias("html"),
         )
@@ -2635,7 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('</a></body></html>'),
             ))
         )
-        pages = docs.select(
+        pages = _spread(docs).select(
             "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
             page.alias("html"),
         )
@@ -2902,7 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("<html><body>"), c3, F.lit(footer),
                 F.lit("</body></html>")))
         )
-        pages = docs.select("doc_id", page.alias("html"))
+        pages = _spread(docs).select("doc_id", page.alias("html"))
         # the df-level fast path (array-level entity decode; barriers
         # inside) — equivalence with block_stats is pytest-pinned
         withstats = with_block_stats(pages, html_col="html", out_col="stats")
@@ -3123,7 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        imgs = docs.mapInPandas(build, "doc_id long, img binary")
+        imgs = _spread(docs).mapInPandas(build, "doc_id long, img binary")
         meta = image_metadata(imgs, binary_col="img", id_col="doc_id")
         pairs = hamming_near_duplicates(
             meta, "phash", id_col="doc_id", max_hamming=3
@@ -3331,7 +3346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        wavs = docs.mapInPandas(build, "doc_id long, wav binary")
+        wavs = _spread(docs).mapInPandas(build, "doc_id long, wav binary")
         fps = audio_fingerprints(wavs, binary_col="wav", id_col="doc_id")
         pairs = hamming_near_duplicates(
             fps, "afp", id_col="doc_id", max_hamming=3
@@ -3424,7 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        vids = docs.mapInPandas(build, "doc_id long, video binary")
+        vids = _spread(docs).mapInPandas(build, "doc_id long, video binary")
         meta = video_keyframe_hashes(
             vids, binary_col="video", id_col="doc_id", every_n=1,
             max_frames=1,
