@@ -28,6 +28,7 @@ category sweep), same role as the PNG decoder beside it.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -86,12 +87,31 @@ def _idct_matrix() -> "np.ndarray":
 
 _M = _idct_matrix()
 
+#: zigzag as gather index arrays for batched (n, 8, 8) coefficient ops
+_ZR = np.array([r for r, _ in ZIGZAG])
+_ZC = np.array([c for _, c in ZIGZAG])
+#: zigzag k -> natural-order flat index (r*8 + c) for batched decode
+_ZNAT = [r * 8 + c for r, c in ZIGZAG]
+
+
+def _block_grid(plane: "np.ndarray") -> "np.ndarray":
+    """(by, bx, 8, 8) block view of an (8*by, 8*bx) plane (no copy)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
 
 # ---------------------------------------------------------- huffman build
 
 
 def _build_codes(counts, symbols):
-    """Canonical huffman: {symbol: (code, length)} from DHT counts."""
+    """Canonical huffman: {symbol: (code, length)} from DHT counts.
+    Memoized on the table bytes — encode_jpeg_baseline always uses the
+    two spec tables, and rebuilding them per image was pure overhead."""
+    return _build_codes_cached(bytes(counts), bytes(symbols))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_codes_cached(counts: bytes, symbols: bytes):
     codes = {}
     code = 0
     k = 0
@@ -111,9 +131,6 @@ def _build_decode(counts, symbols):
     DHTs (every stream this codec writes, and most camera firmware)
     builds each table once."""
     return _build_decode_cached(bytes(counts), bytes(symbols))
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)
@@ -362,14 +379,18 @@ def _decode_scan(payload, start, sof, scan, qt, huff, dri):
         for k, (r, cc) in enumerate(ZIGZAG):
             nat[r, cc] = q[k]
         deq[c["id"]] = nat
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in comps
-    }
     segs, _ = _destuff(payload, start)
     seg_i = 0
     reader = _BitReader(segs[0])
     preds = {c["id"]: 0 for c in comps}
+    # Entropy decode is inherently sequential; everything after it is
+    # not. Accumulate each block as a plain 64-int list (natural order)
+    # plus its (block_row, block_col), then dequantize + IDCT every
+    # block of a component in ONE batched matmul and scatter into the
+    # plane — the per-block np.zeros + 8x8 matmul pair dominated this
+    # loop (numpy call overhead, not math).
+    coef_lists = {c["id"]: [] for c in comps}
+    pos_lists = {c["id"]: [] for c in comps}
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -385,11 +406,11 @@ def _decode_scan(payload, start, sof, scan, qt, huff, dri):
                 ac_tab = huff[(1, ta)]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef = np.zeros((8, 8), np.int32)
+                        coef = [0] * 64
                         s = reader.decode_huff(dc_tab)
                         diff = _extend(reader.receive(s), s) if s else 0
                         preds[c["id"]] += diff
-                        coef[0, 0] = preds[c["id"]]
+                        coef[0] = preds[c["id"]]
                         k = 1
                         while k < 64:
                             rs = reader.decode_huff(ac_tab)
@@ -402,15 +423,24 @@ def _decode_scan(payload, start, sof, scan, qt, huff, dri):
                             sbits = rs & 0x0F
                             if k > 63:
                                 raise ValueError("AC overrun")
-                            r, cc = ZIGZAG[k]
-                            coef[r, cc] = _extend(reader.receive(sbits), sbits)
+                            coef[_ZNAT[k]] = _extend(
+                                reader.receive(sbits), sbits)
                             k += 1
-                        block = (coef * deq[c["id"]]).astype(np.float64)
-                        spatial = _M.T @ block @ _M
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                        coef_lists[c["id"]].append(coef)
+                        pos_lists[c["id"]].append(
+                            (my * c["v"] + by, mx * c["h"] + bx))
             mcu += 1
+    planes = {}
+    for c in comps:
+        cid = c["id"]
+        coefs = np.array(coef_lists[cid], np.int32).reshape(-1, 8, 8)
+        blocks = (coefs * deq[cid]).astype(np.float64)
+        spatial = _M.T @ blocks @ _M
+        ph, pw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        plane = np.zeros((ph, pw), np.float64)
+        grid = _block_grid(plane)
+        grid[tuple(np.array(pos_lists[cid]).T)] = spatial
+        planes[cid] = plane
     # upsample, level-shift, color-convert, crop
     full = []
     for c in comps:
@@ -503,22 +533,19 @@ def _decode_progressive(payload, start, sof, qt, huff, dri):
             continue
         i += length
 
-    # render: dequant (zigzag -> natural) + IDCT per block
+    # render: dequant (zigzag -> natural) + IDCT, batched across every
+    # block of a component in one matmul (same stacked-dgemm arithmetic
+    # as the per-block loop it replaces — see _decode_scan)
     planes = {}
     for c in comps:
         q = qt[c["tq"]]
         grid = coefs[c["id"]]
         by, bx = grid.shape[:2]
+        nat = np.zeros((by, bx, 8, 8), np.int64)
+        nat[..., _ZR, _ZC] = grid * q
+        spatial = _M.T @ nat.astype(np.float64) @ _M
         plane = np.empty((by * 8, bx * 8), np.float64)
-        nat = np.zeros((8, 8), np.int64)
-        zr = np.array([r for r, _ in ZIGZAG])
-        zc = np.array([cc for _, cc in ZIGZAG])
-        for yy in range(by):
-            for xx in range(bx):
-                nat[zr, zc] = grid[yy, xx] * q
-                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
-                    _M.T @ nat.astype(np.float64) @ _M
-                )
+        _block_grid(plane)[...] = spatial
         planes[c["id"]] = plane
     full = []
     for c in comps:
@@ -665,17 +692,19 @@ def _progressive_scan(segs, scan, ss, se, ah, al, by_id, coefs, effdims,
 # --------------------------------------------------------------- encoder
 
 
-def _encode_block(writer, block, pred, dc_codes, ac_codes):
-    """Quantized 8x8 int block (natural order) -> entropy bits. Returns
-    the new DC predictor."""
-    dc = int(block[0, 0])
+def _encode_block_zz(writer, zz, pred, dc_codes, ac_codes):
+    """Quantized block as a plain 64-int ZIGZAG list -> entropy bits.
+    Returns the new DC predictor. (Takes the pre-gathered zigzag list
+    so the batched encoder's one-gather-per-plane output feeds straight
+    in — the old per-block `[int(block[r, c]) for r, c in ZIGZAG]` was
+    64 numpy scalar reads per block.)"""
+    dc = zz[0]
     diff = dc - pred
     s = abs(diff).bit_length()
     code, length = dc_codes[s]
     writer.write(code, length)
     if s:
         writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    zz = [int(block[r, c]) for r, c in ZIGZAG]
     run = 0
     last_nz = 0
     for k in range(63, 0, -1):
@@ -767,21 +796,30 @@ def encode_jpeg_baseline(
     dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
     ac_codes = _build_codes(AC_COUNTS, AC_SYMBOLS)
 
+    # DCT + quantize + zigzag for EVERY block of every plane in one
+    # batched matmul per plane (stacked BLAS dgemm — bit-identical to
+    # the per-block `_M @ blk @ _M.T`, which also ran through dgemm);
+    # only the inherently sequential entropy coding stays per block.
+    zz_planes = []
+    for p, (sh, sv) in zip(padded, samp):
+        blocks = np.ascontiguousarray(_block_grid(p)) - 128.0
+        coef = np.rint(_M @ blocks @ _M.T).astype(np.int64)
+        ac_clip = np.clip(coef, -1023, 1023)
+        ac_clip[..., 0, 0] = np.clip(coef[..., 0, 0], -2047, 2047)
+        zz_planes.append(ac_clip[..., _ZR, _ZC])  # (by, bx, 64)
+
     writer = _BitWriter()
     preds = [0] * len(planes)
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+            for ci, (sh, sv) in enumerate(samp):
+                zzp = zz_planes[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = np.rint(_M @ blk @ _M.T).astype(np.int64)
-                        ac_clip = np.clip(coef, -1023, 1023)
-                        ac_clip[0, 0] = np.clip(coef[0, 0], -2047, 2047)
-                        preds[ci] = _encode_block(
-                            writer, ac_clip, preds[ci], dc_codes, ac_codes
+                        preds[ci] = _encode_block_zz(
+                            writer,
+                            zzp[my * sv + by, mx * sh + bx].tolist(),
+                            preds[ci], dc_codes, ac_codes,
                         )
     data = writer.flush()
 
@@ -818,18 +856,12 @@ def encode_jpeg_baseline(
 
 def _quantized_blocks(plane: "np.ndarray"):
     """All-ones-quant zigzag coefficient grid for one padded plane."""
-    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
-    zz = np.empty((by, bx, 64), np.int64)
-    zr = np.array([r for r, _ in ZIGZAG])
-    zc = np.array([c for _, c in ZIGZAG])
-    for yy in range(by):
-        for xx in range(bx):
-            blk = plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] - 128.0
-            nat = np.rint(_M @ blk @ _M.T).astype(np.int64)
-            nat[1:, :] = np.clip(nat[1:, :], -1023, 1023)
-            nat[0, 1:] = np.clip(nat[0, 1:], -1023, 1023)
-            zz[yy, xx] = nat[zr, zc]
-    return zz
+    blocks = np.ascontiguousarray(_block_grid(plane)) - 128.0
+    nat = np.rint(_M @ blocks @ _M.T).astype(np.int64)   # (by, bx, 8, 8)
+    dc = nat[..., 0, 0].copy()
+    nat = np.clip(nat, -1023, 1023)
+    nat[..., 0, 0] = dc                                  # DC is unclipped
+    return nat[..., _ZR, _ZC]
 
 
 def _towards_zero(v: int, al: int) -> int:

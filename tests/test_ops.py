@@ -2133,3 +2133,32 @@ def test_audio_resample_nearest(spark):
 
     _t, _sr, _nch, decoded = parse_wav_g711(bytes(rows[4][1]))
     assert got[5]["samples"] == [int(v) for v in np.repeat(decoded, 2)]
+
+
+def test_jpeg_batched_codec_bitstream_pinned():
+    """r9 optimization regression pin: the batched-block DCT/IDCT paths
+    (stacked matmuls + one zigzag gather per plane) must reproduce the
+    round-1..8 per-block implementation BIT-FOR-BIT. Digests recorded
+    from the pre-batching code (commit a1c7eed) on fixed seeded inputs;
+    any arithmetic drift in encode (baseline gray/rgb/4:2:0,
+    progressive) or decode flips a digest."""
+    import hashlib
+
+    import numpy as np
+
+    from schema_fantasy_spark.ops import jpeg as J
+
+    rng = np.random.default_rng(4242)
+    g = rng.integers(0, 256, (37, 29), np.uint8)
+    c = rng.integers(0, 256, (24, 31, 3), np.uint8)
+    md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    assert md5(J.encode_jpeg_baseline(g)) == \
+        "c7827c8042bc6877bec66ae17fbab46f"
+    assert md5(J.encode_jpeg_baseline(c)) == \
+        "3506b2a40168e4eaefaa5bb6c2c2ace9"
+    assert md5(J.encode_jpeg_baseline(c, subsample=True)) == \
+        "0f262f15c9994c518b89786e8849044f"
+    assert md5(J.encode_jpeg_progressive(g)) == \
+        "1adb02510307229cef97dd8e64b08fbf"
+    assert md5(J.decode_jpeg_pixels(J.encode_jpeg_baseline(c)).tobytes()) == \
+        "f52b2e975a7dae595239462a2b30775d"
