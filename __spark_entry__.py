@@ -508,12 +508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-column stats + exact percentiles in one profile row set: the
         # stats rows (4 columns) left-join the percentile rows (2 columns)
         # on col_name — both are tiny per-column aggregates
+        # r9: one distinct-value count table feeds stats AND exact
+        # percentiles (tc.column_profile_exact) — the builtin percentile
+        # aggregate buffered+sorted ~n_distinct values in ONE final
+        # task (~30 s on a 6M-row double column at any core count)
         li = _spread(tables.load(spark, sf, "lineitem"))
-        stats = tc.column_stats(
-            li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+        return tc.column_profile_exact(
+            li,
+            ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+            ["l_extendedprice", "l_quantity"],
         )
-        pct = tc.percentiles(li, ["l_extendedprice", "l_quantity"])
-        return stats.join(F.broadcast(pct), "col_name", "left")
 
     def duplicate_keys_lineitem(spark, sf):
         li = tables.load(spark, sf, "lineitem")

@@ -350,3 +350,37 @@ def test_exact_quantile_buckets(spark):
     assert out[6] is None                   # NULL score stays NULL
     with pytest.raises(ValueError):
         exact_quantile_buckets(df, "score", max_distinct=2)
+
+
+def test_column_profile_exact_matches_builtin(spark):
+    """r9 optimization pin: tc.column_profile_exact (distinct-value
+    count table + range-partitioned rank lookup + replayed
+    Percentile.getPercentile arithmetic) must equal the builtin shape
+    column_stats ⋈ percentiles on randomized data with duplicates and
+    nulls — every stat long and every rounded percentile double."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from schema_fantasy_spark import table_checks as tc
+
+    random.seed(11)
+    rows = []
+    for i in range(4000):
+        a = round(random.uniform(900, 105000), 2) if i % 17 else None
+        b = float(random.randint(1, 50))
+        c = round(random.randint(0, 10) * 0.01, 2)
+        rows.append((a, b, c))
+    # duplicates on the high-cardinality column too
+    rows += random.choices(rows, k=500)
+    df = spark.createDataFrame(rows, "a double, b double, c double").repartition(7)
+    cols, pct_cols = ["a", "b", "c"], ["a", "b"]
+    old = (
+        tc.column_stats(df, cols)
+        .join(F.broadcast(tc.percentiles(df, pct_cols)), "col_name", "left")
+    )
+    new = tc.column_profile_exact(df, cols, pct_cols)
+    assert old.schema == new.schema
+    o = {r["col_name"]: r.asDict() for r in old.collect()}
+    n = {r["col_name"]: r.asDict() for r in new.collect()}
+    assert o == n
