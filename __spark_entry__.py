@@ -1412,6 +1412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text", F.concat(F.col("text"), F.lit(" "), specialc)
         ).withColumn("url", spelled_b)
         ca = corrupted.withColumn("url_key", canonicalize_url(F.col("url")))
+        # ca feeds BOTH the consistency join and the final charset
+        # re-attach join: without a barrier each branch re-executes the
+        # whole page-build + transcode + extract_text pipeline (trap
+        # 18); one eager, GC-cleaned materialization of the four
+        # surviving columns halves the query
+        ca = ca.select("url_key", "charset", "source", "text").localCheckpoint()
         cb = reference.withColumn("url_key", canonicalize_url(F.col("url")))
         res = tc.text_consistency(
             ca, cb, key_col="url_key", text_col="text", method="md5"
@@ -2845,6 +2851,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         recs = archives.mapInPandas(
             unpack, "kind string, url string, digest string, ok boolean"
         )
+        # the originals/revisits branches below would each re-execute
+        # the whole pack+unpack archive pipeline (trap 18); materialize
+        # the narrow record table once — localCheckpoint is eager,
+        # truncates lineage, and is GC-cleaned (no persist leak)
+        recs = recs.localCheckpoint()
         originals = recs.filter(F.col("kind") == "response").select(
             "digest", "url"
         )

@@ -285,7 +285,26 @@ def transcode(
     charset, source = detect_charset(
         b, F.col(declared_col) if declared_col else None
     )
-    base = df.withColumn("charset", charset).withColumn("source", source)
+    # trap 1 (CLAUDE.md): a plain withColumn lets CollapseProject
+    # re-inline the whole detection tree — including the FULL-PAGE
+    # UTF-8-grammar rlike and the meta prescan regex — into every
+    # downstream reference (the r9 before-plan of text_consistency
+    # carried NINE copies of the grammar). One Generate barrier
+    # materializes (charset, source) once per row; the replace-existing-
+    # columns contract is preserved by dropping first.
+    from schema_fantasy_spark.ops.dedup import _barrier
+
+    staged = df.drop(*[c for c in ("charset", "source") if c in df.columns])
+    staged = _barrier(
+        staged,
+        F.struct(charset.alias("charset"), source.alias("source")),
+        "_cs_det",
+    )
+    base = staged.select(
+        "*",
+        F.col("_cs_det.charset").alias("charset"),
+        F.col("_cs_det.source").alias("source"),
+    ).drop("_cs_det")
 
     raw = F.col(binary_col)
     cs = F.col("charset")
