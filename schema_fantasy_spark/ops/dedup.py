@@ -300,12 +300,30 @@ def jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for given (id_a, id_b) pairs —
-    verification stage after LSH candidate generation."""
+    verification stage after LSH candidate generation.
+
+    r9: verification only needs shingles of ids that APPEAR in a pair —
+    the candidate set, orders of magnitude below the corpus at scale —
+    so the corpus is semi-join-restricted before shingling, and the
+    restricted shingle table is materialized once (eager, GC-cleaned
+    localCheckpoint): the a/b join branches otherwise re-execute the
+    whole shingle pipeline per side, and ``pairs``' own candidate
+    lineage would re-run for the restriction without its checkpoint."""
+    pairs = pairs.localCheckpoint()
+    need = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     sh = _barrier(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+        _ensure_parallelism(
+            df.select(F.col(id_col), F.col(text_col)).join(
+                need, id_col, "semi"
+            )
+        ),
         shingles_col(F.col(text_col), shingle_n),
         "sh",
-    )
+    ).localCheckpoint()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     # explicit repartition: the pairs table is tiny in BYTES but heavy in

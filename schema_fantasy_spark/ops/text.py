@@ -45,9 +45,18 @@ def bpeish_token_count(text: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append quality-signal columns (each a single-pass expression)."""
+    """Append quality-signal columns (each a single-pass expression).
+
+    The token array materializes once behind a Generate barrier (trap 1:
+    plain withColumns let CollapseProject re-inline the tokenization
+    into every downstream reference — the r9 before-plan of
+    text_features carried 55 copies of the split tree)."""
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free, _barrier
+
+    _assert_staging_free(df, "_qf_tk")
     t = F.col(text_col)
-    toks = tokens_col(t)
+    df = _barrier(df, tokens_col(t), "_qf_tk")
+    toks = F.col("_qf_tk")
     n_tok = F.size(toks)
     n_chars = F.length(t)
     return (
@@ -75,6 +84,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "distinct_token_ratio",
             F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 6),
         )
+        .drop("_qf_tk")
     )
 
 
@@ -97,21 +107,41 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     the token set; argmax (ties resolved by language-code order). Rows with
     zero hits get 'und'. Pure Column algebra: one filter/size per language
     over the shared token array (subexpression-eliminated by Catalyst)."""
-    toks = F.array_distinct(tokens_col(F.col(text_col)))
-    scores = [
-        (code, F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))))
-        for code, markers in sorted(LANG_MARKERS.items())
-    ]
+    from schema_fantasy_spark.ops.dedup import _assert_staging_free, _barrier
+
+    # trap 1: every score appears in greatest() AND in the argmax
+    # when-chain — without barriers each reference re-instantiates
+    # array_distinct(split(...)) (a dozen tokenization copies in the
+    # r9 before-plan). Materialize the distinct-token array once, then
+    # the per-language score struct once.
+    _assert_staging_free(df, "_li_tk", "_li_sc")
+    base = _barrier(
+        df, F.array_distinct(tokens_col(F.col(text_col))), "_li_tk"
+    )
+    toks = F.col("_li_tk")
+    codes = sorted(LANG_MARKERS)
+    base = _barrier(
+        base,
+        F.struct(*[
+            F.size(
+                F.array_intersect(
+                    toks,
+                    F.array(*[F.lit(m) for m in LANG_MARKERS[code]]),
+                )
+            ).alias(code)
+            for code in codes
+        ]),
+        "_li_sc",
+    )
+    scores = [(code, F.col("_li_sc")[code]) for code in codes]
     best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
-    pred = F.lit("und")
     # first language (code order) achieving the max, if max > 0
     expr = None
     for code, s in scores:
         cond = s == best
         expr = F.when(cond, code) if expr is None else expr.when(cond, code)
     pred = F.when(best > 0, expr).otherwise(F.lit("und"))
-    out = df.withColumn(out_col, pred)
-    return out
+    return base.withColumn(out_col, pred).drop("_li_tk", "_li_sc")
 
 
 def fingerprint(
