@@ -62,21 +62,23 @@ PROPS_SCHEMA = {
 _ENUM_EXPECTED = "en, de, fr or es"
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
     """Spread a single-row-group bench scan across cores before a
     compute-heavy stage (ops.dedup._ensure_parallelism: no-op whenever
     the input already has >= defaultParallelism partitions — always true
     for a 100 TB table, so at scale this never adds a shuffle). Applied
     AFTER pushed filters so scan pruning/pushdown is unchanged; outputs
     of the wrapped stages are per-row or aggregate, so results are
-    partition-layout-invariant."""
+    partition-layout-invariant. Pass the row-id column as ``keys`` where
+    one exists: hash repartitioning skips round-robin's local
+    sort-before-repartition (retry-deterministic either way)."""
     from schema_fantasy_spark.ops.dedup import _ensure_parallelism
 
-    return _ensure_parallelism(df)
+    return _ensure_parallelism(df, keys=keys)
 
 
 def _violations(spark: SparkSession, sf_dir: str, schema: dict) -> DataFrame:
-    docs = _spread(tables.load(spark, sf_dir, "documents"))
+    docs = _spread(tables.load(spark, sf_dir, "documents"), "doc_id")
     eng = ValidationEngine(schema)
     v = eng.apply(docs)
     out = ValidationEngine.violations(v, ["doc_id"])
@@ -153,7 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _violations(spark, sf, DOCUMENTS_SCHEMA)
 
     def combinator_validation(spark, sf):
-        docs = _spread(tables.load(spark, sf, "documents"))
+        docs = _spread(tables.load(spark, sf, "documents"), "doc_id")
         v = ValidationEngine(DOCUMENTS_COMBINATOR_SCHEMA).apply(docs)
         out = ValidationEngine.violations(v, ["doc_id"])
         # depth-0 entries only: the combinator verdict layer (children are
@@ -166,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def json_props_validation(spark, sf):
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = _spread(tables.load(spark, sf, "events"))
+        ev = _spread(tables.load(spark, sf, "events"), "event_id")
         v = validate_json(ev, "props", PROPS_SCHEMA)
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -177,7 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so it shares that oracle — three-mode parity on the driver
         from schema_fantasy_spark.variant import compile_variant
 
-        ev = _spread(tables.load(spark, sf, "events"))
+        ev = _spread(tables.load(spark, sf, "events"), "event_id")
         v = compile_variant(PROPS_SCHEMA).apply(ev, "props")
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -192,7 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the Arrow-UDF kernel
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = _spread(tables.load(spark, sf, "events"))
+        ev = _spread(tables.load(spark, sf, "events"), "event_id")
         kv = (F.col("event_id") % 100).cast("string")
         # JSON-escape the string leg (backslash first, then quote — literal
         # replace, not regex): an unescaped quote/backslash in event_type
@@ -267,7 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from schema_fantasy_spark.variant import compile_variant
 
         ev = _spread(
-            tables.load(spark, sf, "events").filter(F.col("event_id") % 10 == 0)
+            tables.load(spark, sf, "events").filter(F.col("event_id") % 10 == 0),
+            "event_id",
         )
         kv = (F.col("event_id") % 100).cast("string")
         # JSON-escape the string leg (backslash first, then quote — literal
@@ -346,7 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def leaf_suite_lineitem(spark, sf):
         # multipleOf (float semantics) + exclusive bounds over lineitem
-        li = _spread(tables.load(spark, sf, "lineitem"))
+        li = _spread(tables.load(spark, sf, "lineitem"), "l_orderkey")
         schema = {
             "properties": {
                 "l_quantity": {"multipleOf": 1},
@@ -365,7 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minItems/maxItems/uniqueItems over a real array column; the
         # quantized copy (floor(x*10), exact in IEEE754 both engines)
         # guarantees duplicates so uniqueItems actually fires
-        emb = _spread(tables.load(spark, sf, "embeddings")).withColumn(
+        emb = _spread(tables.load(spark, sf, "embeddings"), "vec_id").withColumn(
             "emb_q", F.transform("embedding", lambda x: F.floor(x * 10).cast("int"))
         )
         schema = {
@@ -384,7 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minProperties/maxProperties on dynamic JSON objects (UDF kernel)
         from schema_fantasy_spark.dynamic import validate_json
 
-        ev = _spread(tables.load(spark, sf, "events"))
+        ev = _spread(tables.load(spark, sf, "events"), "event_id")
         v = validate_json(ev, "props", {"minProperties": 2, "maxProperties": 1})
         out = ValidationEngine.violations(v, ["event_id"])
         return out.select("event_id", "keyword", "message")
@@ -470,7 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "source": pd.Series(rows["source"], dtype="object"),
                 })
 
-        archives = _spread(docs.select(*cols)).mapInPandas(enc, "payload binary")
+        archives = _spread(docs.select(*cols), "doc_id").mapInPandas(enc, "payload binary")
         roundtripped = archives.mapInPandas(
             dec, "doc_id long, text string, lang string, n_chars long, source string"
         )
@@ -512,7 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percentiles (tc.column_profile_exact) — the builtin percentile
         # aggregate buffered+sorted ~n_distinct values in ONE final
         # task (~30 s on a 6M-row double column at any core count)
-        li = _spread(tables.load(spark, sf, "lineitem"))
+        li = _spread(tables.load(spark, sf, "lineitem"), "l_orderkey")
         return tc.column_profile_exact(
             li,
             ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
@@ -520,11 +523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def duplicate_keys_lineitem(spark, sf):
-        li = tables.load(spark, sf, "lineitem")
+        # keyed spread on the GROUP key: the groupBy reuses the hash
+        # partitioning (guide §2.4), so this costs no extra exchange
+        li = _spread(tables.load(spark, sf, "lineitem"), "l_orderkey")
         return tc.duplicate_keys(li, ["l_orderkey"])
 
     def uniqueness_orders(spark, sf):
-        o = tables.load(spark, sf, "orders")
+        o = _spread(tables.load(spark, sf, "orders"), "o_orderkey")
         return tc.uniqueness_summary(o, ["o_orderkey"])
 
     def orphans_orders_customer(spark, sf):
@@ -566,7 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chi.crossJoin(ks)
 
     def agg_pricing_summary(spark, sf):
-        li = tables.load(spark, sf, "lineitem")
+        # the decimal partial aggregation over a single-row-group scan
+        # ran in one task (~4.8s at the r9 10x replica); keyed spread
+        # parallelizes the map side (2.98s), no-op at scale
+        li = _spread(tables.load(spark, sf, "lineitem"), "l_orderkey")
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
@@ -621,7 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data pipeline ops (dedup / similarity / text analysis)
 
     def error_breakdown_documents(spark, sf):
-        docs = _spread(tables.load(spark, sf, "documents"))
+        docs = _spread(tables.load(spark, sf, "documents"), "doc_id")
         v = ValidationEngine(DOCUMENTS_SCHEMA).apply(docs)
         return ValidationEngine.error_breakdown(v)
 
@@ -1334,7 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from schema_fantasy_spark.ops import charset as csops
         from schema_fantasy_spark.ops import mm_corpus as mc
 
-        docs = _spread(docs.filter(F.col("doc_id").isNotNull()))
+        docs = _spread(docs.filter(F.col("doc_id").isNotNull()), "doc_id")
 
         def build_pages(batches):
             import pandas as pd
@@ -1813,7 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('</a></body></html>'),
             ))
         )
-        pages = _spread(docs).select(
+        pages = _spread(docs, "doc_id").select(
             "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
             page.alias("html"),
         )
@@ -2660,7 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('</a></body></html>'),
             ))
         )
-        pages = _spread(docs).select(
+        pages = _spread(docs, "doc_id").select(
             "doc_id", host.alias("host"), F.lit("https").alias("scheme"),
             page.alias("html"),
         )
@@ -2932,7 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("<html><body>"), c3, F.lit(footer),
                 F.lit("</body></html>")))
         )
-        pages = _spread(docs).select("doc_id", page.alias("html"))
+        pages = _spread(docs, "doc_id").select("doc_id", page.alias("html"))
         # the df-level fast path (array-level entity decode; barriers
         # inside) — equivalence with block_stats is pytest-pinned
         withstats = with_block_stats(pages, html_col="html", out_col="stats")
@@ -3153,7 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        imgs = _spread(docs).mapInPandas(build, "doc_id long, img binary")
+        imgs = _spread(docs, "doc_id").mapInPandas(build, "doc_id long, img binary")
         meta = image_metadata(imgs, binary_col="img", id_col="doc_id")
         pairs = hamming_near_duplicates(
             meta, "phash", id_col="doc_id", max_hamming=3
@@ -3361,7 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        wavs = _spread(docs).mapInPandas(build, "doc_id long, wav binary")
+        wavs = _spread(docs, "doc_id").mapInPandas(build, "doc_id long, wav binary")
         fps = audio_fingerprints(wavs, binary_col="wav", id_col="doc_id")
         pairs = hamming_near_duplicates(
             fps, "afp", id_col="doc_id", max_hamming=3
@@ -3454,7 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     }
                 )
 
-        vids = _spread(docs).mapInPandas(build, "doc_id long, video binary")
+        vids = _spread(docs, "doc_id").mapInPandas(build, "doc_id long, video binary")
         meta = video_keyframe_hashes(
             vids, binary_col="video", id_col="doc_id", every_n=1,
             max_frames=1,

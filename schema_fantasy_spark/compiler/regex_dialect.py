@@ -47,6 +47,13 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
     out = []
     i, n = 0, len(pattern)
     in_class = False
+    # does the previous token form a quantifiable atom? A VALID-form
+    # braced quantifier with nothing to repeat ('{2}' at pattern start
+    # or after '|'/'(') is an Annex-B InvalidBracedQuantifier — the
+    # reference's flagless RegExp rejects it at schema-COMPILE time,
+    # so deferring to a runtime rlike failure (or a bare re.error)
+    # mid-query is wrong in both modes (ADVICE r8).
+    prev_atom = False
     while i < n:
         ch = pattern[i]
         if ch == "\\":
@@ -57,6 +64,7 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
                 if _HEX4.match(pattern[i + 2 : i + 6]):
                     out.append(pattern[i : i + 6])  # \uXXXX: common core
                     i += 6
+                    prev_atom = True
                     continue
                 if strict and i + 2 < n and pattern[i + 2] == "{":
                     # \u{...} is a code-point escape ONLY under the u flag;
@@ -81,6 +89,7 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
                 # the reference's exact reading
                 out.append("u")
                 i += 2
+                prev_atom = True
                 continue
             if nxt in "pP":
                 if strict:
@@ -95,6 +104,7 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
                 # exist under the u flag)
                 out.append(nxt)
                 i += 2
+                prev_atom = True
                 continue
             if nxt == "c":
                 letter = pattern[i + 2] if i + 2 < n else ""
@@ -106,6 +116,7 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
                     )
                 out.append("\\x%02X" % (ord(letter.upper()) - 64))
                 i += 3
+                prev_atom = True
                 continue
             if (
                 nxt == "k"
@@ -118,13 +129,16 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
                     raise RegexDialectError(f"pattern {pattern!r}: unterminated \\k<")
                 out.append("(?P=" + pattern[i + 3 : j] + ")")
                 i = j + 1
+                prev_atom = True
                 continue
             if nxt == "0" and (i + 2 >= n or not pattern[i + 2].isdigit()):
                 out.append("\\x00")  # bare \0 is NUL in JS; octal-error in Java
                 i += 2
+                prev_atom = True
                 continue
             out.append(pattern[i : i + 2])
             i += 2
+            prev_atom = True
             continue
         if (
             not in_class
@@ -139,11 +153,13 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
             name = pattern[i + 3 : j]
             out.append(("(?P<" if target == "python" else "(?<") + name + ">")
             i = j + 1
+            prev_atom = False
             continue
         if ch == "[" and not in_class:
             in_class = True
         elif ch == "]" and in_class:
             in_class = False
+            prev_atom = True
         elif ch in "{}" and not in_class:
             # Annex-B ExtendedPatternCharacter: a brace that does not form
             # a valid quantifier is a LITERAL in the reference's flagless
@@ -152,12 +168,25 @@ def _translate(pattern: str, target: str, strict: bool = False) -> str:
             # dialects read identically. Valid quantifiers copy verbatim.
             m = _QUANT.match(pattern, i) if ch == "{" else None
             if m:
+                if not prev_atom:
+                    raise RegexDialectError(
+                        f"pattern {pattern!r}: quantifier {m.group(0)!r} has "
+                        "nothing to repeat — the reference's flagless RegExp "
+                        "rejects this at compile time (Annex-B "
+                        "InvalidBracedQuantifier)"
+                    )
                 out.append(m.group(0))
                 i = m.end()
                 continue
             out.append("\\" + ch)
             i += 1
+            prev_atom = True
             continue
+        if not in_class and ch != "[":
+            # '(' opens a group and '|' starts a fresh alternative —
+            # nothing quantifiable precedes the next term; every other
+            # pattern character is itself an atom
+            prev_atom = ch not in "(|"
         out.append(ch)
         i += 1
     return "".join(out)

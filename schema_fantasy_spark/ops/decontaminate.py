@@ -79,7 +79,7 @@ def contamination_hits(
         .distinct()
     )
     docs_t = _barrier(
-        _ensure_parallelism(docs.select(id_col, text_col)),
+        _ensure_parallelism(docs.select(id_col, text_col), keys=(id_col,)),
         _tokens(F.col(text_col)), "_tk",
     )
     pairs = docs_t.select(

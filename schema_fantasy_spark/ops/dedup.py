@@ -134,18 +134,29 @@ def _assert_staging_free(df: DataFrame, *names: str) -> None:
         )
 
 
-def _ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def _ensure_parallelism(
+    df: DataFrame, min_parts: int | None = None, keys: tuple = ()
+) -> DataFrame:
     """Spread compute-heavy HOF stages across cores: higher-order-function
     folds evaluate interpreted and inherit the SCAN's parallelism, so a
     small single-row-group file puts an entire shingle/hash pipeline in
     one task (measured 10s -> ~1s for minhash candidates at sf0.1).
     No-op whenever the scan already has enough partitions — always true
-    for a 100 TB table — so at scale this never adds a shuffle."""
+    for a 100 TB table — so at scale this never adds a shuffle.
+
+    Pass ``keys`` (a high-cardinality column, normally the row id) when
+    one exists: hash repartitioning skips the local sort every KEYLESS
+    round-robin exchange pays (spark.sql.execution.sortBeforeRepartition,
+    on by default so retried tasks reproduce their row assignment — a
+    hash key is retry-deterministic for free) — measured 6.7s vs 3.2s
+    for a 6M-row aggregate at the r9 10x replica."""
     if df.isStreaming:
         return df  # stream parallelism comes from the source
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_parts:
+        if keys:
+            return df.repartition(min_parts, *[F.col(k) for k in keys])
         return df.repartition(min_parts)
     return df
 
@@ -256,7 +267,7 @@ def minhash_lsh_candidates(
     # barrier after each expensive stage: shingles built once, signature
     # built once, THEN sliced into bands
     shingled = _barrier(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), keys=(id_col,)),
         shingles_col(F.col(text_col), shingle_n),
         "_sh",
     )
@@ -319,7 +330,8 @@ def jaccard_pairs(
         _ensure_parallelism(
             df.select(F.col(id_col), F.col(text_col)).join(
                 need, id_col, "semi"
-            )
+            ),
+            keys=(id_col,),
         ),
         shingles_col(F.col(text_col), shingle_n),
         "sh",
@@ -452,7 +464,7 @@ def simhash_candidates(
     # barrier: without it, CollapseProject inlines the (large) simhash
     # expression into all four chunk projections -> 5x evaluation
     sh = _barrier(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))), sig_col, "sim"
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), keys=(id_col,)), sig_col, "sim"
     ).select(id_col, "sim")
     chunks = sh.select(
         id_col,
@@ -527,7 +539,7 @@ def dedup_units_global(
     # sep='.' splits on every character and corrupts the corpus
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     units = _ensure_parallelism(
-        df.select(F.col(id_col), F.col(text_col))
+        df.select(F.col(id_col), F.col(text_col)), keys=(id_col,)
     ).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), quoted)).alias("pos", "unit"),

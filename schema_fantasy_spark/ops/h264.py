@@ -142,8 +142,11 @@ class _BitWriter:
 
 
 #: profiles whose SPS carries the chroma/bit-depth/scaling-matrix block
+#: (144 = legacy High 4:4:4, dropped from later specs but emitted by old
+#: encoders and parsed with the block by ffmpeg — omitting it misaligned
+#: the rest of the SPS and returned silently wrong dims; ADVICE r8)
 _HIGH_PROFILES = frozenset(
-    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135, 144)
 )
 
 

@@ -1385,9 +1385,19 @@ def audio_resample(
                             sr = wf.getframerate()
                             nch = wf.getnchannels()
                             raw = wf.readframes(wf.getnframes())
+                            # a PCM file truncated mid-data at an odd
+                            # byte offset opens fine but yields an
+                            # odd-length buffer frombuffer rejects —
+                            # quarantine the row, don't kill the task
+                            # (ADVICE r8; audio_metadata guards the same
+                            # way); ValueError/struct.error cover the
+                            # frombuffer raise and wave's short-header
+                            # leak respectively
+                            if len(raw) % 2:
+                                continue
                             arr = np.frombuffer(raw, dtype="<i2")
                             mono = arr[::nch] if nch > 1 else arr
-                except (wave.Error, EOFError):
+                except (wave.Error, EOFError, ValueError, struct.error):
                     got = parse_wav_g711(payload_b)
                     if got is not None:
                         _tag, sr, nch, samples = got

@@ -113,7 +113,7 @@ def ann_lsh_topk(
     # without the barrier CollapseProject re-inlines the full 16-plane
     # dot-product tree into every band predicate
     with_sig = _barrier(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), keys=(id_col,)),
         rp_signature(F.col(vec_col), dim, n_planes, seed),
         "sig",
     )
@@ -463,7 +463,7 @@ def near_duplicates_by_embedding(
     # signature computation into every band projection
     from schema_fantasy_spark.ops.dedup import _ensure_parallelism
 
-    with_sig = _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col))).select(
+    with_sig = _ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)), keys=(id_col,)).select(
         "*",
         F.explode(F.array(rp_signature(F.col(vec_col), dim, n_planes, seed))).alias("sig"),
     )

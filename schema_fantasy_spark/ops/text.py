@@ -267,7 +267,7 @@ def repetition_metrics(
     from schema_fantasy_spark.ops.dedup import _barrier, _ensure_parallelism, tokens_col
 
     base = _barrier(
-        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+        _ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), keys=(id_col,)),
         tokens_col(F.col(text_col)),
         "_tk",
     )

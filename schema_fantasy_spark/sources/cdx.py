@@ -165,7 +165,12 @@ def lookup_via_cluster_idx(
     ``shard_bytes`` is the shard file with newline-terminated lines."""
     import bisect
 
-    want = f"{surt} {ts14}" if ts14 else surt
+    # exact-URL lookups (empty ts14) must match through the key/ts
+    # delimiter: a bare startswith(surt) would also return every longer
+    # surt sharing the prefix (".../page/5" matching ".../page/56" —
+    # ADVICE r8). CDXJ keys always carry " <ts14>", so the trailing
+    # space is safe for the search bound and the line filter alike.
+    want = f"{surt} {ts14}" if ts14 else f"{surt} "
     rows = [ln.split("\t") for ln in cluster_idx.split("\n") if ln]
     keys = [r[0] for r in rows]
     # the block that could contain `want` starts at the last key <= it;
@@ -235,7 +240,12 @@ def lookup_release(release_dir: str, surt: str, ts14: str = "") -> List[str]:
     with open(os.path.join(release_dir, "cluster.idx")) as f:
         rows = [ln.split("\t") for ln in f.read().split("\n") if ln]
     keys = [r[0] for r in rows]
-    want = f"{surt} {ts14}" if ts14 else surt
+    # exact-URL lookups (empty ts14) must match through the key/ts
+    # delimiter: a bare startswith(surt) would also return every longer
+    # surt sharing the prefix (".../page/5" matching ".../page/56" —
+    # ADVICE r8). CDXJ keys always carry " <ts14>", so the trailing
+    # space is safe for the search bound and the line filter alike.
+    want = f"{surt} {ts14}" if ts14 else f"{surt} "
     lo = max(bisect.bisect_right(keys, want) - 1, 0)
     out: List[str] = []
     for r in rows[lo:]:

@@ -182,3 +182,31 @@ def test_write_cdx_table_prunes(spark, tmp_path):
     # not scan-and-filter
     assert "PartitionFilters: [" in plan and "tld" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_lookup_exact_url_does_not_prefix_match_longer_keys(tmp_path):
+    """ADVICE r8: with an empty ts14, lookups must match through the
+    key/ts delimiter — '.../page/5' must NOT return '.../page/56'."""
+    from schema_fantasy_spark.sources.cdx import (
+        lookup_release,
+        lookup_via_cluster_idx,
+    )
+
+    shard = (
+        'com,example)/page/5 20260101000000 {"url": "u5"}\n'
+        'com,example)/page/56 20260101000000 {"url": "u56"}\n'
+    ).encode()
+    (tmp_path / "part-00000.cdx").write_bytes(shard)
+    (tmp_path / "cluster.idx").write_text(
+        "com,example)/page/5 20260101000000\tpart-00000.cdx\t0\t%d\n"
+        % len(shard)
+    )
+    got = lookup_release(str(tmp_path), "com,example)/page/5")
+    assert [ln.split(" ")[0] for ln in got] == ["com,example)/page/5"]
+    got2 = lookup_via_cluster_idx(
+        "com,example)/page/5 20260101000000\tpart-00000.cdx\t0\t%d\n"
+        % len(shard),
+        shard,
+        "com,example)/page/5",
+    )
+    assert [ln.split(" ")[0] for ln in got2] == ["com,example)/page/5"]

@@ -186,3 +186,31 @@ class TestPropertyBased:
             assert not pat.search("<>")
 
         check()
+
+
+def test_atomless_braced_quantifier_raises_both_modes():
+    """ADVICE r8: a VALID-form braced quantifier with nothing to repeat
+    ('{2}' at pattern start / after '|' / after '(') is an Annex-B
+    InvalidBracedQuantifier — the reference's flagless RegExp rejects it
+    at COMPILE time, so both dialect paths must raise RegexDialectError
+    instead of deferring to a runtime rlike failure / bare re.error."""
+    import pytest
+
+    from schema_fantasy_spark.compiler.regex_dialect import (
+        RegexDialectError,
+        java_pattern,
+        python_pattern,
+    )
+
+    for pat in ["{2}", "a|{2}", "({3,})", "(a|{2,4})", "(?<n>{2})x"]:
+        for fn in (java_pattern, python_pattern):
+            with pytest.raises(RegexDialectError):
+                fn(pat)
+    # quantifiable / literal forms are untouched
+    assert java_pattern("a{2}") == "a{2}"
+    assert java_pattern("(a){2}") == "(a){2}"
+    assert java_pattern("[a]{2}") == "[a]{2}"
+    assert java_pattern("[{2}]") == "[{2}]"      # braces in a class
+    assert java_pattern("{GG}") == r"\{GG\}"     # invalid form: literal
+    assert java_pattern("x{,2}") == r"x\{,2\}"   # invalid form: literal
+    assert java_pattern("\\u{2}") == "u{2}"      # identity-escape 'u' quantified
