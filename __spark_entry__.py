@@ -1517,7 +1517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
         )
-        imgs = mm_corpus.synthetic_images(docs)
+        # imgs feeds THREE consumers (meta, feats, mime sniff): without a
+        # boundary each branch re-runs the whole corpus synthesis (incl.
+        # the VP8 encode) — trap 18; materialize the payloads once
+        imgs = mm_corpus.synthetic_images(docs).localCheckpoint()
         meta = multimodal.image_metadata(imgs, binary_col="payload", id_col="doc_id")
         feats = multimodal.image_features(
             imgs, binary_col="payload", id_col="doc_id", dim=16
@@ -1636,7 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = tables.load(spark, sf, "documents").select("doc_id").filter(
             F.col("doc_id").isNotNull()
         )
-        vids = mm_corpus.synthetic_avc1_videos(docs)
+        # vids feeds both the codec-config parse and the keyframe index:
+        # materialize the synthesized MP4s once (trap 18)
+        vids = mm_corpus.synthetic_avc1_videos(docs).localCheckpoint()
         meta = multimodal.video_metadata(
             vids, binary_col="payload", id_col="doc_id"
         ).select(

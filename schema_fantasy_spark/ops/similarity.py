@@ -516,8 +516,20 @@ def near_duplicates_by_embedding(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # r9: cast + norm PER ID, not per pair — candidates put each vector
+    # in many pairs (bucket fanout), and the old per-pair cosine()
+    # recomputed both norms every time; the join's exchange materializes
+    # the per-id columns, so each norm folds exactly once per vector.
+    # Arithmetic is unchanged (same dot/(norm*norm) tree over the same
+    # doubles), so cosine_sim is bit-identical.
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("v_a"),
+    ).select("*", norm(F.col("v_a")).alias("n_a"))
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("v_b"),
+    ).select("*", norm(F.col("v_b")).alias("n_b"))
     out = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -525,7 +537,8 @@ def near_duplicates_by_embedding(
             "id_a",
             "id_b",
             F.round(
-                cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")),
+                dot(F.col("v_a"), F.col("v_b"))
+                / (F.col("n_a") * F.col("n_b")),
                 round_to,
             ).alias("cosine_sim"),
         )
