@@ -272,7 +272,14 @@ def column_profile_exact(
     rows = []
     by_cid = {r["cid"]: r for r in stats}
     for c in sorted(range(len(cols)), key=lambda i: cols[i]):
-        s = by_cid[c]
+        s = by_cid.get(c)
+        if s is None:
+            # empty input: the wide-agg shape still emits one row per
+            # column (count aggregates over zero rows yield one 0-row);
+            # mirror it so the two shapes stay interchangeable
+            rows.append((cols[c], None, None, 0, 0,
+                         *[None] * len(probs)))
+            continue
         pvals = []
         for i, _p in enumerate(probs):
             if (c, i) not in poss:

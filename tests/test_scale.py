@@ -384,3 +384,22 @@ def test_column_profile_exact_matches_builtin(spark):
     o = {r["col_name"]: r.asDict() for r in old.collect()}
     n = {r["col_name"]: r.asDict() for r in new.collect()}
     assert o == n
+
+
+def test_column_profile_exact_empty_input(spark):
+    """Empty-table parity: the wide-agg shape emits one row per column
+    (nulls + zero counts); the count-table shape must mirror it."""
+    from pyspark.sql import functions as F
+
+    from schema_fantasy_spark import table_checks as tc
+
+    df = spark.createDataFrame([], "a double, b double")
+    old = (
+        tc.column_stats(df, ["a", "b"])
+        .join(F.broadcast(tc.percentiles(df, ["a"])), "col_name", "left")
+    )
+    new = tc.column_profile_exact(df, ["a", "b"], ["a"])
+    assert old.schema == new.schema
+    o = sorted(tuple(r) for r in old.collect())
+    n = sorted(tuple(r) for r in new.collect())
+    assert o == n
