@@ -1371,6 +1371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = docs.select("doc_id", enc.alias("enc")).mapInPandas(
             build_pages, "doc_id long, page binary"
         )
+        # transcode's two decode lanes (pure-Column vs Arrow CJK) each
+        # re-execute their input: materialize the synthesized pages once
+        # so the Python page builder runs once, not per lane (trap 18)
+        pages = pages.localCheckpoint()
         decoded = csops.transcode(pages, binary_col="page", id_col="doc_id")
         roundtripped = decoded.select(
             "doc_id", "charset", "source",

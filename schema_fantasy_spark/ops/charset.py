@@ -166,25 +166,12 @@ PRESCAN_BYTES = 1024
 _META_RE = r'<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:+-]+)'
 
 
-def detect_charset(
-    b: Column, declared: Column | None = None
-) -> tuple[Column, Column]:
-    """(charset, source) for a binary page column, pure Column exprs.
-
-    ``declared`` is an optional transport-layer charset label (the
-    ``charset=`` parameter of an HTTP ``Content-Type`` header — WARC
-    ingestion surfaces it); per the WHATWG order it ranks between the
-    BOM and the meta prescan. An unrecognized transport label is
-    IGNORED and detection continues (browser behavior), unlike an
-    unrecognized meta label which quarantines — the transport layer is
-    routinely wrong on real crawls, the in-document declaration is the
-    page author's own claim.
-
-    ``source`` is one of ``bom`` / ``transport`` / ``meta`` / ``utf8``
-    (undeclared but grammar-valid) / ``fallback`` (undeclared, not
-    UTF-8 -> windows-1252). Unknown meta labels yield
-    ``('unknown', 'meta')``.
-    """
+def _detect_parts(b: Column, declared: Column | None) -> dict:
+    """The four raw detection signals as Columns: BOM hex prefixes,
+    resolved transport label, resolved meta label, and the full-page
+    UTF-8-grammar verdict (the expensive one — a regex over every
+    byte). Split out so :func:`transcode` can materialize them ONCE per
+    row behind a barrier before composing charset/source."""
     p3 = F.hex(F.substring(b, 1, 3))
     p2 = F.hex(F.substring(b, 1, 2))
     head = F.lower(F.decode(F.substring(b, 1, PRESCAN_BYTES), "ISO-8859-1"))
@@ -208,6 +195,16 @@ def detect_charset(
         )
     )
     utf8_valid = F.decode(b, "ISO-8859-1").rlike(_UTF8_GRAMMAR)
+    return {"p3": p3, "p2": p2, "transport": transport, "meta": meta,
+            "utf8_valid": utf8_valid}
+
+
+def _compose_charset_source(
+    p3: Column, p2: Column, transport: Column, meta: Column,
+    utf8_valid: Column,
+) -> tuple[Column, Column]:
+    """(charset, source) from the raw detection signals — cheap CASE
+    chains, shared by :func:`detect_charset` and :func:`transcode`."""
     charset = (
         F.when(p3 == "EFBBBF", F.lit("utf-8"))
         .when(p2 == "FFFE", F.lit("utf-16le"))
@@ -225,6 +222,31 @@ def detect_charset(
         .otherwise(F.lit("fallback"))
     )
     return charset, source
+
+
+def detect_charset(
+    b: Column, declared: Column | None = None
+) -> tuple[Column, Column]:
+    """(charset, source) for a binary page column, pure Column exprs.
+
+    ``declared`` is an optional transport-layer charset label (the
+    ``charset=`` parameter of an HTTP ``Content-Type`` header — WARC
+    ingestion surfaces it); per the WHATWG order it ranks between the
+    BOM and the meta prescan. An unrecognized transport label is
+    IGNORED and detection continues (browser behavior), unlike an
+    unrecognized meta label which quarantines — the transport layer is
+    routinely wrong on real crawls, the in-document declaration is the
+    page author's own claim.
+
+    ``source`` is one of ``bom`` / ``transport`` / ``meta`` / ``utf8``
+    (undeclared but grammar-valid) / ``fallback`` (undeclared, not
+    UTF-8 -> windows-1252). Unknown meta labels yield
+    ``('unknown', 'meta')``.
+    """
+    d = _detect_parts(b, declared)
+    return _compose_charset_source(
+        d["p3"], d["p2"], d["transport"], d["meta"], d["utf8_valid"]
+    )
 
 
 def _decode_multibyte_udf():
@@ -282,29 +304,36 @@ def transcode(
     the reference's Validation semantics).
     """
     b = F.col(binary_col)
-    charset, source = detect_charset(
-        b, F.col(declared_col) if declared_col else None
-    )
-    # trap 1 (CLAUDE.md): a plain withColumn lets CollapseProject
+    # trap 1 (CLAUDE.md): plain withColumns let CollapseProject
     # re-inline the whole detection tree — including the FULL-PAGE
     # UTF-8-grammar rlike and the meta prescan regex — into every
     # downstream reference (the r9 before-plan of text_consistency
-    # carried NINE copies of the grammar). One Generate barrier
-    # materializes (charset, source) once per row; the replace-existing-
-    # columns contract is preserved by dropping first.
+    # carried NINE copies of the grammar). Materialize the four RAW
+    # detection signals once per row behind a Generate barrier — the
+    # charset/source CASE chains each referenced utf8_valid/meta
+    # separately, so barriering only their composed outputs still
+    # evaluated the page-length regex twice — then compose
+    # charset/source from the barriered fields (cheap CASEs). The
+    # replace-existing-columns contract is preserved by dropping first.
     from schema_fantasy_spark.ops.dedup import _barrier
 
+    d = _detect_parts(b, F.col(declared_col) if declared_col else None)
     staged = df.drop(*[c for c in ("charset", "source") if c in df.columns])
     staged = _barrier(
         staged,
-        F.struct(charset.alias("charset"), source.alias("source")),
-        "_cs_det",
+        F.struct(*[d[k].alias(k) for k in
+                   ("p3", "p2", "transport", "meta", "utf8_valid")]),
+        "_cs_raw",
+    )
+    charset, source = _compose_charset_source(
+        *[F.col(f"_cs_raw.{k}") for k in
+          ("p3", "p2", "transport", "meta", "utf8_valid")]
     )
     base = staged.select(
         "*",
-        F.col("_cs_det.charset").alias("charset"),
-        F.col("_cs_det.source").alias("source"),
-    ).drop("_cs_det")
+        charset.alias("charset"),
+        source.alias("source"),
+    ).drop("_cs_raw")
 
     raw = F.col(binary_col)
     cs = F.col("charset")
