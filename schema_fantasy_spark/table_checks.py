@@ -185,11 +185,41 @@ def column_profile_exact(
             .repartitionByRange(nparts, "cid", "value")
             .persist()
         )
-        part_rows = (
-            ranked.groupBy(F.spark_partition_id().alias("pid"), "cid")
-            .agg(F.sum("cnt").alias("tot"))
-            .collect()
-        )
+        # the subtotal pass and the stats pass are independent reads of
+        # the persisted count table: overlap them (guide §2.6 — actions
+        # are only sequential because driver code calls them
+        # sequentially), which hides one small-job latency per profile
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _part_rows():
+            return (
+                ranked.groupBy(F.spark_partition_id().alias("pid"), "cid")
+                .agg(F.sum("cnt").alias("tot"))
+                .collect()
+            )
+
+        def _stats_rows():
+            return (
+                cnts.groupBy("cid")
+                .agg(
+                    F.min("value").alias("min_val"),
+                    F.max("value").alias("max_val"),
+                    F.count("value").alias("n_distinct"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("value").isNotNull(), F.col("cnt"))
+                        ),
+                        F.lit(0),
+                    ).alias("n_nonnull"),
+                )
+                .collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            part_f = pool.submit(_part_rows)
+            stats_f = pool.submit(_stats_rows)
+            part_rows = part_f.result()
+            stats = stats_f.result()
         parts = defaultdict(list)  # cid -> [(pid, tot)] in range order
         for r in part_rows:
             parts[r["cid"]].append((r["pid"], r["tot"]))
@@ -250,19 +280,6 @@ def column_profile_exact(
             find, "cid int, rank long, value double"
         ).collect()
         val_at = {(r["cid"], r["rank"]): r["value"] for r in found}
-        stats = (
-            cnts.groupBy("cid")
-            .agg(
-                F.min("value").alias("min_val"),
-                F.max("value").alias("max_val"),
-                F.count("value").alias("n_distinct"),
-                F.coalesce(
-                    F.sum(F.when(F.col("value").isNotNull(), F.col("cnt"))),
-                    F.lit(0),
-                ).alias("n_nonnull"),
-            )
-            .collect()
-        )
     finally:
         try:
             ranked.unpersist()
