@@ -655,7 +655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
             .filter(F.col("id_a") < F.col("id_b"))
         )
-        return dedup.jaccard_pairs(docs, pairs, shingle_n=3, threshold=0.06)
+        # restrict=False: this ORACLE query's pairs table is a cheap
+        # cross join covering every sliced id — the LSH pipeline's
+        # checkpoint + semi-join restriction is pure overhead here
+        return dedup.jaccard_pairs(
+            docs, pairs, shingle_n=3, threshold=0.06, restrict=False
+        )
 
     def minhash_near_dup_documents(spark, sf):
         # md5-lane minhash so the DuckDB oracle replays the FULL pipeline

@@ -309,33 +309,42 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    restrict: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard for given (id_a, id_b) pairs —
     verification stage after LSH candidate generation.
 
-    r9: verification only needs shingles of ids that APPEAR in a pair —
-    the candidate set, orders of magnitude below the corpus at scale —
-    so the corpus is semi-join-restricted before shingling, and the
-    restricted shingle table is materialized once (eager, GC-cleaned
-    localCheckpoint): the a/b join branches otherwise re-execute the
-    whole shingle pipeline per side, and ``pairs``' own candidate
-    lineage would re-run for the restriction without its checkpoint."""
-    pairs = pairs.localCheckpoint()
-    need = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    r9, ``restrict=True`` (the LSH-pipeline shape): verification only
+    needs shingles of ids that APPEAR in a pair — the candidate set,
+    orders of magnitude below the corpus at scale — so the corpus is
+    semi-join-restricted before shingling, and the restricted shingle
+    table is materialized once (eager, GC-cleaned localCheckpoint): the
+    a/b join branches otherwise re-execute the whole shingle pipeline
+    per side, and ``pairs``' own candidate lineage would re-run for the
+    restriction without its checkpoint. ``restrict=False`` skips both
+    materializations — for callers whose ``pairs`` is a cheap
+    construction covering (nearly) every id, e.g. the bounded all-pairs
+    oracle, where the checkpoint is pure overhead and the semi-join
+    filters nothing."""
+    if restrict:
+        pairs = pairs.localCheckpoint()
+        need = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.select(F.col(id_col), F.col(text_col)).join(
+            need, id_col, "semi"
+        )
+    else:
+        base = df.select(F.col(id_col), F.col(text_col))
     sh = _barrier(
-        _ensure_parallelism(
-            df.select(F.col(id_col), F.col(text_col)).join(
-                need, id_col, "semi"
-            ),
-            keys=(id_col,),
-        ),
+        _ensure_parallelism(base, keys=(id_col,)),
         shingles_col(F.col(text_col), shingle_n),
         "sh",
-    ).localCheckpoint()
+    )
+    if restrict:
+        sh = sh.localCheckpoint()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     # explicit repartition: the pairs table is tiny in BYTES but heavy in
