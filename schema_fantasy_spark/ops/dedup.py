@@ -585,6 +585,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over (verified) near-duplicate pairs ->
     ``(doc_id, cluster_rep)`` with rep = min id in the component — the
@@ -617,6 +618,49 @@ def duplicate_clusters(
         .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .localCheckpoint()
     )
+    # r9 size-adaptive switch (the broadcast-join pattern applied to
+    # components): a near-dup graph that fits the driver comfortably —
+    # the overwhelmingly common case even at corpus scale, because the
+    # EDGE set is the near-duplicate subset — resolves in one collect +
+    # union-find instead of O(log diameter) rounds of 3 joins + a count
+    # each (~1 s of pure scheduling per round on tiny frames; measured
+    # 3.6 s for a 652-edge graph). Same result by construction: rep =
+    # min id per connected component, one row per edge endpoint.
+    # Graphs past the bound take the distributed rounds unchanged.
+    n_edges = edges.count()  # edges is checkpointed: a cheap cached count
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            u, v = row["u"], row["v"]
+            for n_ in (u, v):
+                if n_ not in parent:
+                    parent[n_] = n_
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        rep: dict = {}
+        for n_ in parent:
+            r = find(n_)
+            if r not in rep or n_ < rep[r]:
+                rep[r] = n_
+        out_rows = [(n_, rep[find(n_)]) for n_ in sorted(parent)]
+        from pyspark.sql import types as T
+
+        id_type = edges.schema["u"].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("cluster_rep", id_type),
+        ])
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
     # initial label: min(self, direct neighbors) — one round for free
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("label")

@@ -2162,3 +2162,27 @@ def test_jpeg_batched_codec_bitstream_pinned():
         "1adb02510307229cef97dd8e64b08fbf"
     assert md5(J.decode_jpeg_pixels(J.encode_jpeg_baseline(c)).tobytes()) == \
         "f52b2e975a7dae595239462a2b30775d"
+
+
+def test_duplicate_clusters_driver_path_matches_distributed(spark):
+    """r9 size-adaptive switch: small edge sets resolve by driver-side
+    union-find; result must equal the distributed min-label rounds on
+    chains, cliques, forks and singleton-free graphs."""
+    from schema_fantasy_spark.ops import dedup
+
+    edges = (
+        [(i, i + 2) for i in range(0, 38, 2)]          # long chain
+        + [(100, 101), (101, 102), (100, 102)]          # clique
+        + [(200, 201), (200, 202), (203, 201)]          # fork
+        + [(300, 301)]                                  # pair
+    )
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    fast = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dedup.duplicate_clusters(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == slow and len(fast) == 20 + 3 + 4 + 2

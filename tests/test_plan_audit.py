@@ -230,7 +230,9 @@ def test_duplicate_clusters_bounded_plan(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(0, 40, 2)], "id_a: long, id_b: long"
     )
-    clusters = dedup.duplicate_clusters(pairs)
+    # driver_max_edges=0 forces the DISTRIBUTED rounds this test pins
+    # (the r9 size-adaptive switch resolves graphs this small driver-side)
+    clusters = dedup.duplicate_clusters(pairs, driver_max_edges=0)
     plan = plan_of(clusters, mode="simple")
     # a checkpointed plan reads "Scan ExistingRDD"; an unbounded one would
     # nest SortMergeJoin/union towers many levels deep
@@ -258,16 +260,18 @@ def test_duplicate_clusters_one_action_per_round(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.setJobGroup(group, "count jobs per cluster round")
     try:
-        out = dedup.duplicate_clusters(pairs)
+        # force the distributed rounds (see test above)
+        out = dedup.duplicate_clusters(pairs, driver_max_edges=0)
         n = out.count()
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     assert n == 20
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    # budget: 1 edges-checkpoint + <=6 rounds + 1 final count; the old
-    # two-actions-per-round shape lands at ~14 and must fail this
-    assert len(jobs) <= 8, f"{len(jobs)} jobs: {sorted(jobs)}"
+    # budget: 1 edges-checkpoint + 1 size probe + <=6 rounds + 1 final
+    # count; the old two-actions-per-round shape lands at ~14 and must
+    # fail this
+    assert len(jobs) <= 9, f"{len(jobs)} jobs: {sorted(jobs)}"
 
 
 def test_webtext_ops_plan_shapes(spark):
