@@ -308,7 +308,7 @@ def transcode(
     # re-inline the whole detection tree — including the FULL-PAGE
     # UTF-8-grammar rlike and the meta prescan regex — into every
     # downstream reference (the r9 before-plan of text_consistency
-    # carried NINE copies of the grammar). Materialize the four RAW
+    # carried 12 instantiations of the grammar tree). Materialize the four RAW
     # detection signals once per row behind a Generate barrier — the
     # charset/source CASE chains each referenced utf8_valid/meta
     # separately, so barriering only their composed outputs still
